@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query; ``queries()`` /
+``oracle_sql()`` enumerate every implemented operator (SURVEY.md §2) with
+DuckDB oracle twins where SQL-expressible. Implementations live in
+``oanda_stream_processor_spark.operators.*``; this module only aggregates.
 """
 
 from __future__ import annotations
@@ -13,26 +12,51 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from oanda_stream_processor_spark.operators import asof, relational, scalar
+
+_MODULES = [relational, scalar, asof]
+
+try:  # widened incrementally; keep entry importable even mid-build
+    from oanda_stream_processor_spark.operators import dedup
+    _MODULES.append(dedup)
+except ImportError:
+    pass
+try:
+    from oanda_stream_processor_spark.operators import similarity
+    _MODULES.append(similarity)
+except ImportError:
+    pass
+try:
+    from oanda_stream_processor_spark.operators import textops
+    _MODULES.append(textops)
+except ImportError:
+    pass
+try:
+    from oanda_stream_processor_spark.operators import multimodal
+    _MODULES.append(multimodal)
+except ImportError:
+    pass
+try:
+    from oanda_stream_processor_spark.operators import ticks as tick_queries
+    _MODULES.append(tick_queries)
+except ImportError:
+    pass
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1-shaped pricing summary) on sf0.001."""
+    return relational.q01_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for m in _MODULES:
+        out.update(m.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for m in _MODULES:
+        out.update(m.ORACLES)
+    return out

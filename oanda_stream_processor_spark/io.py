@@ -1,0 +1,44 @@
+"""Fixture loaders.
+
+One parquet file per table under an sf dir (TESTDATA.md). Loaders are thin:
+``spark.read.parquet`` keeps predicate pushdown / column pruning /
+partition-split sizing entirely in Catalyst's hands — at 100 TB the same
+call reads a partitioned parquet lake and prunes on the pushed filters.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .schemas import FIXTURE_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in FIXTURE_TABLES:
+        raise KeyError(f"unknown fixture table {name!r}; known: {FIXTURE_TABLES}")
+    if name == "events":
+        # events.ts is parquet INT64 TIMESTAMP(NANOS), which Spark's reader
+        # rejects; read the raw ns-since-epoch long and truncate to Spark's
+        # μs timestamps (integer `div` — a double division would lose
+        # precision above 2^53 ns). Matches DuckDB's TIMESTAMP_NS→TIMESTAMP
+        # cast, and mirrors the documented ns→μs policy for the reference's
+        # ns-precision tick times (SURVEY.md §7 hard-part 3).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in FIXTURE_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (for spark.sql paths)."""
+    for name in FIXTURE_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,121 @@
+"""As-of join and range join — operators Spark lacks natively
+(SURVEY.md §2.2 'Joins': "range/as-of: non-equi join condition or Window
+lag over union").
+
+Both are implemented as compositions of built-in ops (preference order (a)
+from the north star), NOT as naive non-equi joins:
+
+* as-of: a naive `t2.ts <= t1.ts` theta-join is O(n·m) BroadcastNestedLoop
+  — unusable at 100 TB. The union-merge pattern used here is one shuffle
+  on the key + one sort: union both sides tagged, sort by (key, ts), carry
+  the last right-side payload forward with last(ignorenulls) — linear work
+  per partition, the same algorithm a native as-of join (pandas
+  merge_asof, QuestDB ASOF) runs, expressed as a Catalyst window plan.
+
+* range join: bucketize the time axis to the range width, equi-join on
+  (key, bucket) with the left side exploded to the two candidate buckets,
+  then re-filter exactly. Turns an O(n·m) theta join into a co-located
+  hash join — the standard interval-bucketing trick.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# For each 'error' event: the most recent 'purchase' by the same user at or
+# before the error (classic as-of). Tie-break: latest event_id.
+@query("q28_asof_join", """
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+SELECT e.user_id, e.event_id AS error_id, e.ts AS error_ts,
+       (SELECT p.event_id FROM ev p
+        WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+          AND p.ts <= e.ts
+        ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS last_purchase_id,
+       (SELECT p.value FROM ev p
+        WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+          AND p.ts <= e.ts
+        ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS last_purchase_value
+FROM ev e WHERE e.event_type = 'error'
+""")
+def q28_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    errors = e.where(F.col("event_type") == "error")
+    purchases = e.where(F.col("event_type") == "purchase")
+
+    # Tag and union: purchases sort before errors at equal ts (side=0 < 1)
+    # so an equal-timestamp purchase is visible to the error row (ts <= ts).
+    left = errors.select("user_id", "ts", "event_id",
+                         F.lit(1).alias("side"),
+                         F.lit(None).cast("struct<event_id:bigint,value:double>")
+                          .alias("r_payload"))
+    right = purchases.select("user_id", "ts", "event_id",
+                             F.lit(0).alias("side"),
+                             F.struct(F.col("event_id"), F.col("value"))
+                              .alias("r_payload"))
+    merged = left.unionByName(right)
+
+    w = (W.partitionBy("user_id")
+          .orderBy("ts", "side", "event_id")
+          .rowsBetween(W.unboundedPreceding, 0))
+    carried = merged.withColumn(
+        "last_purchase", F.last("r_payload", ignorenulls=True).over(w))
+    return (
+        carried.where(F.col("side") == 1)
+               .select("user_id",
+                       F.col("event_id").alias("error_id"),
+                       F.col("ts").alias("error_ts"),
+                       F.col("last_purchase.event_id").alias("last_purchase_id"),
+                       F.col("last_purchase.value").alias("last_purchase_value"))
+    )
+
+
+# Pairs of events by the same user within (0, 10 min] of each other,
+# aggregated per user. DuckDB plans the oracle as an IEJoin; Spark gets the
+# bucket-join rewrite.
+@query("q29_range_join", """
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+SELECT a.user_id, COUNT(*) AS n_pairs,
+       MIN(b.event_id - a.event_id) AS min_id_gap
+FROM ev a JOIN ev b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 10 MINUTE
+GROUP BY a.user_id
+""")
+def q29_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    width_us = 10 * 60 * 1_000_000
+    a = e.select("user_id", F.col("ts").alias("a_ts"), F.col("event_id").alias("a_id"),
+                 F.floor(F.unix_micros("ts") / width_us).alias("bucket"))
+    # left row can match right rows in its own bucket or the next one
+    a = a.withColumn("jb", F.explode(F.array(F.col("bucket"), F.col("bucket") + 1)))
+    b = e.select(F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"),
+                 F.col("event_id").alias("b_id"),
+                 F.floor(F.unix_micros("ts") / width_us).alias("b_jb"))
+    # equi-join on BOTH (user, bucket) so the shuffle co-locates by user and
+    # time neighborhood — no single-bucket hot partition.
+    pairs = (
+        a.join(b, (F.col("user_id") == F.col("b_user")) & (F.col("jb") == F.col("b_jb")),
+               "inner")
+         .where((F.col("b_ts") > F.col("a_ts"))
+                & (F.unix_micros("b_ts") - F.unix_micros("a_ts") <= width_us))
+    )
+    return (pairs.groupBy("user_id")
+                 .agg(F.count("*").alias("n_pairs"),
+                      F.min(F.col("b_id") - F.col("a_id")).alias("min_id_gap")))

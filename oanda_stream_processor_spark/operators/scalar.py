@@ -1,0 +1,253 @@
+"""Scalar-function batteries (SURVEY.md §2.2 'Scalar functions').
+
+The reference's only scalar work is timestamp parse/format and number
+format (P2-P4, /root/reference/src/main.rs:74-84,140-151); the engine
+exposes the full pyspark.sql.functions surface. All expressions are
+JVM-side built-ins inside whole-stage codegen.
+
+Cross-engine notes: libm functions (ln/exp/sqrt/pow) may differ in the
+last ulp between engines → rounded to 6; day-of-week conventions differ
+(Spark weekday()=0-Monday vs DuckDB isodow=1-Monday) → normalized to ISO.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from .helpers import dsum, sql_dsum
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query("q22_string_funcs", """
+SELECT doc_id,
+       UPPER(source) AS src_upper,
+       SUBSTR(text, 1, 12) AS head12,
+       LENGTH(text) AS n_len,
+       CONCAT(lang, ':', source) AS lang_src,
+       REPLACE(lang, 'e', 'E') AS lang_repl,
+       LPAD(CAST(doc_id AS VARCHAR), 6, '0') AS padded_id,
+       REGEXP_EXTRACT(text, '([a-z]+)', 1) AS first_word,
+       CONTAINS(text, 'join') AS has_join,
+       TRIM(SUBSTR(text, 1, 20)) AS head_trim
+FROM documents
+""")
+def q22_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper("source").alias("src_upper"),
+        F.substring("text", 1, 12).alias("head12"),
+        F.length("text").alias("n_len"),
+        F.concat_ws(":", "lang", "source").alias("lang_src"),
+        F.regexp_replace("lang", "e", "E").alias("lang_repl"),
+        F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("padded_id"),
+        F.regexp_extract("text", r"([a-z]+)", 1).alias("first_word"),
+        F.col("text").contains("join").alias("has_join"),
+        F.trim(F.substring("text", 1, 20)).alias("head_trim"),
+    )
+
+
+@query("q23_date_funcs", """
+SELECT o_orderkey,
+       YEAR(o_orderdate) AS yr,
+       MONTH(o_orderdate) AS mo,
+       DAY(o_orderdate) AS dom,
+       ISODOW(o_orderdate) AS iso_dow,
+       CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       CAST(o_orderdate AS DATE) + 7 AS ship_by,
+       LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end,
+       DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch0
+FROM orders WHERE o_orderkey % 10 = 0
+""")
+def q23_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 10 == 0)
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        (F.weekday("o_orderdate") + 1).alias("iso_dow"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_add(d, 7).alias("ship_by"),
+        F.last_day(d).alias("month_end"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_epoch0"),
+    )
+
+
+@query("q24_math_funcs", """
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_extendedprice, 1) AS price_r1,
+       ABS(l_discount - 0.05) AS disc_dev,
+       CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+       CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+       ROUND(SQRT(l_extendedprice), 6) AS price_sqrt,
+       ROUND(LN(l_extendedprice + 1), 6) AS price_ln,
+       ROUND(POW(1 + l_tax, 2), 6) AS tax_sq,
+       CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+       l_orderkey % 7 AS key_mod
+FROM lineitem WHERE l_orderkey % 25 = 0
+""")
+def q24_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 25 == 0)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.pow(1 + F.col("l_tax"), 2), 6).alias("tax_sq"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+    )
+
+
+@query("q25_array_funcs", """
+SELECT vec_id,
+       LEN(embedding) AS dim,
+       CAST(embedding[1] AS DOUBLE) AS first_elem,
+       CAST(LIST_MIN(embedding) AS DOUBLE) AS vec_min,
+       CAST(LIST_MAX(embedding) AS DOUBLE) AS vec_max,
+       ROUND(LIST_AGGREGATE(LIST_TRANSFORM(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 4) AS sq_norm
+FROM embeddings
+""")
+def q25_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    x_sq = lambda x: x.cast("double") * x.cast("double")  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_elem"),
+        F.array_min("embedding").cast("double").alias("vec_min"),
+        F.array_max("embedding").cast("double").alias("vec_max"),
+        F.round(
+            F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x_sq(x)), 4
+        ).alias("sq_norm"),
+    )
+
+
+@query("q26_explode_tokens", """
+SELECT token, COUNT(*) AS n
+FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token HAVING COUNT(*) >= 5
+""")
+def q26_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+         .where(F.col("token") != "")
+         .groupBy("token").agg(F.count("*").alias("n"))
+         .where(F.col("n") >= 5)
+    )
+
+
+@query("q27_json_funcs", f"""
+SELECT CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+       COUNT(*) AS n,
+       {sql_dsum('value')} AS total_value
+FROM events
+WHERE JSON_EXTRACT_STRING(props, '$.k') IS NOT NULL
+GROUP BY 1
+""")  # no ts use — raw events view is fine here
+def q27_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.where(k.isNotNull())
+         .groupBy(F.floor(k / 10).alias("k_bucket"))
+         .agg(F.count("*").alias("n"),
+              dsum(F.col("value")).alias("total_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# OHLC candles — batch analog of the streaming candle pipeline
+# (streaming/candles.py); open/close resolved by deterministic
+# row_number over (ts, event_id).
+# ---------------------------------------------------------------------------
+@query("q30_ohlc_candles", """
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+ranked AS (
+  SELECT DATE_TRUNC('hour', ts) AS bucket, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY DATE_TRUNC('hour', ts), event_type
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY DATE_TRUNC('hour', ts), event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM ev)
+SELECT bucket, event_type,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       MAX(value) AS high, MIN(value) AS low, COUNT(*) AS n_events
+FROM ranked GROUP BY bucket, event_type
+""")
+def q30_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").withColumn("bucket", F.date_trunc("hour", "ts"))
+    wa = W.partitionBy("bucket", "event_type").orderBy("ts", "event_id")
+    wd = W.partitionBy("bucket", "event_type").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn_a", F.row_number().over(wa))
+         .withColumn("rn_d", F.row_number().over(wd))
+         .groupBy("bucket", "event_type")
+         .agg(F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+              F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+              F.max("value").alias("high"),
+              F.min("value").alias("low"),
+              F.count("*").alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gap-based sessionization (batch analog of session_window in streaming):
+# lag → gap flag → running sum = session id. One shuffle on user_id; both
+# windows share the same partitioning so Spark sorts once.
+# ---------------------------------------------------------------------------
+@query("q31_sessionize", """
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sessions AS (
+  SELECT user_id, ts, event_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+       CAST(EPOCH_US(MAX(ts)) - EPOCH_US(MIN(ts)) AS BIGINT) AS duration_us
+FROM sessions GROUP BY user_id, session_id
+""")
+def q31_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ok = (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+              <= 30 * 60 * 1_000_000)
+    return (
+        e.withColumn("new_sess", F.when(gap_ok, F.lit(0)).otherwise(F.lit(1)))
+         .withColumn("session_id",
+                     F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0)))
+         .groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id"))
+         .agg(F.count("*").alias("n_events"),
+              (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+              .alias("duration_us"))
+    )

@@ -1,0 +1,59 @@
+"""SparkSession factory.
+
+Scale notes (100 TB target): every config here is either neutral or
+beneficial on a real cluster; the only local-mode specials are guarded by
+``local`` in the master string. AQE is on so runtime statistics re-plan
+joins (broadcast conversion, skew-join splitting, partition coalescing)
+exactly where static planning would be wrong at scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "oanda_stream_processor_spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the configured SparkSession.
+
+    Defaults: master from $SPARK_GRAFT_CPUS (local[N]) or local[*];
+    shuffle partitions ~= cores locally (the 200 default over-parallelizes
+    small local runs and under-parallelizes 100 TB clusters — at scale this
+    is handed to AQE's coalescing, so we set initialPartitionNum high and
+    let AQE shrink).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # -- determinism / oracle parity -------------------------------
+        .config("spark.sql.session.timeZone", "UTC")
+        # -- optimizer -------------------------------------------------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # -- python <-> jvm boundary ----------------------------------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # -- scan sizing (100 TB: keep parquet splits ~128 MB) --------
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # -- quieter local runs ---------------------------------------
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    if master.startswith("local"):
+        builder = builder.config("spark.driver.memory",
+                                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,30 @@
+"""NDJSON tick source — batch and streaming file replay.
+
+The reference's source is a long-lived HTTP GET yielding newline-delimited
+JSON (oanda_client.rs:10-39) framed into lines (oanda_client.rs:34-53).
+Lines are exactly the record unit of ``spark.read.text`` /
+``spark.readStream.text``, so the Spark-native replay source is a text
+scan + the routing chain from functions.ticks. At cluster scale the same
+chain runs over a Kafka source (``readStream.format("kafka")``) with the
+line in ``value`` — the code below is source-agnostic past the first
+``select``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.ticks import derive_tick_columns, nonblank_lines, route
+
+
+def read_tick_lines(spark: SparkSession, path: str, streaming: bool = False) -> DataFrame:
+    """Raw lines (column ``value``) from NDJSON capture files."""
+    reader = spark.readStream if streaming else spark.read
+    return reader.text(path)
+
+
+def read_ticks(spark: SparkSession, path: str, streaming: bool = False) -> DataFrame:
+    """Full S2→S5 + P1→P2 chain: lines → routed wide frame with
+    spread/event_ts. Works identically for batch and streaming input."""
+    lines = read_tick_lines(spark, path, streaming=streaming)
+    return derive_tick_columns(route(nonblank_lines(lines)))
