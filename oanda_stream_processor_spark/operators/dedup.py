@@ -1,0 +1,226 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference (which has no dedup — north-star extension,
+SURVEY.md §2.2 'LLM-pipeline extensions'): exact hash dedup,
+MinHash+LSH banding, SimHash, and n-gram Jaccard similarity — all as
+compositions of built-in DataFrame ops (no Python UDFs), so the whole
+family runs JVM-side and scales by partitioned shuffle.
+
+Determinism: every hash is md5 (identical across engines); minhash
+minima are lexicographic mins over md5 hex strings; simhash is pure
+integer math on a 60-bit prefix of md5 — so each operator is
+bit-reproducible and oracle-checkable in DuckDB.
+
+Scale notes (100 TB):
+* exact dedup — one hash-shuffle on the digest; at scale the groupBy key
+  is the md5, uniformly distributed → no skew.
+* minhash — explode to (doc, shingle), ONE map-side-combinable groupBy
+  computes all K minima; signature rows are tiny (doc_id + K hex).
+  LSH banding joins on (band_id, band_key) — uniformly distributed keys;
+  candidate verification is per-bucket, never all-pairs.
+* simhash — explode × 60 bit-positions stays linear in corpus size;
+  the per-(doc,bit) partial sums combine map-side.
+* jaccard — the shingle-join computes pair intersections only for pairs
+  that actually share a shingle (inverted-index join), never n².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+N_HASHES = 8          # minhash signature length
+BAND_ROWS = 2         # rows per LSH band -> 4 bands
+N_BANDS = N_HASHES // BAND_ROWS
+SIM_BITS = 60         # simhash width (60-bit md5 prefix fits a signed i64)
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# --- shared shingle/token SQL fragments (DuckDB side) ----------------------
+
+SQL_TOKS = ("SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS toks "
+            "FROM documents")
+# word 3-gram shingles; DuckDB lists are 1-indexed, range(n) is 0..n-1
+SQL_SHINGLES = f"""
+SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(LEN(toks) - 2),
+       i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingle
+FROM ({SQL_TOKS}) WHERE LEN(toks) >= 3
+"""
+
+
+def _spark_shingles(d: DataFrame) -> DataFrame:
+    """(doc_id, shingle) — word 3-grams, JVM-side array lambdas."""
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    d = d.select("doc_id", toks.alias("toks")).where(F.size("toks") >= 3)
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 3),
+        lambda i: F.concat_ws(" ", F.element_at("toks", i + 1),
+                              F.element_at("toks", i + 2),
+                              F.element_at("toks", i + 3)))
+    return d.select("doc_id", F.explode(shingles).alias("shingle"))
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: group on content digest, keep lowest doc_id as canonical.
+# ---------------------------------------------------------------------------
+@query("q40_dedup_exact", """
+SELECT MD5(text) AS content_hash,
+       MIN(doc_id) AS canonical_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY MD5(text)
+""")
+def q40_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (d.groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
+             .agg(F.min("doc_id").alias("canonical_id"),
+                  F.count("*").alias("n_copies")))
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures: K independent permutations simulated by seeded md5;
+# the signature is the per-seed lexicographic min over shingle hashes.
+# ---------------------------------------------------------------------------
+_MINHASH_AGGS_SQL = ",\n       ".join(
+    f"MIN(MD5('{s}|' || shingle)) AS h{s}" for s in range(N_HASHES))
+
+@query("q41_minhash_signature", f"""
+SELECT doc_id,
+       {_MINHASH_AGGS_SQL}
+FROM ({SQL_SHINGLES})
+GROUP BY doc_id
+""")
+def q41_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _spark_shingles(load_table(spark, sf_dir, "documents"))
+    aggs = [F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")).cast("binary")))
+             .alias(f"h{s}") for s in range(N_HASHES)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# LSH banding on the minhash signature: band key = md5 of the band's rows;
+# docs sharing any band key are candidate near-duplicates.
+# ---------------------------------------------------------------------------
+_BAND_KEYS_SQL = ", ".join(
+    "MD5(" + " || ".join(f"h{b * BAND_ROWS + r}" for r in range(BAND_ROWS)) + f") AS band{b}"
+    for b in range(N_BANDS))
+_BAND_UNPIVOT_SQL = ", ".join(f"({b}, band{b})" for b in range(N_BANDS))
+
+@query("q42_lsh_candidates", f"""
+WITH sig AS (
+  SELECT doc_id, {_MINHASH_AGGS_SQL}
+  FROM ({SQL_SHINGLES}) GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, {_BAND_KEYS_SQL} FROM sig),
+flat AS (
+  {' UNION ALL '.join(f'SELECT doc_id, {b} AS band_id, band{b} AS band_key FROM bands'
+                      for b in range(N_BANDS))})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM flat a JOIN flat b
+  ON a.band_id = b.band_id AND a.band_key = b.band_key
+ AND a.doc_id < b.doc_id
+""")
+def q42_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = q41_minhash_signature(spark, sf_dir)
+    band_key = [
+        F.md5(F.concat(*[F.col(f"h{b * BAND_ROWS + r}") for r in range(BAND_ROWS)])
+              .cast("binary")).alias(f"band{b}")
+        for b in range(N_BANDS)
+    ]
+    bands = sig.select("doc_id", *band_key)
+    # unpivot band columns -> (doc_id, band_id, band_key); stack is one
+    # Expand node, no shuffle
+    stack_expr = ", ".join(f"{b}, band{b}" for b in range(N_BANDS))
+    flat = bands.selectExpr(
+        "doc_id", f"stack({N_BANDS}, {stack_expr}) AS (band_id, band_key)")
+    a = flat.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
+    b = flat.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
+    return (a.join(b, ["band_id", "band_key"])
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b").distinct())
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 60-bit signature; bit i of the signature is the sign of the sum
+# of ±1 votes from each token whose md5 has bit i set.
+# ---------------------------------------------------------------------------
+@query("q43_simhash", f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS token
+  FROM documents),
+hashed AS (
+  SELECT doc_id, CAST('0x' || SUBSTR(MD5(token), 1, 15) AS BIGINT) AS h FROM tok),
+votes AS (
+  SELECT doc_id, bit, SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hashed, (SELECT UNNEST(RANGE({SIM_BITS})) AS bit)
+  GROUP BY doc_id, bit)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
+         AS simhash
+FROM votes GROUP BY doc_id
+""")
+def q43_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    tok = d.select("doc_id", F.explode(toks).alias("token"))
+    hashed = tok.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("token").cast("binary")), 1, 15), 16, 10)
+         .cast("bigint").alias("h"))
+    bits = spark.range(SIM_BITS).select(F.col("id").cast("int").alias("bit"))
+    votes = (hashed.crossJoin(F.broadcast(bits))
+             .groupBy("doc_id", "bit")
+             .agg(F.sum(F.when(F.expr("(h >> bit) & 1") == 1, 1)
+                         .otherwise(-1)).alias("v")))
+    return (votes.groupBy("doc_id")
+                 .agg(F.sum(F.when(F.col("v") > 0,
+                                   F.expr("shiftleft(cast(1 as bigint), bit)"))
+                             .otherwise(F.lit(0))).cast("bigint").alias("simhash")))
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup: inverted-index join on distinct shingles —
+# intersection counts only for pairs sharing >= 1 shingle.
+# ---------------------------------------------------------------------------
+@query("q44_jaccard_pairs", f"""
+WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({SQL_SHINGLES})),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.05
+""")
+def q44_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _spark_shingles(load_table(spark, sf_dir, "documents")).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (a.join(b, "shingle")
+              .where(F.col("doc_a") < F.col("doc_b"))
+              .groupBy("doc_a", "doc_b").agg(F.count("*").alias("i")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = (F.col("i").cast("double")
+           / (F.col("na") + F.col("nb") - F.col("i")))
+    return (inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+                 .where(jac >= 0.05)
+                 .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard")))

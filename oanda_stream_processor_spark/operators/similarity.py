@@ -1,0 +1,232 @@
+"""Embedding similarity search (north-star extension; SURVEY.md §2.2).
+
+Brute-force cosine top-k as the exact baseline, label-bucketed near-dup
+pairs, per-label centroids, and a random-hyperplane LSH-bucketed ANN as
+the scale path.
+
+Determinism across engines: dot products are sequential left-to-right
+double accumulations in BOTH engines (Spark ``aggregate`` over
+``zip_with``; DuckDB ``list_aggregate`` over ``list_transform``), floats
+are cast to double per-element first, and LSH hyperplanes are
+deterministic pseudo-random literals derived from md5 in Python and
+embedded identically in both plans.
+
+Scale notes (100 TB):
+* brute-force top-k broadcasts the (small) query set against the
+  partitioned candidate table — no shuffle of the big side; per-partition
+  partial top-k then a tiny final top-k (TakeOrdered pattern via
+  row_number + filter under AQE).
+* LSH buckets turn O(Q·N) into O(Q·N/2^bits) with an equi-join on the
+  bucket id — the join key is uniformly distributed by construction.
+* centroids are one map-side-combinable groupBy on (label, pos).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+DIM = 64
+N_PLANES = 6
+N_QUERIES = 10  # query set = vec_id < 10
+TOP_K = 5
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def _plane(p: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane in [-1, 1)^DIM from md5 —
+    identical literals on the Spark and DuckDB sides."""
+    out = []
+    for d in range(DIM):
+        h = int(hashlib.md5(f"{p},{d}".encode()).hexdigest()[:8], 16)
+        out.append(round((h % 2000) / 1000.0 - 1.0, 6))
+    return out
+
+
+PLANES = [_plane(p) for p in range(N_PLANES)]
+
+
+# --- shared column expressions ---------------------------------------------
+
+def _dot(a, b) -> F.Column:
+    """Sequential double dot product of two float arrays (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _sqnorm(a) -> F.Column:
+    return F.aggregate(a, F.lit(0.0),
+                       lambda acc, x: acc + x.cast("double") * x.cast("double"))
+
+
+SQL_DOT = ("LIST_AGGREGATE(LIST_TRANSFORM(RANGE({n}), "
+           "i -> CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE)), 'sum')")
+SQL_SQNORM = ("LIST_AGGREGATE(LIST_TRANSFORM({a}, "
+              "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')")
+
+
+def sql_cosine(a: str, b: str) -> str:
+    dot = SQL_DOT.format(n=DIM, a=a, b=b)
+    na = SQL_SQNORM.format(a=a)
+    nb = SQL_SQNORM.format(a=b)
+    return f"({dot} / (SQRT({na}) * SQRT({nb})))"
+
+
+def _cosine(a, b) -> F.Column:
+    return _dot(a, b) / (F.sqrt(_sqnorm(a)) * F.sqrt(_sqnorm(b)))
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k: exact ANN baseline. Query set broadcast; rank
+# by rounded cosine with vec_id tiebreak so ordering is ulp-robust.
+# ---------------------------------------------------------------------------
+@query("q45_cosine_topk", f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+           WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT query_id, e.vec_id AS cand_id,
+         ROUND({sql_cosine('q_emb', 'e.embedding')}, 6) AS cosine
+  FROM q JOIN embeddings e ON e.vec_id <> query_id),
+ranked AS (
+  SELECT query_id, cand_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored)
+SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+""")
+def q45_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (e.where(F.col("vec_id") < N_QUERIES)
+          .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")))
+    scored = (e.crossJoin(F.broadcast(q))
+               .where(F.col("vec_id") != F.col("query_id"))
+               .select("query_id", F.col("vec_id").alias("cand_id"),
+                       F.round(_cosine(F.col("q_emb"), F.col("embedding")), 6)
+                        .alias("cosine")))
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= TOP_K))
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate embeddings: label-bucketed pair join (block on label, the
+# natural cluster key) + cosine threshold.
+# ---------------------------------------------------------------------------
+@query("q46_embedding_neardup", f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+       ROUND({sql_cosine('a.embedding', 'b.embedding')}, 6) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND({sql_cosine('a.embedding', 'b.embedding')}, 6) >= 0.30
+""")
+def q46_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), "label",
+                 F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
+                 F.col("embedding").alias("emb_b"))
+    cos = F.round(_cosine(F.col("emb_a"), F.col("emb_b")), 6)
+    return (a.join(b, (F.col("label") == F.col("label_b"))
+                   & (F.col("vec_a") < F.col("vec_b")))
+             .withColumn("cosine", cos)
+             .where(F.col("cosine") >= 0.30)
+             .select("vec_a", "vec_b", "label", "cosine"))
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroids: exact decimal mean per (label, dimension).
+# ---------------------------------------------------------------------------
+@query("q47_label_centroids", """
+WITH flat AS (
+  SELECT label,
+         UNNEST(RANGE(LEN(embedding))) AS pos,
+         UNNEST(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE))) AS val
+  FROM embeddings)
+SELECT label, CAST(pos AS INTEGER) AS pos,
+       ROUND(CAST(SUM(CAST(val AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*), 6)
+         AS centroid,
+       COUNT(*) AS n_vecs
+FROM flat GROUP BY label, pos
+""")
+def q47_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select("label", F.posexplode("embedding").alias("pos", "raw"))
+    return (flat.select("label", F.col("pos").cast("int").alias("pos"),
+                        F.col("raw").cast("double").alias("val"))
+                .groupBy("label", "pos")
+                .agg(F.round(F.sum(F.col("val").cast("decimal(30,12)")).cast("double")
+                             / F.count("*"), 6).alias("centroid"),
+                     F.count("*").alias("n_vecs")))
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (the scale path): sign-of-projection onto N_PLANES
+# deterministic hyperplanes -> 2^N_PLANES buckets; exact cosine only
+# within the query's bucket.
+# ---------------------------------------------------------------------------
+def _sql_plane_literal(p: int) -> str:
+    return "[" + ", ".join(repr(c) for c in PLANES[p]) + "]"
+
+
+def _sql_bucket(emb: str) -> str:
+    terms = []
+    for p in range(N_PLANES):
+        dot = SQL_DOT.format(n=DIM, a=emb, b=_sql_plane_literal(p))
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _bucket(emb) -> F.Column:
+    total = F.lit(0)
+    for p in range(N_PLANES):
+        plane = F.array(*[F.lit(c) for c in PLANES[p]])
+        total = total + F.when(_dot(emb, plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return total
+
+
+@query("q48_ann_lsh", f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM bucketed
+      WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT query_id, e.vec_id AS cand_id,
+         ROUND({sql_cosine('q_emb', 'e.embedding')}, 6) AS cosine
+  FROM q JOIN bucketed e ON e.bucket = q.bucket AND e.vec_id <> query_id),
+ranked AS (
+  SELECT query_id, cand_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored)
+SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+""")
+def q48_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    bucketed = e.withColumn("bucket", _bucket(F.col("embedding")))
+    q = (bucketed.where(F.col("vec_id") < N_QUERIES)
+                 .select(F.col("vec_id").alias("query_id"),
+                         F.col("embedding").alias("q_emb"), "bucket"))
+    scored = (bucketed.join(F.broadcast(q), "bucket")
+                      .where(F.col("vec_id") != F.col("query_id"))
+                      .select("query_id", F.col("vec_id").alias("cand_id"),
+                              F.round(_cosine(F.col("q_emb"), F.col("embedding")), 6)
+                               .alias("cosine")))
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= TOP_K))

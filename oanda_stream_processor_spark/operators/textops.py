@@ -1,0 +1,219 @@
+"""Text-analysis operators for training-data pipelines (north-star
+extension; SURVEY.md §2.2 'LLM-pipeline extensions').
+
+Language ID (stopword-hit heuristic), quality scoring (length / punct /
+stopword / digit ratios), token counting (whitespace + BPE-ish regex),
+and document fingerprinting (winnowing over rolling char n-gram hashes).
+All pure built-in expressions — regexes are ASCII-safe in both engines
+(Java regex vs RE2 agree on the classes used here).
+
+Scale: every operator is a per-row projection or a
+map-side-combinable aggregation; the fingerprint op explodes to
+(doc, position) rows — linear in corpus size, shuffled once on doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from .helpers import sql_davg
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+# tiny per-language stopword lists for the heuristic scorer
+LANG_WORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ein"],
+    "es": ["el", "la", "de", "y", "un"],
+    "fr": ["le", "la", "de", "et", "un"],
+    "zh": ["de", "le", "shi", "zai", "he"],
+}
+LANGS = sorted(LANG_WORDS)
+
+STOPWORDS = sorted({w for ws in LANG_WORDS.values() for w in ws})
+
+GRAM = 8          # fingerprint char n-gram width
+WINNOW = 4        # winnowing window (positions)
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def _sql_hits(lang: str) -> str:
+    """# tokens of `text` found in LANG_WORDS[lang] (token exact match)."""
+    lst = ", ".join(f"'{w}'" for w in LANG_WORDS[lang])
+    return (f"LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x IN ({lst})))")
+
+
+def _hits(lang: str) -> F.Column:
+    return F.size(F.filter(F.split("text", " "),
+                           lambda x: x.isin(LANG_WORDS[lang])))
+
+
+# ---------------------------------------------------------------------------
+# Language ID: argmax of stopword hits; ties broken by language name so
+# both engines pick identically.
+# ---------------------------------------------------------------------------
+_LANG_STRUCTS_SQL = ", ".join(
+    f"{{'hits': {_sql_hits(lg)}, 'lang': '{lg}'}}" for lg in LANGS)
+
+@query("q49_lang_id", f"""
+WITH scored AS (
+  SELECT doc_id, lang AS actual_lang,
+         {", ".join(f"{_sql_hits(lg)} AS hits_{lg}" for lg in LANGS)}
+  FROM documents)
+SELECT doc_id, actual_lang,
+       (LIST_MAX([{", ".join(f"{{'hits': hits_{lg}, 'lang': '{lg}'}}" for lg in LANGS)}])).lang
+         AS predicted_lang,
+       GREATEST({", ".join(f"hits_{lg}" for lg in LANGS)}) AS best_hits
+FROM scored
+""")
+def q49_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select("doc_id", F.col("lang").alias("actual_lang"),
+                      *[_hits(lg).alias(f"hits_{lg}") for lg in LANGS])
+    # argmax via greatest over (hits, lang) structs — struct ordering is
+    # lexicographic on fields in both engines, so ties pick the larger
+    # lang name identically.
+    structs = [F.struct(F.col(f"hits_{lg}").alias("hits"), F.lit(lg).alias("lang"))
+               for lg in LANGS]
+    best = F.greatest(*structs)
+    return scored.select(
+        "doc_id", "actual_lang",
+        best["lang"].alias("predicted_lang"),
+        F.greatest(*[F.col(f"hits_{lg}") for lg in LANGS]).alias("best_hits"))
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: classic filter features. All ratios are per-row double
+# arithmetic — deterministic.
+# ---------------------------------------------------------------------------
+_SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+@query("q50_quality_score", f"""
+WITH feat AS (
+  SELECT doc_id, source, n_chars,
+         LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS n_tokens,
+         LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x IN ({_SW_LIST}))) AS n_stop,
+         LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[a-z]', '', 'g')) AS n_alpha,
+         LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS n_digit
+  FROM documents)
+SELECT doc_id, source, n_tokens,
+       ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+       ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+       ROUND(CAST(n_alpha AS DOUBLE) / n_chars, 6) AS alpha_ratio,
+       ROUND(CAST(n_digit AS DOUBLE) / n_chars, 6) AS digit_ratio,
+       (n_tokens >= 10 AND CAST(n_alpha AS DOUBLE) / n_chars > 0.6) AS keep
+FROM feat WHERE n_tokens > 0
+""")
+def q50_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    stops = F.filter(F.split("text", " "), lambda x: x.isin(STOPWORDS))
+    n_alpha = F.length("text") - F.length(F.regexp_replace("text", "[a-z]", ""))
+    n_digit = F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))
+    feat = d.select(
+        "doc_id", "source", "n_chars",
+        F.size(toks).alias("n_tokens"), F.size(stops).alias("n_stop"),
+        n_alpha.alias("n_alpha"), n_digit.alias("n_digit"))
+    return (feat.where(F.col("n_tokens") > 0)
+                .select("doc_id", "source", "n_tokens",
+                        F.round(F.col("n_chars").cast("double") / F.col("n_tokens"), 6)
+                         .alias("avg_token_len"),
+                        F.round(F.col("n_stop").cast("double") / F.col("n_tokens"), 6)
+                         .alias("stopword_ratio"),
+                        F.round(F.col("n_alpha").cast("double") / F.col("n_chars"), 6)
+                         .alias("alpha_ratio"),
+                        F.round(F.col("n_digit").cast("double") / F.col("n_chars"), 6)
+                         .alias("digit_ratio"),
+                        ((F.col("n_tokens") >= 10)
+                         & (F.col("n_alpha").cast("double") / F.col("n_chars") > 0.6))
+                        .alias("keep")))
+
+
+# ---------------------------------------------------------------------------
+# Token counting: whitespace tokens + a BPE-ish regex token count
+# (word pieces and single non-space punctuation), aggregated per source.
+# ---------------------------------------------------------------------------
+@query("q51_token_stats", f"""
+WITH per_doc AS (
+  SELECT source,
+         LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS ws_tokens,
+         LEN(REGEXP_EXTRACT_ALL(text, '[a-z0-9]+|[^a-z0-9 ]')) AS bpe_tokens,
+         n_chars
+  FROM documents)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+       CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       {sql_davg('ws_tokens')} AS avg_ws_tokens
+FROM per_doc GROUP BY source
+""")
+def q51_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    bpe = F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+|[^a-z0-9 ]"), 0))
+    per_doc = d.select("source", ws.alias("ws_tokens"), bpe.alias("bpe_tokens"),
+                       "n_chars")
+    return (per_doc.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("ws_tokens").cast("bigint").alias("total_ws_tokens"),
+                 F.sum("bpe_tokens").cast("bigint").alias("total_bpe_tokens"),
+                 F.sum("n_chars").cast("bigint").alias("total_chars"),
+                 F.round(F.sum(F.col("ws_tokens").cast("decimal(30,10)")).cast("double")
+                         / F.count(F.col("ws_tokens")), 6).alias("avg_ws_tokens")))
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: winnowing. Rolling char 8-gram hashes; keep the
+# min hash of every 4-position window; the distinct kept hashes are the
+# doc's fingerprints.
+# ---------------------------------------------------------------------------
+@query("q52_fingerprint", f"""
+WITH grams AS (
+  SELECT doc_id, pos,
+         CAST('0x' || SUBSTR(MD5(SUBSTR(text, CAST(pos AS INTEGER), {GRAM})), 1, 15)
+              AS BIGINT) AS h
+  FROM (SELECT doc_id, text,
+               UNNEST(RANGE(1, LENGTH(text) - {GRAM} + 2)) AS pos
+        FROM documents)),
+winnowed AS (
+  SELECT doc_id, pos,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW - 1} FOLLOWING) AS fp,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_pos
+  FROM grams)
+SELECT doc_id, COUNT(DISTINCT fp) AS n_fingerprints, MIN(fp) AS min_fp
+FROM winnowed WHERE pos <= n_pos - {WINNOW} + 1
+GROUP BY doc_id
+""")
+def q52_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", "text",
+                 F.explode(F.sequence(F.lit(1), F.length("text") - (GRAM - 1)))
+                  .alias("pos"))
+         .select("doc_id", "pos",
+                 F.conv(F.substring(
+                     F.md5(F.expr(f"cast(substring(text, pos, {GRAM}) as binary)")),
+                     1, 15), 16, 10).cast("bigint").alias("h"))
+    )
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW - 1)
+    wc = W.partitionBy("doc_id")
+    winnowed = grams.select(
+        "doc_id", "pos",
+        F.min("h").over(w).alias("fp"),
+        F.count("*").over(wc).alias("n_pos"))
+    return (winnowed.where(F.col("pos") <= F.col("n_pos") - (WINNOW - 1))
+                    .groupBy("doc_id")
+                    .agg(F.countDistinct("fp").alias("n_fingerprints"),
+                         F.min("fp").alias("min_fp")))
