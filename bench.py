@@ -1,0 +1,113 @@
+"""Benchmark harness (driver contract).
+
+Runs every declared query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop-sink write (full plan
+executes, nothing collects to the driver). Timings exclude JVM/session
+startup; per-query time includes planning + execution.
+
+Usage: python bench.py [--queries q01_pricing_summary,...] [--duckdb]
+  --duckdb also times the DuckDB oracles (baseline proxy for BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+
+
+def run_spark(names: list[str] | None) -> dict[str, float]:
+    import __spark_entry__ as ent
+    from oanda_stream_processor_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    qs = ent.queries()
+    if names:
+        qs = {n: qs[n] for n in names}
+    # warm the JVM/codegen once with the cheapest full pipeline
+    next(iter(qs.values()))(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    timings: dict[str, float] = {}
+    for name, fn in sorted(qs.items()):
+        # min-of-N: the host VM exhibits sporadic multi-10s freezes
+        # (all JVM threads parked, wall clock stretches); min is the
+        # noise-robust per-query statistic. Each run still executes the
+        # full plan end-to-end into a noop sink.
+        best = None
+        for _ in range(max(1, N_RUNS)):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+    spark.stop()
+    return timings
+
+
+def run_duckdb(names: list[str] | None) -> dict[str, float]:
+    import duckdb
+
+    import __spark_entry__ as ent
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    oracles = ent.oracle_sql()
+    if names:
+        oracles = {n: oracles[n] for n in names if n in oracles}
+    timings: dict[str, float] = {}
+    for name, sql in sorted(oracles.items()):
+        best = None
+        for _ in range(max(1, N_RUNS)):  # min-of-N, same as the Spark side
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+    return timings
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--queries", default=None,
+                    help="comma-separated subset of query names")
+    ap.add_argument("--duckdb", action="store_true",
+                    help="also time DuckDB oracles (baseline proxy)")
+    args = ap.parse_args()
+    names = args.queries.split(",") if args.queries else None
+
+    timings = run_spark(names)
+    out = {
+        "metric": "total_query_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    if args.duckdb:
+        out["duckdb_baseline"] = run_duckdb(names)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

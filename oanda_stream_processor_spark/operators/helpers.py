@@ -3,8 +3,22 @@
 The driver's correctness gate hashes values, so every aggregate must be
 BIT-identical between Spark and DuckDB. Double addition is not
 associative: a parallel partial-agg (Spark) and a sequential scan
-(DuckDB) can differ in the last ulp. Fix: accumulate in exact
-DECIMAL(30,10) (order-insensitive), cast the final sum back to double.
+(DuckDB) can differ in the last ulp.
+
+Fix: fixed-point accumulation. Each row's double expression is scaled by
+10^4 and rounded to a BIGINT; the sum is exact 64-bit integer math —
+order-insensitive, identical in both engines, and fast (codegen'd long
+sums; wide-DECIMAL accumulators were measured to trigger multi-10s
+JIT/C2 compile storms on the generated aggregate code, while long sums
+stay in the fast path).
+
+Precision: the fixed-point sum differs from the true double sum by at
+most n·5e-5; outputs are rounded to >= 2 decimals so both engines agree
+exactly. Overflow: row terms are bounded by |expr|·1e4; int64 holds
+9.2e18 — safe to ~1e9 rows of 1e5-magnitude values per aggregation
+group. At larger per-group magnitudes, raise to DECIMAL accumulation
+(exact, slower) — the choice is per-query, not global.
+
 Per-row double arithmetic (same op order) IS deterministic across
 engines and needs no special handling.
 """
@@ -14,26 +28,29 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-DEC = "decimal(30,10)"
+SCALE = 10_000  # fixed-point scale (4 decimal digits)
 
 
 def dsum(expr: Column, scale: int = 2) -> Column:
-    """Order-insensitive exact sum of a double expression, as double."""
-    return F.round(F.sum(expr.cast(DEC)).cast("double"), scale)
+    """Order-insensitive fixed-point sum of a double expression, as double."""
+    cents = F.round(expr * SCALE, 0).cast("bigint")
+    return F.round(F.sum(cents) / float(SCALE), scale)
 
 
 def davg(expr: Column, scale: int = 6) -> Column:
-    """avg = exact-decimal sum cast double / count — deterministic."""
-    return F.round(F.sum(expr.cast(DEC)).cast("double") / F.count(expr), scale)
+    """avg = exact fixed-point sum / non-null count — deterministic."""
+    cents = F.round(expr * SCALE, 0).cast("bigint")
+    return F.round((F.sum(cents) / float(SCALE)) / F.count(expr), scale)
 
 
 def sql_dsum(expr: str, scale: int = 2) -> str:
-    return f"ROUND(CAST(SUM(CAST(({expr}) AS DECIMAL(30,10))) AS DOUBLE), {scale})"
+    return (f"ROUND(SUM(CAST(ROUND(({expr}) * {SCALE}, 0) AS BIGINT))"
+            f" / {SCALE}.0, {scale})")
 
 
 def sql_davg(expr: str, scale: int = 6) -> str:
-    return (f"ROUND(CAST(SUM(CAST(({expr}) AS DECIMAL(30,10))) AS DOUBLE)"
-            f" / COUNT({expr}), {scale})")
+    return (f"ROUND(SUM(CAST(ROUND(({expr}) * {SCALE}, 0) AS BIGINT))"
+            f" / {SCALE}.0 / COUNT({expr}), {scale})")
 
 
 # DuckDB reads events.ts as TIMESTAMP_NS; Spark truncates to μs (io.py).

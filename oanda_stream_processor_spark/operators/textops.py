@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from .helpers import sql_davg
+from .helpers import davg, sql_davg
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -169,8 +169,7 @@ def q51_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("ws_tokens").cast("bigint").alias("total_ws_tokens"),
                  F.sum("bpe_tokens").cast("bigint").alias("total_bpe_tokens"),
                  F.sum("n_chars").cast("bigint").alias("total_chars"),
-                 F.round(F.sum(F.col("ws_tokens").cast("decimal(30,10)")).cast("double")
-                         / F.count(F.col("ws_tokens")), 6).alias("avg_ws_tokens")))
+                 davg(F.col("ws_tokens").cast("double")).alias("avg_ws_tokens")))
 
 
 # ---------------------------------------------------------------------------

@@ -12,15 +12,26 @@ line in ``value`` — the code below is source-agnostic past the first
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.ticks import derive_tick_columns, nonblank_lines, route
 
 
 def read_tick_lines(spark: SparkSession, path: str, streaming: bool = False) -> DataFrame:
-    """Raw lines (column ``value``) from NDJSON capture files."""
-    reader = spark.readStream if streaming else spark.read
-    return reader.text(path)
+    """Raw lines (column ``value``) from NDJSON capture files.
+
+    The streaming file source wants a directory; a single-file path is
+    rewritten to (parent dir + pathGlobFilter) so batch and streaming
+    accept the same argument."""
+    if streaming:
+        reader = spark.readStream
+        if os.path.isfile(path):
+            reader = reader.option("pathGlobFilter", os.path.basename(path))
+            path = os.path.dirname(path)
+        return reader.text(path)
+    return spark.read.text(path)
 
 
 def read_ticks(spark: SparkSession, path: str, streaming: bool = False) -> DataFrame:

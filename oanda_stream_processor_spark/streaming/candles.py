@@ -1,0 +1,78 @@
+"""Streaming windowed aggregates over the tick stream — the operators
+the reference lacks (SURVEY.md §2.2 'Streaming windows' / 'watermark'):
+tumbling/sliding OHLC candles, session windows, and streaming dedup,
+all with event-time watermarks for late data.
+
+OHLC open/close use min_by/max_by over (ts, tie-break) — streaming-safe
+aggregates (no window functions in streaming), map-side combinable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mid_price(df: DataFrame) -> DataFrame:
+    """Mid price from the closeout quotes (0.0-default cast semantics,
+    main.rs:70-72)."""
+    from ..functions.ticks import price_as_double
+    tick = F.col("price_tick")
+    return (df.where(F.col("message_type") == "price_tick")
+              .select(tick["instrument"].alias("instrument"),
+                      F.col("event_ts"),
+                      ((price_as_double(tick["closeoutAsk"])
+                        + price_as_double(tick["closeoutBid"])) / 2).alias("mid"),
+                      F.col("spread")))
+
+
+def ohlc_candles(ticks: DataFrame, *, width: str = "1 minute",
+                 slide: str | None = None,
+                 watermark: str = "30 seconds") -> DataFrame:
+    """Tumbling (or sliding, if `slide` given) OHLC candles per
+    instrument. Works on batch or streaming frames; with streaming
+    input, append output is emitted once the watermark passes window
+    end."""
+    priced = _mid_price(ticks)
+    if priced.isStreaming:
+        priced = priced.withWatermark("event_ts", watermark)
+    win = (F.window("event_ts", width, slide) if slide
+           else F.window("event_ts", width))
+    key = F.struct("event_ts", "mid")
+    return (priced.groupBy(win.alias("w"), "instrument")
+            .agg(F.min_by("mid", key).alias("open"),
+                 F.max_by("mid", key).alias("close"),
+                 F.max("mid").alias("high"),
+                 F.min("mid").alias("low"),
+                 F.count("*").alias("n_ticks"),
+                 F.round(F.avg("spread"), 6).alias("avg_spread"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "instrument", "open", "high", "low", "close",
+                    "n_ticks", "avg_spread"))
+
+
+def session_windows(ticks: DataFrame, *, gap: str = "30 seconds",
+                    watermark: str = "30 seconds") -> DataFrame:
+    """Activity sessions per instrument (session_window gap-merge)."""
+    priced = _mid_price(ticks)
+    if priced.isStreaming:
+        priced = priced.withWatermark("event_ts", watermark)
+    return (priced.groupBy(F.session_window("event_ts", gap).alias("w"),
+                           "instrument")
+            .agg(F.count("*").alias("n_ticks"))
+            .select(F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "instrument", "n_ticks"))
+
+
+def dedup_ticks(ticks: DataFrame, *, watermark: str = "30 seconds") -> DataFrame:
+    """Streaming exact dedup on (instrument, event_ts) with bounded
+    state: dropDuplicates within the watermark horizon."""
+    df = ticks.where(F.col("message_type") == "price_tick").select(
+        F.col("price_tick.instrument").alias("instrument"),
+        "event_ts", "spread")
+    if df.isStreaming:
+        df = df.withWatermark("event_ts", watermark)
+        return df.dropDuplicatesWithinWatermark(["instrument", "event_ts"])
+    return df.dropDuplicates(["instrument", "event_ts"])

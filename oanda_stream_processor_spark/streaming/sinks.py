@@ -1,0 +1,109 @@
+"""Sinks (K1/K2 parity + cluster-idiomatic analogs).
+
+* console  — K1 (/root/reference/src/main.rs:83-85,105-107)
+* parquet  — durable file sink (exactly-once via checkpoint)
+* memory   — deterministic test sink (processAllAvailable)
+* zmq      — K2 (/root/reference/src/publisher.rs:10-25): PUB socket,
+  fire-and-forget per message; publish errors logged, never fatal
+  (main.rs:89-93). Gated on pyzmq availability; NDJSON-file publisher
+  stands in for tests so the foreachBatch plumbing is exercised either
+  way. At cluster scale the idiomatic analog is the Kafka sink with
+  binary `value` — same envelope bytes.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+from pyspark.sql import DataFrame
+
+from ..functions.ticks import publishable
+from .encode import encode_stream
+
+log = logging.getLogger(__name__)
+
+try:
+    import zmq  # type: ignore
+    HAVE_ZMQ = True
+except ImportError:
+    zmq = None
+    HAVE_ZMQ = False
+
+
+class ZmqPublisher:
+    """PUB socket publisher (publisher.rs:10-25 semantics: bind once,
+    send per message, at-most-once)."""
+
+    def __init__(self, address: str = "tcp://*:9500"):
+        if not HAVE_ZMQ:
+            raise ImportError("pyzmq not available in this environment")
+        self._ctx = zmq.Context.instance()
+        self._sock = self._ctx.socket(zmq.PUB)
+        self._sock.bind(address)
+
+    def publish(self, payload: bytes) -> None:
+        try:
+            self._sock.send(payload, 0)
+        except Exception as exc:  # noqa: BLE001 — non-fatal, main.rs:89-93
+            log.error("failed to publish message: %s", exc)
+
+
+class FilePublisher:
+    """Test stand-in: length-prefixed frames appended to a local file —
+    same at-most-once, fire-and-forget contract as the ZMQ PUB edge."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def publish(self, payload: bytes) -> None:
+        with open(self.path, "ab") as f:
+            f.write(len(payload).to_bytes(4, "big") + payload)
+
+
+def publish_batch(batch_df: DataFrame, publisher) -> int:
+    """foreachBatch body: filter to the closed wire set (Unknown never
+    published, main.rs:117-119), proto-encode executor-side, then drain
+    encoded payloads through the publisher. Returns messages published.
+
+    The collect here is the encoded, filtered payload set — the
+    publisher edge is inherently single-socket (exactly like the
+    reference's one PUB socket); partition-parallel publishing would
+    need per-partition sockets (foreachPartition), which the ZMQ PUB
+    fan-in doesn't want."""
+    encoded = encode_stream(publishable(batch_df))
+    n = 0
+    for row in encoded.toLocalIterator():
+        publisher.publish(bytes(row.payload))
+        n += 1
+    return n
+
+
+def start_publish_stream(stream_df: DataFrame, publisher,
+                         checkpoint_dir: str, query_name: str = "zmq_publish"):
+    """writeStream.foreachBatch wiring of the publisher edge."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        n = publish_batch(batch_df, publisher)
+        log.info("epoch %s: published %d messages", epoch_id, n)
+
+    return (stream_df.writeStream
+            .queryName(query_name)
+            .option("checkpointLocation", os.path.join(checkpoint_dir, query_name))
+            .foreachBatch(_sink)
+            .start())
+
+
+def start_console_stream(stream_df: DataFrame, checkpoint_dir: str):
+    """K1: conditional console sink (the -v flag, main.rs:46-47)."""
+    return (stream_df.writeStream.format("console")
+            .option("truncate", "false")
+            .option("checkpointLocation", os.path.join(checkpoint_dir, "console"))
+            .start())
+
+
+def start_parquet_stream(stream_df: DataFrame, out_dir: str, checkpoint_dir: str):
+    return (stream_df.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(checkpoint_dir, "parquet"))
+            .start())

@@ -1,0 +1,73 @@
+"""Custom stateful streaming: stale-quote detection.
+
+The reference treats heartbeats as liveness-bearing data rows
+(main.rs:95-116) but never acts on them; the natural stateful extension
+(SURVEY.md §2.2 'Stateful ops') is a per-instrument monitor: remember
+the last tick time, and when the stream advances (any message) past
+`stale_after` without a fresh tick, flag the instrument as stale.
+
+Implemented with applyInPandasWithState — per-group pandas batches +
+explicit GroupState, the PySpark analog of flatMapGroupsWithState. At
+100 TB/cluster scale state lives in the state store (RocksDB provider),
+partitioned by instrument — instrument cardinality is tiny, but the
+same pattern holds for high-cardinality keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = ("instrument string, last_tick_ts timestamp, "
+                 "observed_ts timestamp, gap_seconds double, stale boolean")
+STATE_SCHEMA = "last_tick_us long"
+
+
+def _detect(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    (instrument,) = key
+    last_us = state.get[0] if state.exists else None
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("event_ts")
+        for row in pdf.itertuples(index=False):
+            obs_us = int(row.event_ts.value // 1000)  # pandas ns -> us
+            if row.is_tick:
+                last_us = obs_us
+            gap = (obs_us - last_us) / 1e6 if last_us is not None else None
+            out.append((instrument,
+                        pd.Timestamp(last_us * 1000) if last_us is not None else None,
+                        pd.Timestamp(obs_us * 1000),
+                        gap,
+                        bool(gap is not None and gap > row.stale_after_sec)))
+    if last_us is not None:
+        state.update((last_us,))
+    if out:
+        yield pd.DataFrame(out, columns=["instrument", "last_tick_ts",
+                                         "observed_ts", "gap_seconds", "stale"])
+
+
+def stale_quotes(stream: DataFrame, *, stale_after_sec: float = 10.0,
+                 watermark: str = "1 minute") -> DataFrame:
+    """Routed stream -> per-message staleness assessment rows.
+
+    Heartbeats advance observation time without refreshing the tick
+    clock — exactly the liveness signal the reference carries but drops.
+    """
+    keyed = (stream
+             .where(F.col("message_type").isin("price_tick", "heartbeat"))
+             .select(
+                 F.coalesce(F.col("price_tick.instrument"), F.lit("__global__"))
+                  .alias("instrument"),
+                 "event_ts",
+                 (F.col("message_type") == "price_tick").alias("is_tick"),
+                 F.lit(stale_after_sec).alias("stale_after_sec"))
+             .where(F.col("event_ts").isNotNull()))
+    if keyed.isStreaming:
+        keyed = keyed.withWatermark("event_ts", watermark)
+    return (keyed.groupBy("instrument")
+            .applyInPandasWithState(_detect, OUTPUT_SCHEMA, STATE_SCHEMA,
+                                    "append", GroupStateTimeout.NoTimeout))

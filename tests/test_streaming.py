@@ -1,0 +1,131 @@
+"""Streaming tests: file-replay source → memory sink,
+processAllAvailable for determinism (SURVEY.md §5.4)."""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from oanda_stream_processor_spark.streaming.candles import (
+    dedup_ticks, ohlc_candles, session_windows)
+from oanda_stream_processor_spark.streaming.pipeline import build_stream, run_pipeline
+from oanda_stream_processor_spark.streaming.sinks import FilePublisher
+from oanda_stream_processor_spark.streaming.state import stale_quotes
+
+
+def _run_to_memory(spark, df, name: str, mode: str = "append"):
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode(mode)
+         .trigger(availableNow=True)
+         .start())
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_streaming_route_matches_batch(spark, tick_capture, tmp_path):
+    stream = build_stream(spark, tick_capture)
+    assert stream.isStreaming
+    out = _run_to_memory(spark, stream.select("message_type"), f"t{uuid.uuid4().hex[:8]}")
+    counts = dict(out.groupBy("message_type").count().collect())
+    assert counts == {"price_tick": 3, "heartbeat": 1, "unknown": 1}
+
+
+def test_pipeline_publish_file_sink(spark, tick_capture, tmp_path):
+    # end-to-end: stream -> publishable -> proto encode -> publisher edge
+    sink_file = tmp_path / "published.bin"
+    pub = FilePublisher(str(sink_file))
+    handles = run_pipeline(spark, tick_capture,
+                           checkpoint_dir=str(tmp_path / "ckpt"), publisher=pub)
+    handles.process_all_available()
+    handles.stop()
+    data = sink_file.read_bytes()
+    frames = []
+    i = 0
+    while i < len(data):
+        ln = int.from_bytes(data[i:i + 4], "big")
+        frames.append(data[i + 4:i + 4 + ln])
+        i += 4 + ln
+    # 4 publishable messages (3 ticks + 1 heartbeat); unknown excluded
+    assert len(frames) == 4
+    assert all(f[0] >> 3 in (1, 2) for f in frames)  # oneof field 1|2
+
+
+def test_ohlc_candles_streaming(spark, tick_capture):
+    stream = build_stream(spark, tick_capture)
+    candles = ohlc_candles(stream, width="1 minute", watermark="0 seconds")
+    out = _run_to_memory(spark, candles, f"t{uuid.uuid4().hex[:8]}", mode="complete")
+    rows = {r.instrument: r for r in out.collect()}
+    assert "EUR_USD" in rows
+    r = rows["EUR_USD"]
+    assert r.n_ticks == 2
+    assert r.low <= r.open <= r.high and r.low <= r.close <= r.high
+
+
+def test_ohlc_batch_streaming_parity(spark, tick_capture):
+    from oanda_stream_processor_spark.sources.ndjson import read_ticks
+    batch = ohlc_candles(read_ticks(spark, tick_capture))
+    stream = ohlc_candles(build_stream(spark, tick_capture), watermark="0 seconds")
+    out = _run_to_memory(spark, stream, f"t{uuid.uuid4().hex[:8]}", mode="complete")
+    assert sorted(map(tuple, batch.collect())) == sorted(map(tuple, out.collect()))
+
+
+def test_session_windows(spark, tick_capture):
+    sess = session_windows(build_stream(spark, tick_capture), gap="10 seconds",
+                           watermark="0 seconds")
+    out = _run_to_memory(spark, sess, f"t{uuid.uuid4().hex[:8]}", mode="complete")
+    # EUR_USD ticks at 09:15:01 and 09:15:07 merge into one session
+    eur = [r for r in out.collect() if r.instrument == "EUR_USD"]
+    assert len(eur) == 1 and eur[0].n_ticks == 2
+
+
+def test_streaming_dedup(spark, tick_capture, tmp_path):
+    # duplicate the capture file -> every tick appears twice across files
+    dup_dir = tmp_path / "dup"
+    dup_dir.mkdir()
+    shutil.copy(tick_capture, dup_dir / "a.ndjson")
+    shutil.copy(tick_capture, dup_dir / "b.ndjson")
+    stream = build_stream(spark, str(dup_dir))
+    deduped = dedup_ticks(stream, watermark="1 minute")
+    out = _run_to_memory(spark, deduped, f"t{uuid.uuid4().hex[:8]}")
+    assert out.count() == 3  # 6 tick rows -> 3 unique (instrument, ts)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    # late tick (event time before the advanced watermark) is dropped
+    # from the aggregation — new-engine behavior (FIXTURES.md B.6)
+    src = tmp_path / "late"
+    src.mkdir()
+    line = ('{"type":"PRICE","time":"%sZ","instrument":"A","status":"t",'
+            '"closeoutBid":"1.0","closeoutAsk":"1.1","bids":[],"asks":[]}')
+    (src / "a.ndjson").write_text(
+        line % "2026-08-13T10:00:00" + "\n" + line % "2026-08-13T10:30:00" + "\n")
+    stream = build_stream(spark, str(src))
+    candles = ohlc_candles(stream, width="1 minute", watermark="1 minute")
+    name = f"t{uuid.uuid4().hex[:8]}"
+    q = (candles.writeStream.format("memory").queryName(name)
+         .outputMode("append").start())
+    q.processAllAvailable()   # batch 1: watermark advances to 10:29
+    (src / "b.ndjson").write_text(line % "2026-08-13T09:00:00" + "\n")
+    q.processAllAvailable()   # batch 2: 09:00 is late -> dropped
+    q.stop()
+    starts = {r.window_start.isoformat() for r in
+              spark.sql(f"SELECT * FROM {name}").collect()}
+    assert "2026-08-13T10:00:00" in starts     # closed by the watermark
+    assert "2026-08-13T09:00:00" not in starts  # late row dropped
+
+
+def test_stale_quote_state(spark, tick_capture):
+    stream = build_stream(spark, tick_capture)
+    flagged = stale_quotes(stream, stale_after_sec=3.0)
+    out = _run_to_memory(spark, flagged, f"t{uuid.uuid4().hex[:8]}")
+    rows = out.collect()
+    assert len(rows) == 4  # one assessment per publishable message
+    by_inst = {}
+    for r in rows:
+        by_inst.setdefault(r.instrument, []).append(r)
+    # heartbeat at 09:15:05 against last EUR_USD tick — global key
+    assert "__global__" in by_inst
