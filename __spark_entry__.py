@@ -41,6 +41,11 @@ try:
     _MODULES.append(tick_queries)
 except ImportError:
     pass
+try:
+    from oanda_stream_processor_spark.operators import udfs
+    _MODULES.append(udfs)
+except ImportError:
+    pass
 
 
 def entry(spark: SparkSession) -> DataFrame:

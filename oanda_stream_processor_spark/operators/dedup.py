@@ -157,6 +157,13 @@ def q42_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash: 60-bit signature; bit i of the signature is the sign of the sum
 # of ±1 votes from each token whose md5 has bit i set.
 # ---------------------------------------------------------------------------
+_SIM_VOTE_AGGS_SQL = ",\n       ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(SIM_BITS))
+_SIM_RECOMBINE_SQL = " + ".join(
+    f"(CASE WHEN v{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+    for b in range(SIM_BITS))
+
 @query("q43_simhash", f"""
 WITH tok AS (
   SELECT doc_id, UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS token
@@ -164,15 +171,17 @@ WITH tok AS (
 hashed AS (
   SELECT doc_id, CAST('0x' || SUBSTR(MD5(token), 1, 15) AS BIGINT) AS h FROM tok),
 votes AS (
-  SELECT doc_id, bit, SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
-  FROM hashed, (SELECT UNNEST(RANGE({SIM_BITS})) AS bit)
-  GROUP BY doc_id, bit)
-SELECT doc_id,
-       CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
-         AS simhash
-FROM votes GROUP BY doc_id
+  SELECT doc_id, {_SIM_VOTE_AGGS_SQL}
+  FROM hashed GROUP BY doc_id)
+SELECT doc_id, CAST({_SIM_RECOMBINE_SQL} AS BIGINT) AS simhash
+FROM votes
 """)
 def q43_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-shuffle simhash: 60 conditional long sums per doc (one
+    map-side-combinable groupBy), then a pure projection recombines the
+    votes into the 60-bit signature. Replaces the ×60 bit-explode (which
+    shuffled 60× the token count); all arithmetic stays in codegen'd
+    long ops."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda x: x != "")
     tok = d.select("doc_id", F.explode(toks).alias("token"))
@@ -180,15 +189,15 @@ def q43_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.conv(F.substring(F.md5(F.col("token").cast("binary")), 1, 15), 16, 10)
          .cast("bigint").alias("h"))
-    bits = spark.range(SIM_BITS).select(F.col("id").cast("int").alias("bit"))
-    votes = (hashed.crossJoin(F.broadcast(bits))
-             .groupBy("doc_id", "bit")
-             .agg(F.sum(F.when(F.expr("(h >> bit) & 1") == 1, 1)
-                         .otherwise(-1)).alias("v")))
-    return (votes.groupBy("doc_id")
-                 .agg(F.sum(F.when(F.col("v") > 0,
-                                   F.expr("shiftleft(cast(1 as bigint), bit)"))
-                             .otherwise(F.lit(0))).cast("bigint").alias("simhash")))
+    votes = hashed.groupBy("doc_id").agg(
+        *[F.sum(F.when(F.shiftright("h", b).bitwiseAND(1) == 1, 1).otherwise(-1))
+           .alias(f"v{b}") for b in range(SIM_BITS)])
+    sig = None
+    for b in range(SIM_BITS):
+        term = F.when(F.col(f"v{b}") > 0,
+                      F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sig = term if sig is None else sig + term
+    return votes.select("doc_id", sig.cast("bigint").alias("simhash"))
 
 
 # ---------------------------------------------------------------------------

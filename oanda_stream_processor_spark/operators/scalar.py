@@ -187,34 +187,28 @@ def q27_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # row_number over (ts, event_id).
 # ---------------------------------------------------------------------------
 @query("q30_ohlc_candles", """
-WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
-ranked AS (
-  SELECT DATE_TRUNC('hour', ts) AS bucket, event_type, value,
-         ROW_NUMBER() OVER (PARTITION BY DATE_TRUNC('hour', ts), event_type
-                            ORDER BY ts, event_id) AS rn_a,
-         ROW_NUMBER() OVER (PARTITION BY DATE_TRUNC('hour', ts), event_type
-                            ORDER BY ts DESC, event_id DESC) AS rn_d
-  FROM ev)
-SELECT bucket, event_type,
-       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
-       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS bucket, event_type,
+       (MIN({'ts': ts, 'id': event_id, 'v': value})).v AS open,
+       (MAX({'ts': ts, 'id': event_id, 'v': value})).v AS close,
        MAX(value) AS high, MIN(value) AS low, COUNT(*) AS n_events
-FROM ranked GROUP BY bucket, event_type
+FROM ev GROUP BY 1, 2
 """)
 def q30_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-shuffle OHLC: open/close via lexicographic min/max over
+    (ts, event_id, value) structs — map-side combinable aggregates, no
+    window sorts (rewritten from a 2×row_number plan; both engines
+    compare structs field-lexicographically, and (ts, event_id) is
+    unique, so open/close are deterministic)."""
     e = t(spark, sf_dir, "events").withColumn("bucket", F.date_trunc("hour", "ts"))
-    wa = W.partitionBy("bucket", "event_type").orderBy("ts", "event_id")
-    wd = W.partitionBy("bucket", "event_type").orderBy(F.desc("ts"), F.desc("event_id"))
-    return (
-        e.withColumn("rn_a", F.row_number().over(wa))
-         .withColumn("rn_d", F.row_number().over(wd))
-         .groupBy("bucket", "event_type")
-         .agg(F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
-              F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
-              F.max("value").alias("high"),
-              F.min("value").alias("low"),
-              F.count("*").alias("n_events"))
-    )
+    key = F.struct(F.col("ts"), F.col("event_id").alias("id"),
+                   F.col("value").alias("v"))
+    return (e.groupBy("bucket", "event_type")
+             .agg(F.min(key)["v"].alias("open"),
+                  F.max(key)["v"].alias("close"),
+                  F.max("value").alias("high"),
+                  F.min("value").alias("low"),
+                  F.count("*").alias("n_events")))
 
 
 # ---------------------------------------------------------------------------

@@ -112,12 +112,20 @@ SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 """)
 def q45_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
+    # precompute each side's norm ONCE (N + Q sqrt's instead of N·Q·2);
+    # same expression tree per value, so results stay bit-identical to
+    # the per-pair oracle formula
+    cand = e.select(F.col("vec_id").alias("cand_id"), "embedding",
+                    F.sqrt(_sqnorm(F.col("embedding"))).alias("c_norm"))
     q = (e.where(F.col("vec_id") < N_QUERIES)
-          .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")))
-    scored = (e.crossJoin(F.broadcast(q))
-               .where(F.col("vec_id") != F.col("query_id"))
-               .select("query_id", F.col("vec_id").alias("cand_id"),
-                       F.round(_cosine(F.col("q_emb"), F.col("embedding")), 6)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("q_emb"),
+                  F.sqrt(_sqnorm(F.col("embedding"))).alias("q_norm")))
+    scored = (cand.crossJoin(F.broadcast(q))
+               .where(F.col("cand_id") != F.col("query_id"))
+               .select("query_id", "cand_id",
+                       F.round(_dot(F.col("q_emb"), F.col("embedding"))
+                               / (F.col("q_norm") * F.col("c_norm")), 6)
                         .alias("cosine")))
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -137,11 +145,16 @@ WHERE ROUND({sql_cosine('a.embedding', 'b.embedding')}, 6) >= 0.30
 """)
 def q46_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
+    # norms precomputed per side (linear, not per-pair); multiplication
+    # order matches the oracle's SQRT(na) * SQRT(nb) for bit-parity
     a = e.select(F.col("vec_id").alias("vec_a"), "label",
-                 F.col("embedding").alias("emb_a"))
+                 F.col("embedding").alias("emb_a"),
+                 F.sqrt(_sqnorm(F.col("embedding"))).alias("norm_a"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
-                 F.col("embedding").alias("emb_b"))
-    cos = F.round(_cosine(F.col("emb_a"), F.col("emb_b")), 6)
+                 F.col("embedding").alias("emb_b"),
+                 F.sqrt(_sqnorm(F.col("embedding"))).alias("norm_b"))
+    cos = F.round(_dot(F.col("emb_a"), F.col("emb_b"))
+                  / (F.col("norm_a") * F.col("norm_b")), 6)
     return (a.join(b, (F.col("label") == F.col("label_b"))
                    & (F.col("vec_a") < F.col("vec_b")))
              .withColumn("cosine", cos)

@@ -179,17 +179,16 @@ def q51_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query("q52_fingerprint", f"""
 WITH grams AS (
-  SELECT doc_id, pos,
+  SELECT doc_id, pos, n_pos,
          CAST('0x' || SUBSTR(MD5(SUBSTR(text, CAST(pos AS INTEGER), {GRAM})), 1, 15)
               AS BIGINT) AS h
-  FROM (SELECT doc_id, text,
+  FROM (SELECT doc_id, text, LENGTH(text) - {GRAM} + 1 AS n_pos,
                UNNEST(RANGE(1, LENGTH(text) - {GRAM} + 2)) AS pos
         FROM documents)),
 winnowed AS (
-  SELECT doc_id, pos,
+  SELECT doc_id, pos, n_pos,
          MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
-                      ROWS BETWEEN CURRENT ROW AND {WINNOW - 1} FOLLOWING) AS fp,
-         COUNT(*) OVER (PARTITION BY doc_id) AS n_pos
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW - 1} FOLLOWING) AS fp
   FROM grams)
 SELECT doc_id, COUNT(DISTINCT fp) AS n_fingerprints, MIN(fp) AS min_fp
 FROM winnowed WHERE pos <= n_pos - {WINNOW} + 1
@@ -197,21 +196,19 @@ GROUP BY doc_id
 """)
 def q52_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    # n_pos derived from length(text) — no COUNT(*) OVER pass needed
     grams = (
         d.select("doc_id", "text",
+                 (F.length("text") - (GRAM - 1)).alias("n_pos"),
                  F.explode(F.sequence(F.lit(1), F.length("text") - (GRAM - 1)))
                   .alias("pos"))
-         .select("doc_id", "pos",
+         .select("doc_id", "pos", "n_pos",
                  F.conv(F.substring(
                      F.md5(F.expr(f"cast(substring(text, pos, {GRAM}) as binary)")),
                      1, 15), 16, 10).cast("bigint").alias("h"))
     )
     w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW - 1)
-    wc = W.partitionBy("doc_id")
-    winnowed = grams.select(
-        "doc_id", "pos",
-        F.min("h").over(w).alias("fp"),
-        F.count("*").over(wc).alias("n_pos"))
+    winnowed = grams.select("doc_id", "pos", "n_pos", F.min("h").over(w).alias("fp"))
     return (winnowed.where(F.col("pos") <= F.col("n_pos") - (WINNOW - 1))
                     .groupBy("doc_id")
                     .agg(F.countDistinct("fp").alias("n_fingerprints"),

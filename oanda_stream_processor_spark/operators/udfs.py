@@ -1,0 +1,129 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.2 'UDF/UDAF/UDTF' — absent
+in the reference, whose logic is all native Rust).
+
+Three production-shaped examples, all Arrow-backed (never row-at-a-time
+Python in a hot path):
+
+* q70 — scalar pandas UDF: vectorized z-score. The group statistics are
+  computed JVM-side with deterministic fixed-point aggs and broadcast-
+  joined back; the pandas UDF applies only the per-row arithmetic, so
+  results stay bit-identical to the SQL oracle (pandas' pairwise-sum
+  mean would NOT be).
+* q71 — Python UDTF: character bigram expansion with a lateral join.
+* q72 — grouped-agg pandas UDF (UDAF): exact median per group —
+  selection, not summation, so order-insensitive and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf, udtf
+
+from ..io import load_table
+from .helpers import davg, sql_davg
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# q70: scalar pandas UDF — vectorized per-row math over Arrow batches.
+# ---------------------------------------------------------------------------
+@pandas_udf(T.DoubleType())
+def _zscore(x: pd.Series, mean: pd.Series, std: pd.Series) -> pd.Series:
+    return ((x - mean) / std).round(6)
+
+
+@query("q70_pandas_udf_zscore", f"""
+WITH stats AS (
+  SELECT o_orderpriority AS pri,
+         {sql_davg('o_totalprice', 6)} AS mu,
+         ROUND(STDDEV_SAMP(ROUND(o_totalprice, 2)), 6) AS sigma
+  FROM orders GROUP BY o_orderpriority)
+SELECT o_orderkey, o_orderpriority,
+       ROUND((o_totalprice - mu) / sigma, 6) AS zscore
+FROM orders JOIN stats ON o_orderpriority = pri
+""")
+def q70_pandas_udf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    # stddev over values rounded to cents: summation-order effects are
+    # below the 2-decimal grid, so both engines see identical inputs;
+    # stddev_samp's compensated accumulation then matches to 6 dp.
+    stats = (o.groupBy(F.col("o_orderpriority").alias("pri"))
+              .agg(davg(F.col("o_totalprice"), 6).alias("mu"),
+                   F.round(F.stddev_samp(F.round("o_totalprice", 2)), 6)
+                    .alias("sigma")))
+    joined = o.join(F.broadcast(stats), o.o_orderpriority == stats.pri)
+    return joined.select(
+        "o_orderkey", "o_orderpriority",
+        _zscore(F.col("o_totalprice"), F.col("mu"), F.col("sigma")).alias("zscore"))
+
+
+# ---------------------------------------------------------------------------
+# q71: Python UDTF — one input row -> many output rows, lateral-joined.
+# ---------------------------------------------------------------------------
+@udtf(returnType="bigram string, pos int")
+class _BigramUDTF:
+    def eval(self, text: str):
+        if text is None:
+            return
+        head = text[:12]
+        for i in range(len(head) - 1):
+            yield head[i:i + 2], i
+
+
+@query("q71_udtf_bigrams", """
+SELECT doc_id, SUBSTR(head, CAST(pos AS INTEGER) + 1, 2) AS bigram, pos FROM (
+  SELECT doc_id, SUBSTR(text, 1, 12) AS head,
+         UNNEST(RANGE(LENGTH(SUBSTR(text, 1, 12)) - 1)) AS pos
+  FROM documents)
+""")
+def q71_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    spark.udtf.register("bigrams_udtf", _BigramUDTF)
+    d.createOrReplaceTempView("_docs_udtf")
+    return spark.sql("""
+        SELECT d.doc_id, t.bigram, t.pos
+        FROM _docs_udtf d, LATERAL bigrams_udtf(d.text) t
+    """)
+
+
+# ---------------------------------------------------------------------------
+# q72: grouped-agg pandas UDF (UDAF): exact median — selection-based,
+# order-insensitive, deterministic.
+# ---------------------------------------------------------------------------
+@pandas_udf(T.DoubleType())
+def _median(v: pd.Series) -> float:
+    return float(v.median())
+
+
+@pandas_udf(T.LongType())
+def _count_nonnull(v: pd.Series) -> int:
+    # Spark disallows mixing pandas grouped-agg UDFs with builtin
+    # aggregates in one agg() — so the row count is a pandas UDF too
+    return int(v.count())
+
+
+@query("q72_udaf_median", """
+SELECT event_type,
+       MEDIAN(value) AS median_value,
+       COUNT(value) AS n
+FROM events GROUP BY event_type
+""")
+def q72_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (e.groupBy("event_type")
+             .agg(_median(F.col("value")).alias("median_value"),
+                  _count_nonnull(F.col("value")).alias("n")))

@@ -1,0 +1,60 @@
+"""Partitioning & skew utilities for cluster-scale layouts (SCALE.md).
+
+These are thin, testable wrappers that make the 100 TB layout decisions
+explicit at call sites instead of buried in configs:
+
+* co_partition     — hash-partition two frames identically before a
+                     repeated join key is used across stages
+* salted_join      — the classic hot-key mitigation: salt the skewed
+                     side N ways, explode the small side N ways
+* write_partitioned— date/key-partitioned parquet lake layout
+* write_bucketed   — bucketed table so later equi-joins on the key
+                     co-locate without a shuffle
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def co_partition(a: DataFrame, b: DataFrame, key: str,
+                 num_partitions: int) -> tuple[DataFrame, DataFrame]:
+    """Identically hash-partition both sides on `key` so every later
+    join/agg on that key reuses one shuffle."""
+    return (a.repartition(num_partitions, key),
+            b.repartition(num_partitions, key))
+
+
+def salted_join(big: DataFrame, small: DataFrame, key: str,
+                n_salts: int = 16, how: str = "inner") -> DataFrame:
+    """Join with a salted key: the skewed big side gets a random salt in
+    [0, n_salts), the small side is exploded across all salts, and the
+    join key becomes (key, salt) — a hot key spreads over n_salts
+    partitions. AQE's skew-join split handles moderate skew
+    automatically; salting is for the pathological single-key case.
+
+    The salt is data-independent randomness — it changes physical
+    placement, never results.
+    """
+    salted_big = big.withColumn("__salt", (F.rand() * n_salts).cast("int"))
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")
+    salted_small = small.select("*", salts)
+    out = salted_big.join(salted_small, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def write_partitioned(df: DataFrame, path: str, *partition_cols: str,
+                      mode: str = "overwrite") -> None:
+    """Lake layout: directory-partitioned parquet; readers prune
+    partitions from pushed-down filters on the partition columns."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int,
+                   mode: str = "overwrite") -> None:
+    """Bucketed managed table: joins/aggs on `key` between tables
+    bucketed the same way need no shuffle."""
+    (df.write.mode(mode)
+       .bucketBy(n_buckets, key).sortBy(key)
+       .saveAsTable(table))

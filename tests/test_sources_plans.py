@@ -1,0 +1,70 @@
+"""Custom data source (Python data source API) + partitioning utils."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from oanda_stream_processor_spark.functions.ticks import (
+    derive_tick_columns, nonblank_lines, route)
+from oanda_stream_processor_spark.plans.partitioning import (
+    salted_join, write_partitioned)
+from oanda_stream_processor_spark.sources.http_stream import (
+    OandaStreamDataSource, OandaStreamReader)
+
+
+def test_oanda_stream_source_replay(spark, tick_capture):
+    spark.dataSource.register(OandaStreamDataSource)
+    lines = (spark.readStream.format("oanda_stream")
+             .option("mode", "replay").option("path", tick_capture)
+             .option("batch_lines", "3").load())
+    parsed = derive_tick_columns(route(nonblank_lines(lines)))
+    name = f"t{uuid.uuid4().hex[:8]}"
+    q = (parsed.writeStream.format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.processAllAvailable()
+    q.stop()
+    counts = dict(spark.sql(f"SELECT message_type, count(*) c FROM {name} "
+                            "GROUP BY 1").collect())
+    assert counts == {"price_tick": 3, "heartbeat": 1, "unknown": 1}
+
+
+def test_oanda_stream_source_live_mode_gated(tick_capture):
+    with pytest.raises(NotImplementedError, match="replay"):
+        OandaStreamReader({"mode": "live", "path": tick_capture})
+
+
+def test_oanda_stream_source_partition_ranges(tick_capture):
+    r = OandaStreamReader({"mode": "replay", "path": tick_capture,
+                           "batch_lines": "2"})
+    assert r.initialOffset() == {"line": 0}
+    end = r.latestOffset()
+    assert end["line"] == 7  # all capture lines incl. blank/corrupt
+    parts = r.partitions({"line": 0}, end)
+    assert [(p.start, p.end) for p in parts] == [(0, 2), (2, 4), (4, 6), (6, 7)]
+    got = [row[0] for p in parts for row in r.read(p)]
+    assert len(got) == 7 and got[0].startswith('{"type":"PRICE"')
+
+
+def test_salted_join_matches_plain_join(spark):
+    big = spark.range(0, 1000).select((F.col("id") % 3).alias("k"), "id")
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], ["k", "tag"])
+    plain = big.join(small, "k").groupBy("tag").count()
+    salted = salted_join(big, small, "k", n_salts=8).groupBy("tag").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_write_partitioned_prunes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(d, i, float(i)) for d in ("2024-01-01", "2024-01-02") for i in range(10)],
+        ["dt", "id", "v"])
+    out = str(tmp_path / "lake")
+    write_partitioned(df, out, "dt")
+    back = spark.read.parquet(out).where(F.col("dt") == "2024-01-01")
+    assert back.count() == 10
+    # partition pruning: only one dt directory is scanned
+    plan = back._sc._jvm.PythonSQLUtils.explainString(
+        back._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters" in plan

@@ -1,0 +1,97 @@
+"""Plan-shape audit: assert the physical-plan properties SCALE.md
+claims (pushdown, pruning, broadcast, partial agg, single Expand,
+TakeOrdered). Exits nonzero on any regression.
+
+Usage: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def main() -> int:
+    from oanda_stream_processor_spark.operators import relational, scalar
+    from oanda_stream_processor_spark.session import get_spark
+
+    spark = get_spark(app_name="explain_audit")
+    failures = []
+
+    def check(name, df, *, contains=(), count_of=None):
+        plan = plan_of(df)
+        for frag in contains:
+            if frag not in plan:
+                failures.append(f"{name}: missing {frag!r}")
+        if count_of:
+            frag, lo, hi = count_of
+            n = plan.count(frag)
+            if not (lo <= n <= hi):
+                failures.append(f"{name}: {frag!r} count {n} not in [{lo},{hi}]")
+        print(("FAIL " if any(f.startswith(name) for f in failures) else "ok   ")
+              + name)
+
+    # q01: filter pushed to parquet, columns pruned, map-side partial agg
+    q01 = relational.q01_pricing_summary(spark, SF)
+    p = plan_of(q01)
+    check("q01 pushdown", q01, contains=["PushedFilters: [IsNotNull(l_shipdate)"])
+    check("q01 partial agg", q01, contains=["partial_"])
+    if "l_orderkey" in p.split("ReadSchema")[1].split("\n")[0]:
+        failures.append("q01: unused column not pruned from scan")
+
+    # q03: all three dims broadcast; no shuffle of the fact for the join.
+    # formatted explain lists each node twice (tree + detail) -> 3 joins = 6
+    q03 = relational.q03_star_join(spark, SF)
+    check("q03 broadcast joins", q03,
+          count_of=("BroadcastHashJoin", 6, 6))
+    check("q03 no sort-merge", q03, count_of=("SortMergeJoin", 0, 0))
+
+    # q10: single Expand for rollup
+    check("q10 single expand", relational.q10_rollup(spark, SF),
+          count_of=("Expand", 1, 2))
+
+    # q17: TakeOrderedAndProject, no global Sort node
+    check("q17 take-ordered", relational.q17_sort_limit(spark, SF),
+          contains=["TakeOrderedAndProject"])
+
+    # q13: exactly one exchange for the shared window partitioning
+    # (node appears twice in formatted output: tree + detail)
+    check("q13 one exchange", relational.q13_window_running(spark, SF),
+          count_of=("Exchange", 2, 2))
+
+    # q02: row-level query reads only the columns it outputs/filters
+    q02 = relational.q02_filter_project(spark, SF)
+    p02 = plan_of(q02)
+    rs = p02.split("ReadSchema: ")[1].split("\n")[0]
+    for col in ("l_partkey", "l_suppkey", "l_returnflag", "l_tax"):
+        if col in rs:
+            failures.append(f"q02: column {col} not pruned: {rs}")
+    print(("FAIL " if any(f.startswith('q02') for f in failures) else "ok   ")
+          + "q02 column pruning")
+
+    # q26: explode happens after pruning to one column
+    q26 = scalar.q26_explode_tokens(spark, SF)
+    p26 = plan_of(q26)
+    rs26 = p26.split("ReadSchema: ")[1].split("\n")[0]
+    if "lang" in rs26 or "source" in rs26:
+        failures.append(f"q26: scan reads unused columns: {rs26}")
+    print(("FAIL " if any(f.startswith('q26') for f in failures) else "ok   ")
+          + "q26 pruned explode")
+
+    if failures:
+        print("\n".join("AUDIT FAIL: " + f for f in failures))
+        return 1
+    print("all plan-shape audits passed")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
