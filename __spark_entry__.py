@@ -46,6 +46,11 @@ try:
     _MODULES.append(udfs)
 except ImportError:
     pass
+try:
+    from oanda_stream_processor_spark.operators import extras
+    _MODULES.append(extras)
+except ImportError:
+    pass
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,214 @@
+"""Operator-surface extras (SURVEY.md §2.2 long tail): null semantics,
+exact percentiles, multiset ops, unpivot, map/JSON access, timezone
+conversion, approximate sketches, and SCD2/CDC emulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..io import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Null semantics: null-safe equality, IS DISTINCT FROM, coalesce chains,
+# CASE with nulls — exercised on a derived column that is null for some
+# rows (props '$.missing' never exists).
+# ---------------------------------------------------------------------------
+@query("q32_null_semantics", """
+WITH e AS (
+  SELECT event_id,
+         CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k,
+         CASE WHEN event_id % 3 = 0 THEN NULL
+              ELSE CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) END AS k_sparse
+  FROM events)
+SELECT event_id, k, k_sparse,
+       (k IS NOT DISTINCT FROM k_sparse) AS null_safe_eq,
+       (k IS DISTINCT FROM k_sparse) AS is_distinct,
+       COALESCE(k_sparse, k, -1) AS first_non_null,
+       (k_sparse IS NULL) AS sparse_missing,
+       CASE WHEN k_sparse IS NULL THEN 'missing'
+            WHEN k_sparse >= 50 THEN 'high' ELSE 'low' END AS bucket
+FROM e WHERE event_id % 10 = 0
+""")
+def q32_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    e = ev.select(
+        "event_id", k.alias("k"),
+        F.when(F.col("event_id") % 3 == 0, F.lit(None).cast("bigint"))
+         .otherwise(k).alias("k_sparse"))
+    return (e.where(F.col("event_id") % 10 == 0)
+             .select("event_id", "k", "k_sparse",
+                     F.col("k").eqNullSafe(F.col("k_sparse")).alias("null_safe_eq"),
+                     (~F.col("k").eqNullSafe(F.col("k_sparse"))).alias("is_distinct"),
+                     F.coalesce("k_sparse", "k", F.lit(-1)).alias("first_non_null"),
+                     F.col("k_sparse").isNull().alias("sparse_missing"),
+                     F.when(F.col("k_sparse").isNull(), "missing")
+                      .when(F.col("k_sparse") >= 50, "high")
+                      .otherwise("low").alias("bucket")))
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (interpolated) — Spark `percentile`, DuckDB
+# `quantile_cont`: same definition.
+# ---------------------------------------------------------------------------
+@query("q33_percentiles", """
+SELECT l_returnflag,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS p50,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS p90,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.99), 4) AS p99,
+       ROUND(MEDIAN(l_quantity), 4) AS median_qty
+FROM lineitem GROUP BY l_returnflag
+""")
+def q33_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+                 F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+                 F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+                 F.round(F.median("l_quantity"), 4).alias("median_qty")))
+
+
+# ---------------------------------------------------------------------------
+# Multiset set-ops: INTERSECT ALL / EXCEPT ALL keep duplicates.
+# ---------------------------------------------------------------------------
+@query("q34_multiset_ops", """
+SELECT custkey, 'both' AS src FROM (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+  INTERSECT ALL
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+UNION ALL
+SELECT custkey, 'only_p' AS src FROM (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
+  EXCEPT ALL
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O')
+""")
+def q34_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+
+    def side(status: str) -> DataFrame:
+        return (o.where(F.col("o_orderstatus") == status)
+                 .select(F.col("o_custkey").alias("custkey")))
+
+    both = (side("O").intersectAll(side("F"))
+            .select("custkey", F.lit("both").alias("src")))
+    only_p = (side("P").exceptAll(side("O"))
+              .select("custkey", F.lit("only_p").alias("src")))
+    return both.unionByName(only_p)
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (wide -> long): Spark unpivot / stack, oracle via UNION ALL.
+# ---------------------------------------------------------------------------
+@query("q35_unpivot", """
+SELECT p_partkey, 'retail' AS metric, p_retailprice AS value FROM part
+UNION ALL
+SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+""")
+def q35_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    wide = p.select("p_partkey", F.col("p_retailprice").alias("retail"),
+                    F.col("p_size").cast("double").alias("size"))
+    return wide.unpivot("p_partkey", ["retail", "size"], "metric", "value")
+
+
+# ---------------------------------------------------------------------------
+# Map columns: from_json to MapType, map_keys/element_at/map_entries.
+# ---------------------------------------------------------------------------
+@query("q36_map_funcs", """
+SELECT event_id,
+       1 AS n_keys,
+       'k' AS first_key,
+       CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_value,
+       CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) IS NOT NULL AS has_k
+FROM events WHERE event_id % 20 = 0
+""")
+def q36_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", T.MapType(T.StringType(), T.LongType()))
+    return (ev.where(F.col("event_id") % 20 == 0)
+              .select("event_id",
+                      F.size(F.map_keys(m)).alias("n_keys"),
+                      F.element_at(F.map_keys(m), 1).alias("first_key"),
+                      F.element_at(m, "k").alias("k_value"),
+                      F.map_contains_key(m, "k").alias("has_k")))
+
+
+# ---------------------------------------------------------------------------
+# Timezone conversion (P2 display-path parity: UTC -> local tz,
+# main.rs:74-79): from_utc_timestamp == DuckDB timezone().
+# ---------------------------------------------------------------------------
+@query("q37_tz_convert", """
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+SELECT event_id,
+       STRFTIME(TIMEZONE('America/New_York', ts AT TIME ZONE 'UTC'),
+                '%Y-%m-%d %H:%M:%S') AS ny_display,
+       STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS utc_display
+FROM ev WHERE event_id % 50 = 0
+""")
+def q37_tz_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.where(F.col("event_id") % 50 == 0)
+              .select("event_id",
+                      F.date_format(F.from_utc_timestamp("ts", "America/New_York"),
+                                    "yyyy-MM-dd HH:mm:ss").alias("ny_display"),
+                      F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("utc_display")))
+
+
+# ---------------------------------------------------------------------------
+# Approximate sketches — rows-only: HLL/quantile-sketch internals differ
+# across engines by design; the driver records the weaker check.
+# ---------------------------------------------------------------------------
+@query("q38_approx_sketches")
+def q38_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"),
+                 F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_supps"),
+                 F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_approx"),
+                 F.count("*").alias("n")))
+
+
+# ---------------------------------------------------------------------------
+# SCD2 / CDC emulation without a lakehouse MERGE: snapshot vs updates ->
+# anti-join (unchanged) + union (new versions) + window (valid_to).
+# ---------------------------------------------------------------------------
+@query("q39_scd2_versions", """
+WITH updates AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+  FROM orders WHERE o_orderstatus = 'O' AND o_orderkey % 5 = 0),
+versioned AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS version FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'F', FLOOR(o_totalprice * 1.1 * 100) / 100.0, 2 FROM updates)
+SELECT o_orderkey, o_orderstatus, o_totalprice, version,
+       (version = MAX(version) OVER (PARTITION BY o_orderkey)) AS is_current
+FROM versioned
+""")
+def q39_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    updates = o.where((F.col("o_orderstatus") == "O") & (F.col("o_orderkey") % 5 == 0))
+    v1 = o.select("o_orderkey", "o_orderstatus", "o_totalprice",
+                  F.lit(1).alias("version"))
+    v2 = updates.select("o_orderkey", F.lit("F").alias("o_orderstatus"),
+                        (F.floor(F.col("o_totalprice") * 1.1 * 100) / 100.0).alias("o_totalprice"),
+                        F.lit(2).alias("version"))
+    versioned = v1.unionByName(v2)
+    w = W.partitionBy("o_orderkey")
+    return versioned.withColumn(
+        "is_current", F.col("version") == F.max("version").over(w))
