@@ -233,3 +233,71 @@ def q44_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
                  .where(jac >= 0.05)
                  .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard")))
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over the LSH candidate graph,
+# canonical = min doc_id per component (the "keep-one" materialization a
+# dedup pipeline ends with).
+#
+# Spark: iterative min-label propagation (join + min-agg per round) — the
+# standard large-graph CC approach; converges in O(log n) rounds, each
+# round one shuffle on doc_id. Driver only checks the convergence
+# counter, never the data. The fixpoint (min reachable id per doc) is
+# unique, so the oracle can compute it any other way: DuckDB uses a
+# recursive-CTE reachability closure and takes MIN per doc.
+# ---------------------------------------------------------------------------
+_CANDIDATES_SQL = f"""
+sig AS (
+  SELECT doc_id, {_MINHASH_AGGS_SQL}
+  FROM ({SQL_SHINGLES}) GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, {_BAND_KEYS_SQL} FROM sig),
+flat AS (
+  {' UNION ALL '.join(f'SELECT doc_id, {b} AS band_id, band{b} AS band_key FROM bands'
+                      for b in range(N_BANDS))}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM flat a JOIN flat b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id)
+"""
+
+@query("q55_dedup_components", f"""
+WITH RECURSIVE
+{_CANDIDATES_SQL},
+edges(src, dst) AS (
+  SELECT doc_a, doc_b FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(doc, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.doc = e.src)
+SELECT doc AS doc_id, MIN(r) AS component,
+       (doc = MIN(r)) AS is_canonical
+FROM reach GROUP BY doc
+""")
+def q55_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q42_lsh_candidates(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = (pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+             .unionByName(pairs.select(F.col("doc_b").alias("src"),
+                                       F.col("doc_a").alias("dst"))))
+    edges = edges.localCheckpoint(eager=True)  # freeze the graph once
+    labels = docs.select("doc_id", F.col("doc_id").alias("component"))
+    for _ in range(10):  # converges in <= log2(max component diameter)
+        neigh = (edges.join(labels, edges.src == labels.doc_id)
+                 .select(F.col("dst").alias("doc_id"),
+                         F.col("component").alias("n_comp")))
+        merged = (labels.join(neigh, "doc_id", "left")
+                  .groupBy("doc_id")
+                  .agg(F.least(F.min("component"), F.min("n_comp")).alias("new_comp"),
+                       F.min("component").alias("old_comp")))
+        changed = merged.where(
+            F.col("new_comp") < F.col("old_comp")).limit(1).count()
+        labels = (merged.select("doc_id",
+                                F.coalesce("new_comp", "old_comp").alias("component"))
+                  .localCheckpoint(eager=True))  # cut the iterative lineage
+        if changed == 0:
+            break
+    return labels.select("doc_id", "component",
+                         (F.col("doc_id") == F.col("component")).alias("is_canonical"))
