@@ -245,3 +245,28 @@ def q31_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
               (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
               .alias("duration_us"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Top-of-book: latest event per (user, event_type) — the batch analog of
+# the streaming keep-latest operator (streaming/candles.py dedup /
+# state.py). Single shuffle: max over (ts, event_id, value) structs.
+# ---------------------------------------------------------------------------
+@query("q62_top_of_book", """
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+SELECT user_id, event_type,
+       (MAX({'ts': ts, 'id': event_id, 'v': value})).ts AS last_ts,
+       (MAX({'ts': ts, 'id': event_id, 'v': value})).id AS last_event_id,
+       (MAX({'ts': ts, 'id': event_id, 'v': value})).v AS last_value,
+       COUNT(*) AS n_events
+FROM ev GROUP BY user_id, event_type
+""")
+def q62_top_of_book(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id").alias("id"),
+                   F.col("value").alias("v"))
+    return (e.groupBy("user_id", "event_type")
+             .agg(F.max(key)["ts"].alias("last_ts"),
+                  F.max(key)["id"].alias("last_event_id"),
+                  F.max(key)["v"].alias("last_value"),
+                  F.count("*").alias("n_events")))

@@ -76,3 +76,20 @@ def dedup_ticks(ticks: DataFrame, *, watermark: str = "30 seconds") -> DataFrame
         df = df.withWatermark("event_ts", watermark)
         return df.dropDuplicatesWithinWatermark(["instrument", "event_ts"])
     return df.dropDuplicates(["instrument", "event_ts"])
+
+
+def top_of_book(ticks: DataFrame, *, watermark: str = "1 minute") -> DataFrame:
+    """Keep-latest quote per instrument (streaming top-of-book): max over
+    (event_ts, mid, spread) structs — streaming-safe aggregate, state is
+    one struct per instrument. Update-mode output gives the live book;
+    batch input gives the final book."""
+    priced = _mid_price(ticks)
+    if priced.isStreaming:
+        priced = priced.withWatermark("event_ts", watermark)
+    key = F.struct("event_ts", "mid", "spread")
+    latest = F.max(key)
+    return (priced.groupBy("instrument")
+            .agg(latest["event_ts"].alias("last_ts"),
+                 latest["mid"].alias("last_mid"),
+                 latest["spread"].alias("last_spread"),
+                 F.count("*").alias("n_ticks")))

@@ -129,3 +129,16 @@ def test_stale_quote_state(spark, tick_capture):
         by_inst.setdefault(r.instrument, []).append(r)
     # heartbeat at 09:15:05 against last EUR_USD tick — global key
     assert "__global__" in by_inst
+
+
+def test_top_of_book_streaming(spark, tick_capture):
+    from oanda_stream_processor_spark.streaming.candles import top_of_book
+    book = top_of_book(build_stream(spark, tick_capture))
+    out = _run_to_memory(spark, book, f"t{uuid.uuid4().hex[:8]}", mode="complete")
+    rows = {r.instrument: r for r in out.collect()}
+    assert rows["EUR_USD"].n_ticks == 2
+    # latest EUR_USD tick is 09:15:07 (mid (1.09455+1.09430)/2)
+    assert rows["EUR_USD"].last_ts.second == 7
+    assert abs(rows["EUR_USD"].last_mid - 1.094425) < 1e-9
+    # USD_JPY mid uses 0.0-default for the unparseable ask
+    assert abs(rows["USD_JPY"].last_mid - 157.301 / 2) < 1e-9
