@@ -212,3 +212,51 @@ def q39_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("o_orderkey")
     return versioned.withColumn(
         "is_current", F.col("version") == F.max("version").over(w))
+
+
+# ---------------------------------------------------------------------------
+# Correlated subqueries — Catalyst decorrelates both the scalar subquery
+# and the EXISTS into joins (SURVEY.md §4: subquery decorrelation comes
+# free); oracle runs the identical SQL.
+# ---------------------------------------------------------------------------
+_Q63_SQL = """
+SELECT p_partkey, p_brand, p_retailprice,
+       ROUND(p_retailprice - (SELECT AVG(p2.p_retailprice) FROM part p2
+                              WHERE p2.p_brand = part.p_brand), 4) AS vs_brand_avg
+FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_partkey = p_partkey AND l_quantity >= 45)
+  AND p_retailprice > (SELECT AVG(p3.p_retailprice) FROM part p3
+                       WHERE p3.p_brand = part.p_brand)
+"""
+
+@query("q63_correlated_subquery", _Q63_SQL)
+def q63_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # AVG over doubles: per-brand groups are ~80 rows — both engines'
+    # summation differences sit far below the 4-dp rounding. The Spark
+    # side IS the SQL (same text) — the point is the decorrelated plan.
+    for name in ("part", "lineitem"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q63_SQL)
+
+
+# ---------------------------------------------------------------------------
+# VariantType (Spark 4): schema-on-read semi-structured column —
+# parse_json + variant_get; the oracle uses DuckDB's JSON functions.
+# ---------------------------------------------------------------------------
+@query("q64_variant_json", """
+SELECT event_id,
+       CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_typed,
+       JSON_EXTRACT_STRING(props, '$.k') AS k_string,
+       (JSON_EXTRACT(props, '$.missing') IS NULL) AS missing_is_null
+FROM events WHERE event_id % 25 = 0
+""")
+def q64_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return (ev.where(F.col("event_id") % 25 == 0)
+              .select("event_id",
+                      F.try_variant_get(v, "$.k", "bigint").alias("k_typed"),
+                      F.try_variant_get(v, "$.k", "string").alias("k_string"),
+                      F.try_variant_get(v, "$.missing", "string").isNull()
+                       .alias("missing_is_null")))

@@ -93,3 +93,39 @@ def top_of_book(ticks: DataFrame, *, watermark: str = "1 minute") -> DataFrame:
                  latest["mid"].alias("last_mid"),
                  latest["spread"].alias("last_spread"),
                  F.count("*").alias("n_ticks")))
+
+
+def ticks_near_heartbeats(stream: DataFrame, *, window_sec: int = 10,
+                          watermark: str = "1 minute") -> DataFrame:
+    """Stream-stream event-time join (SURVEY.md §2.2 'Joins'): each tick
+    joined to heartbeats observed within ``window_sec`` AFTER it — the
+    liveness attestation the reference's heartbeat carries but never
+    uses. Both sides are watermarked so join state is bounded; the time
+    condition bounds how long a tick waits for a matching heartbeat."""
+    width_us = window_sec * 1_000_000
+    # stream-stream joins require an equality predicate: bucketize time
+    # to the window width and explode the tick side to its two candidate
+    # buckets (same rewrite as the batch range join, q29) — the equi-key
+    # also keeps join state hash-partitioned instead of broadcast.
+    ticks = (stream.where(F.col("message_type") == "price_tick")
+             .select(F.col("price_tick.instrument").alias("instrument"),
+                     F.col("event_ts").alias("tick_ts"),
+                     F.col("spread"),
+                     F.explode(F.array(
+                         F.floor(F.unix_micros("event_ts") / width_us),
+                         F.floor(F.unix_micros("event_ts") / width_us) + 1))
+                      .alias("bucket")))
+    beats = (stream.where(F.col("message_type") == "heartbeat")
+             .select(F.col("event_ts").alias("hb_ts"),
+                     F.floor(F.unix_micros("event_ts") / width_us).alias("bucket")))
+    if stream.isStreaming:
+        ticks = ticks.withWatermark("tick_ts", watermark)
+        beats = beats.withWatermark("hb_ts", watermark)
+    cond = ((F.col("hb_ts") >= F.col("tick_ts"))
+            & (F.col("hb_ts") <= F.col("tick_ts")
+               + F.expr(f"INTERVAL {window_sec} SECONDS")))
+    return (ticks.join(beats, ["bucket"], "inner")
+            .where(cond)
+            .select("instrument", "tick_ts", "hb_ts", "spread",
+                    (F.unix_micros("hb_ts") - F.unix_micros("tick_ts"))
+                    .alias("lag_us")))

@@ -142,3 +142,27 @@ def test_top_of_book_streaming(spark, tick_capture):
     assert abs(rows["EUR_USD"].last_mid - 1.094425) < 1e-9
     # USD_JPY mid uses 0.0-default for the unparseable ask
     assert abs(rows["USD_JPY"].last_mid - 157.301 / 2) < 1e-9
+
+
+def test_stream_stream_join(spark, tick_capture):
+    from oanda_stream_processor_spark.streaming.candles import ticks_near_heartbeats
+    joined = ticks_near_heartbeats(build_stream(spark, tick_capture),
+                                   window_sec=10)
+    out = _run_to_memory(spark, joined, f"t{uuid.uuid4().hex[:8]}")
+    rows = out.collect()
+    # heartbeat at 09:15:05; ticks at :01 (EUR), :06.5 (JPY), :07 (EUR)
+    # -> only the :01 tick has a heartbeat within [t, t+10s]... and also
+    # :06.5/:07 are AFTER the heartbeat, so they don't match
+    assert {(r.instrument, r.tick_ts.second) for r in rows} == {("EUR_USD", 1)}
+    assert all(0 <= r.lag_us <= 10_000_000 for r in rows)
+
+
+def test_sliding_candles(spark, tick_capture):
+    candles = ohlc_candles(build_stream(spark, tick_capture),
+                           width="1 minute", slide="30 seconds",
+                           watermark="0 seconds")
+    out = _run_to_memory(spark, candles, f"t{uuid.uuid4().hex[:8]}",
+                         mode="complete")
+    eur = [r for r in out.collect() if r.instrument == "EUR_USD"]
+    # each tick lands in 2 overlapping windows (60s width, 30s slide)
+    assert len(eur) == 2 and {r.n_ticks for r in eur} == {2}
