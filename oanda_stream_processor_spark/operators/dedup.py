@@ -117,7 +117,6 @@ def q41_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BAND_KEYS_SQL = ", ".join(
     "MD5(" + " || ".join(f"h{b * BAND_ROWS + r}" for r in range(BAND_ROWS)) + f") AS band{b}"
     for b in range(N_BANDS))
-_BAND_UNPIVOT_SQL = ", ".join(f"({b}, band{b})" for b in range(N_BANDS))
 
 @query("q42_lsh_candidates", f"""
 WITH sig AS (

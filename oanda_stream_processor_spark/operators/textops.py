@@ -63,9 +63,6 @@ def _hits(lang: str) -> F.Column:
 # Language ID: argmax of stopword hits; ties broken by language name so
 # both engines pick identically.
 # ---------------------------------------------------------------------------
-_LANG_STRUCTS_SQL = ", ".join(
-    f"{{'hits': {_sql_hits(lg)}, 'lang': '{lg}'}}" for lg in LANGS)
-
 @query("q49_lang_id", f"""
 WITH scored AS (
   SELECT doc_id, lang AS actual_lang,

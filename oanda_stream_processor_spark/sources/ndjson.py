@@ -19,14 +19,18 @@ from pyspark.sql import DataFrame, SparkSession
 from ..functions.ticks import derive_tick_columns, nonblank_lines, route
 
 
-def read_tick_lines(spark: SparkSession, path: str, streaming: bool = False) -> DataFrame:
+def read_tick_lines(spark: SparkSession, path: str, streaming: bool = False,
+                    max_files_per_trigger: int | None = None) -> DataFrame:
     """Raw lines (column ``value``) from NDJSON capture files.
 
     The streaming file source wants a directory; a single-file path is
     rewritten to (parent dir + pathGlobFilter) so batch and streaming
-    accept the same argument."""
+    accept the same argument. ``max_files_per_trigger`` bounds each
+    micro-batch (backpressure — the reference's channel(100) analog)."""
     if streaming:
         reader = spark.readStream
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
         if os.path.isfile(path):
             reader = reader.option("pathGlobFilter", os.path.basename(path))
             path = os.path.dirname(path)

@@ -39,13 +39,32 @@ class PipelineHandles:
             q.stop()
 
 
-def build_stream(spark: SparkSession, source_path: str) -> DataFrame:
+def build_stream(spark: SparkSession, source_path: str,
+                 max_files_per_trigger: int | None = None) -> DataFrame:
     """S1-S5 + P1-P2 as one unbounded DataFrame. Source here is file
     replay (NDJSON captures); swap for Kafka by replacing the reader —
-    the chain is source-agnostic (sources/ndjson.py)."""
+    the chain is source-agnostic (sources/ndjson.py).
+
+    ``max_files_per_trigger`` is the backpressure bound — the micro-batch
+    analog of the reference's bounded channel(100) (main.rs:52); with
+    Kafka the same knob is maxOffsetsPerTrigger."""
     from ..sources.ndjson import read_tick_lines
-    lines = read_tick_lines(spark, source_path, streaming=True)
+    lines = read_tick_lines(spark, source_path, streaming=True,
+                            max_files_per_trigger=max_files_per_trigger)
     return derive_tick_columns(route(nonblank_lines(lines)))
+
+
+def install_shutdown_handlers(handles: "PipelineHandles") -> None:
+    """C2 parity (main.rs:62-134): SIGINT/SIGTERM stop every query
+    gracefully — the in-flight micro-batch completes and offsets commit,
+    then the process exits instead of dying mid-batch."""
+    import signal
+
+    def _stop(signum, frame):  # noqa: ARG001
+        handles.stop()
+
+    signal.signal(signal.SIGINT, _stop)
+    signal.signal(signal.SIGTERM, _stop)
 
 
 def run_pipeline(spark: SparkSession, source_path: str, *,

@@ -166,3 +166,30 @@ def test_sliding_candles(spark, tick_capture):
     eur = [r for r in out.collect() if r.instrument == "EUR_USD"]
     # each tick lands in 2 overlapping windows (60s width, 30s slide)
     assert len(eur) == 2 and {r.n_ticks for r in eur} == {2}
+
+
+def test_rate_limited_micro_batches(spark, tick_capture, tmp_path):
+    # 3 files, maxFilesPerTrigger=1 -> at least 3 micro-batches
+    src = tmp_path / "rl"
+    src.mkdir()
+    for i in range(3):
+        shutil.copy(tick_capture, src / f"c{i}.ndjson")
+    from oanda_stream_processor_spark.streaming.listener import PipelineListener
+    listener = PipelineListener()
+    spark.streams.addListener(listener)
+    try:
+        stream = build_stream(spark, str(src), max_files_per_trigger=1)
+        name = f"t{uuid.uuid4().hex[:8]}"
+        q = (stream.select("message_type").writeStream.format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        q.processAllAvailable()
+        q.stop()
+        import time
+        for _ in range(100):
+            if listener.progressed >= 3:
+                break
+            time.sleep(0.1)
+    finally:
+        spark.streams.removeListener(listener)
+    assert spark.sql(f"SELECT count(*) c FROM {name}").collect()[0].c == 15
+    assert listener.progressed >= 3  # rate limit forced multiple batches
