@@ -66,18 +66,21 @@ SELECT doc_id,
 FROM documents
 """)
 def q53_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # single-pass projection: media synthesis + measurement in one scan
+    # (a join back to documents for `text` cost a needless shuffle)
     d = load_table(spark, sf_dir, "documents")
-    m = _with_fake_media(d).join(d.select("doc_id", "text"), "doc_id")
-    return m.select(
+    media = F.unhex(F.md5(F.col("text").cast("binary")))
+    width = (F.col("n_chars") % 640 + 1).cast("int")
+    height = (F.col("doc_id") % 480 + 1).cast("int")
+    return d.select(
         "doc_id",
-        F.octet_length("media").alias("n_bytes"),
+        F.octet_length(media).alias("n_bytes"),
         # checksum over the hex digest string (DuckDB's sha256 takes
         # VARCHAR, not BLOB — hash the same lowercase-hex bytes on both sides)
         F.sha2(F.md5(F.col("text").cast("binary")), 256).alias("checksum"),
-        F.col("meta.width").alias("width"),
-        F.col("meta.height").alias("height"),
-        (F.col("meta.width").cast("bigint") * F.col("meta.height") * 3)
-            .alias("rgb_bytes"),
+        width.alias("width"),
+        height.alias("height"),
+        (width.cast("bigint") * height * 3).alias("rgb_bytes"),
     )
 
 
