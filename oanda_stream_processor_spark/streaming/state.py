@@ -71,3 +71,90 @@ def stale_quotes(stream: DataFrame, *, stale_after_sec: float = 10.0,
     return (keyed.groupBy("instrument")
             .applyInPandasWithState(_detect, OUTPUT_SCHEMA, STATE_SCHEMA,
                                     "append", GroupStateTimeout.NoTimeout))
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas variant (Spark 4's successor API): the same
+# stale-quote monitor with an explicit StatefulProcessor — typed
+# ValueState handle, init/close lifecycle, ready for timers/TTL.
+# ---------------------------------------------------------------------------
+try:
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    class StaleQuoteProcessor(StatefulProcessor):
+        """Per-instrument last-tick clock in a ValueState; emits one
+        assessment row per message (same output contract as
+        stale_quotes)."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._last = handle.getValueState("last_tick_us", "v long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            (instrument,) = key
+            last_us = self._last.get()[0] if self._last.exists() else None
+            out = []
+            for pdf in rows:
+                pdf = pdf.sort_values("event_ts")
+                for row in pdf.itertuples(index=False):
+                    obs_us = int(row.event_ts.value // 1000)
+                    if row.is_tick:
+                        last_us = obs_us
+                    gap = (obs_us - last_us) / 1e6 if last_us is not None else None
+                    out.append((instrument,
+                                pd.Timestamp(last_us * 1000) if last_us is not None else None,
+                                pd.Timestamp(obs_us * 1000),
+                                gap,
+                                bool(gap is not None and gap > row.stale_after_sec)))
+            if last_us is not None:
+                self._last.update((last_us,))
+            if out:
+                yield pd.DataFrame(out, columns=["instrument", "last_tick_ts",
+                                                 "observed_ts", "gap_seconds",
+                                                 "stale"])
+
+        def close(self) -> None:
+            pass
+
+    HAVE_TWS = True
+except ImportError:  # pragma: no cover — older Spark
+    HAVE_TWS = False
+
+
+def _have_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def stale_quotes_tws(stream: DataFrame, *, stale_after_sec: float = 10.0,
+                     watermark: str = "1 minute") -> DataFrame:
+    """stale_quotes on the transformWithStateInPandas API (state store
+    ready for RocksDB provider, timers, and state TTL at cluster scale).
+
+    Gated: the TWS python<->JVM state protocol itself needs the
+    ``google.protobuf`` package (absent in this container); the
+    applyInPandasWithState implementation above is the tested path here.
+    """
+    if not HAVE_TWS:
+        raise ImportError("transformWithStateInPandas requires Spark 4")
+    if not _have_protobuf():
+        raise ImportError(
+            "transformWithStateInPandas needs the google.protobuf package "
+            "(its state-server protocol); use stale_quotes() instead")
+    keyed = (stream
+             .where(F.col("message_type").isin("price_tick", "heartbeat"))
+             .select(
+                 F.coalesce(F.col("price_tick.instrument"), F.lit("__global__"))
+                  .alias("instrument"),
+                 "event_ts",
+                 (F.col("message_type") == "price_tick").alias("is_tick"),
+                 F.lit(stale_after_sec).alias("stale_after_sec"))
+             .where(F.col("event_ts").isNotNull()))
+    if keyed.isStreaming:
+        keyed = keyed.withWatermark("event_ts", watermark)
+    return (keyed.groupBy("instrument")
+            .transformWithStateInPandas(StaleQuoteProcessor(),
+                                        OUTPUT_SCHEMA, "append", "none"))

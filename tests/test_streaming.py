@@ -193,3 +193,56 @@ def test_rate_limited_micro_batches(spark, tick_capture, tmp_path):
         spark.streams.removeListener(listener)
     assert spark.sql(f"SELECT count(*) c FROM {name}").collect()[0].c == 15
     assert listener.progressed >= 3  # rate limit forced multiple batches
+
+
+def test_checkpoint_restart_exactly_once(spark, tick_capture, tmp_path):
+    """Fault-tolerance the reference lacks (oanda_client.rs:89-93: error
+    ends the loop, no replay): stop a checkpointed query, add data,
+    restart from the same checkpoint — old rows are not reprocessed and
+    new rows arrive exactly once in the parquet sink."""
+    src = tmp_path / "src"; src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    shutil.copy(tick_capture, src / "a.ndjson")
+
+    def start():
+        return (build_stream(spark, str(src))
+                .select("message_type", "raw")
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .start())
+
+    q = start()
+    q.processAllAvailable(); q.stop()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 5  # 7 lines - blank - corrupt
+
+    shutil.copy(tick_capture, src / "b.ndjson")
+    q = start()  # restart from the SAME checkpoint
+    q.processAllAvailable(); q.stop()
+    df = spark.read.parquet(out)
+    assert df.count() == 10  # +5 new, nothing reprocessed
+    # provenance: every original line appears exactly twice (a + b copy)
+    from pyspark.sql import functions as SF
+    assert (df.groupBy("raw").count()
+              .where(SF.col("count") != 2).count()) == 0
+
+
+def test_stale_quote_tws_matches_applyinpandas(spark, tick_capture):
+    """The transformWithStateInPandas processor matches the
+    applyInPandasWithState implementation (or is cleanly gated when
+    google.protobuf — required by the TWS state protocol — is absent)."""
+    from oanda_stream_processor_spark.streaming.state import (
+        _have_protobuf, stale_quotes_tws)
+    if not _have_protobuf():
+        with pytest.raises(ImportError, match="google.protobuf"):
+            stale_quotes_tws(build_stream(spark, tick_capture))
+        return
+    a = _run_to_memory(spark, stale_quotes(build_stream(spark, tick_capture),
+                                           stale_after_sec=3.0),
+                       f"t{uuid.uuid4().hex[:8]}")
+    b = _run_to_memory(spark, stale_quotes_tws(build_stream(spark, tick_capture),
+                                               stale_after_sec=3.0),
+                       f"t{uuid.uuid4().hex[:8]}")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
