@@ -300,3 +300,48 @@ def q55_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     return labels.select("doc_id", "component",
                          (F.col("doc_id") == F.col("component")).alias("is_canonical"))
+
+
+# ---------------------------------------------------------------------------
+# LSH + exact verification: the production near-dup shape — cheap LSH
+# recall stage, exact Jaccard computed ONLY on candidate pairs (never
+# all-pairs). The verify join touches |candidates| × shingles, not n².
+# ---------------------------------------------------------------------------
+@query("q57_lsh_verified_pairs", f"""
+WITH {_CANDIDATES_SQL},
+sh AS (SELECT DISTINCT doc_id, shingle FROM ({SQL_SHINGLES})),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+  GROUP BY p.doc_a, p.doc_b)
+SELECT p.doc_a, p.doc_b,
+       ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE)
+             / (sa.n + sb.n - COALESCE(i.i, 0)), 6) AS jaccard,
+       COALESCE(i.i, 0) >= 1
+         AND CAST(COALESCE(i.i, 0) AS DOUBLE)
+             / (sa.n + sb.n - COALESCE(i.i, 0)) >= 0.05 AS verified
+FROM pairs p
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+""")
+def q57_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q42_lsh_candidates(spark, sf_dir)
+    sh = _spark_shingles(load_table(spark, sf_dir, "documents")).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (pairs.join(a, "doc_a").join(b, ["doc_b", "shingle"])
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("i")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    i0 = F.coalesce(F.col("i"), F.lit(0))
+    jac = i0.cast("double") / (F.col("na") + F.col("nb") - i0)
+    return (pairs.join(inter, ["doc_a", "doc_b"], "left")
+            .join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+            .select("doc_a", "doc_b",
+                    F.round(jac, 6).alias("jaccard"),
+                    ((i0 >= 1) & (jac >= 0.05)).alias("verified")))

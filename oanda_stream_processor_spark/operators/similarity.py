@@ -243,3 +243,87 @@ def q48_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
                   .where(F.col("rank") <= TOP_K))
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN: coarse quantizer = per-label centroids (exact decimal
+# means, deterministic in both engines), assignment = argmin L2 distance
+# to centroids, fine search = exact cosine within the query's cell.
+# Long-form (vec, pos, val) joins keep everything in hash-agg land — no
+# UDFs; at scale the centroid table is tiny and broadcast.
+# ---------------------------------------------------------------------------
+_SQL_FLAT = """
+  SELECT vec_id, label,
+         UNNEST(RANGE(LEN(embedding))) AS pos,
+         UNNEST(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE))) AS val
+  FROM embeddings
+"""
+_SQL_CENTROIDS = """
+  SELECT label AS c_label, pos AS c_pos,
+         ROUND(CAST(SUM(CAST(val AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*), 6)
+           AS c_val
+  FROM flat GROUP BY label, pos
+"""
+
+@query("q56_ann_ivf", f"""
+WITH flat AS ({_SQL_FLAT}),
+centroids AS ({_SQL_CENTROIDS}),
+dists AS (
+  SELECT f.vec_id, c.c_label,
+         CAST(SUM(CAST((f.val - c.c_val) * (f.val - c.c_val)
+                       AS DECIMAL(30,12))) AS DOUBLE) AS d2
+  FROM flat f JOIN centroids c ON f.pos = c.c_pos
+  GROUP BY f.vec_id, c.c_label),
+assigned AS (
+  SELECT vec_id, c_label AS cell FROM (
+    SELECT vec_id, c_label,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY ROUND(d2, 6), c_label) AS rn
+    FROM dists) WHERE rn = 1),
+cells AS (
+  SELECT e.vec_id, e.embedding, a.cell
+  FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb, cell FROM cells
+      WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT query_id, c.vec_id AS cand_id,
+         ROUND({sql_cosine('q_emb', 'c.embedding')}, 6) AS cosine
+  FROM q JOIN cells c ON c.cell = q.cell AND c.vec_id <> query_id),
+ranked AS (
+  SELECT query_id, cand_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored)
+SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+""")
+def q56_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select("vec_id", "label",
+                    F.posexplode("embedding").alias("pos", "raw")) \
+            .withColumn("val", F.col("raw").cast("double"))
+    centroids = (flat.groupBy(F.col("label").alias("c_label"),
+                              F.col("pos").alias("c_pos"))
+                 .agg(F.round(F.sum(F.col("val").cast("decimal(30,12)"))
+                              .cast("double") / F.count("*"), 6).alias("c_val")))
+    dists = (flat.join(F.broadcast(centroids), flat.pos == centroids.c_pos)
+             .groupBy("vec_id", "c_label")
+             .agg(F.sum(((F.col("val") - F.col("c_val"))
+                         * (F.col("val") - F.col("c_val")))
+                        .cast("decimal(30,12)")).cast("double").alias("d2")))
+    wa = W.partitionBy("vec_id").orderBy(F.round("d2", 6), F.asc("c_label"))
+    assigned = (dists.withColumn("rn", F.row_number().over(wa))
+                .where(F.col("rn") == 1)
+                .select("vec_id", F.col("c_label").alias("cell")))
+    cells = e.join(assigned, "vec_id").select("vec_id", "embedding", "cell")
+    q = (cells.where(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb"),
+                 F.col("cell")))
+    scored = (cells.join(F.broadcast(q), "cell")
+              .where(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", F.col("vec_id").alias("cand_id"),
+                      F.round(_cosine(F.col("q_emb"), F.col("embedding")), 6)
+                       .alias("cosine")))
+    wr = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (scored.withColumn("rank", F.row_number().over(wr))
+                  .where(F.col("rank") <= TOP_K))
