@@ -58,3 +58,22 @@ def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int,
     (df.write.mode(mode)
        .bucketBy(n_buckets, key).sortBy(key)
        .saveAsTable(table))
+
+
+def partition_histogram(df: DataFrame) -> DataFrame:
+    """Skew instrumentation: rows per physical partition. Returns a tiny
+    (partition_id, n_rows) frame — run it on a keyed repartition to see
+    whether a hot key concentrated rows before committing to salting."""
+    return (df.withColumn("__pid", F.spark_partition_id())
+              .groupBy("__pid").count()
+              .select(F.col("__pid").alias("partition_id"),
+                      F.col("count").alias("n_rows")))
+
+
+def skew_ratio(df: DataFrame) -> float:
+    """max/mean rows-per-partition — 1.0 is perfectly even; >> 1 means a
+    hot partition (salt the key or let AQE split it)."""
+    rows = [r.n_rows for r in partition_histogram(df).collect()]
+    if not rows:
+        return 1.0
+    return max(rows) / (sum(rows) / len(rows))

@@ -32,8 +32,8 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import (DataSource, DataSourceStreamReader,
-                                    InputPartition)
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    DataSourceStreamReader, InputPartition)
 from pyspark.sql.types import StringType, StructField, StructType
 
 SCHEMA = StructType([StructField("value", StringType())])
@@ -103,5 +103,34 @@ class OandaStreamDataSource(DataSource):
     def schema(self):
         return SCHEMA
 
+    def reader(self, schema) -> "OandaBatchReader":
+        return OandaBatchReader(self.options)
+
     def streamReader(self, schema) -> OandaStreamReader:
         return OandaStreamReader(self.options)
+
+
+class OandaBatchReader(DataSourceReader):
+    """Batch reader for NDJSON captures through the same data source —
+    line-range partitions so a large capture splits across executors."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        self.batch_lines = int(options.get("batch_lines", "10000"))
+        if not self.path or not os.path.exists(self.path):
+            raise ValueError(f"path not found: {self.path!r}")
+
+    def partitions(self):
+        with open(self.path, "rb") as f:
+            n = sum(1 for _ in f)
+        step = max(1, self.batch_lines)
+        return [_LineRange(self.path, s, min(s + step, n))
+                for s in range(0, n, step)] or [_LineRange(self.path, 0, 0)]
+
+    def read(self, partition: _LineRange):
+        with open(partition.path, encoding="utf-8") as f:
+            for i, line in enumerate(f):
+                if i >= partition.end:
+                    break
+                if i >= partition.start:
+                    yield (line.rstrip("\n"),)

@@ -68,3 +68,29 @@ def test_write_partitioned_prunes(spark, tmp_path):
     plan = back._sc._jvm.PythonSQLUtils.explainString(
         back._jdf.queryExecution(), "formatted")
     assert "PartitionFilters" in plan
+
+
+def test_oanda_batch_reader(spark, tick_capture):
+    spark.dataSource.register(OandaStreamDataSource)
+    df = (spark.read.format("oanda_stream")
+          .option("path", tick_capture).option("batch_lines", "2").load())
+    parsed = derive_tick_columns(route(nonblank_lines(df)))
+    counts = dict(parsed.groupBy("message_type").count().collect())
+    assert counts == {"price_tick": 3, "heartbeat": 1, "unknown": 1}
+    assert df.rdd.getNumPartitions() == 4  # 7 lines / 2 per partition
+
+
+def test_skew_instrumentation(spark):
+    from oanda_stream_processor_spark.plans.partitioning import (
+        partition_histogram, skew_ratio)
+    import pyspark.sql.functions as SF
+    even = spark.range(0, 10000).repartition(8, "id")
+    assert skew_ratio(even) < 2.0
+    # hot key: 90% of rows share one key
+    skewed = (spark.range(0, 10000)
+              .select(SF.when(SF.col("id") % 10 != 0, 0)
+                        .otherwise(SF.col("id")).alias("k"))
+              .repartition(8, "k"))
+    assert skew_ratio(skewed) > 4.0
+    hist = partition_histogram(skewed).collect()
+    assert sum(r.n_rows for r in hist) == 10000
