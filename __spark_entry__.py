@@ -51,6 +51,11 @@ try:
     _MODULES.append(extras)
 except ImportError:
     pass
+try:
+    from oanda_stream_processor_spark.operators import stats
+    _MODULES.append(stats)
+except ImportError:
+    pass
 
 
 def entry(spark: SparkSession) -> DataFrame:

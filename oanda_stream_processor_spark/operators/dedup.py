@@ -282,7 +282,11 @@ def q55_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
              .unionByName(pairs.select(F.col("doc_b").alias("src"),
                                        F.col("doc_a").alias("dst"))))
     edges = edges.localCheckpoint(eager=True)  # freeze the graph once
-    labels = docs.select("doc_id", F.col("doc_id").alias("component"))
+    # iterate ONLY the active subgraph: docs with at least one edge.
+    # Singletons keep component = doc_id and never enter the loop — at
+    # corpus scale the candidate graph is a tiny fraction of the corpus.
+    active = edges.select(F.col("src").alias("doc_id")).distinct()
+    labels = active.select("doc_id", F.col("doc_id").alias("component"))
     for _ in range(10):  # converges in <= log2(max component diameter)
         neigh = (edges.join(labels, edges.src == labels.doc_id)
                  .select(F.col("dst").alias("doc_id"),
@@ -298,8 +302,11 @@ def q55_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .localCheckpoint(eager=True))  # cut the iterative lineage
         if changed == 0:
             break
-    return labels.select("doc_id", "component",
-                         (F.col("doc_id") == F.col("component")).alias("is_canonical"))
+    full = (docs.join(labels, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("component", F.col("doc_id")).alias("component")))
+    return full.select("doc_id", "component",
+                       (F.col("doc_id") == F.col("component")).alias("is_canonical"))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,167 @@
+"""Statistical / aggregate extras: histograms, correlation, ordered
+string aggregation, linear regression, bitwise aggregates.
+
+Determinism strategy for second-moment statistics (corr, slope): the
+built-in corr/covar/regr_* accumulate doubles in partition order —
+nondeterministic across engines. Instead the inputs are rounded to
+integers (corr is scale-free) and all five sums (n, Σx, Σy, Σxy, Σx²,
+Σy²) are exact int64 arithmetic; the closed-form formula then runs in
+double identically on both sides. Bounds: |x| ≤ 1e5 ⇒ Σx² ≤ 1e10·rows —
+safe past 1e8 rows per group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Histogram via width_bucket (DuckDB lacks it -> arithmetic emulation).
+# ---------------------------------------------------------------------------
+@query("q65_histogram", """
+SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+            WHEN o_totalprice >= 600000 THEN 11
+            ELSE FLOOR(o_totalprice / 600000.0 * 10) + 1 END AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       ROUND(MIN(o_totalprice), 2) AS lo,
+       ROUND(MAX(o_totalprice), 2) AS hi
+FROM orders GROUP BY 1
+""")
+def q65_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupBy(F.width_bucket("o_totalprice", F.lit(0), F.lit(600000),
+                                     F.lit(10)).alias("bucket"))
+             .agg(F.count("*").alias("n"),
+                  F.round(F.min("o_totalprice"), 2).alias("lo"),
+                  F.round(F.max("o_totalprice"), 2).alias("hi")))
+
+
+# ---------------------------------------------------------------------------
+# Correlation + covariance via exact integer moments.
+# ---------------------------------------------------------------------------
+_MOMENTS_SQL = """
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(ROUND(l_extendedprice, 0) AS BIGINT)) AS sx,
+         SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS sy,
+         SUM(CAST(ROUND(l_extendedprice, 0) AS BIGINT)
+             * CAST(ROUND(l_quantity, 0) AS BIGINT)) AS sxy,
+         SUM(CAST(ROUND(l_extendedprice, 0) AS BIGINT)
+             * CAST(ROUND(l_extendedprice, 0) AS BIGINT)) AS sxx,
+         SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)
+             * CAST(ROUND(l_quantity, 0) AS BIGINT)) AS syy
+  FROM lineitem GROUP BY l_returnflag
+"""
+
+@query("q66_corr_covar", f"""
+WITH m AS ({_MOMENTS_SQL})
+SELECT l_returnflag, n,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+         AS corr_price_qty,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * (n - 1)), 4) AS covar_samp
+FROM m
+""")
+def q66_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    xi = F.round("l_extendedprice", 0).cast("bigint")
+    yi = F.round("l_quantity", 0).cast("bigint")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(xi).alias("sx"), F.sum(yi).alias("sy"),
+        F.sum(xi * yi).alias("sxy"),
+        F.sum(xi * xi).alias("sxx"), F.sum(yi * yi).alias("syy"))
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = nd * F.col("sxy") - sxd * F.col("sy")
+    den = F.sqrt((nd * F.col("sxx") - sxd * F.col("sx"))
+                 * (nd * F.col("syy") - syd * F.col("sy")))
+    return m.select(
+        "l_returnflag", "n",
+        F.round(num / den, 6).alias("corr_price_qty"),
+        F.round(num / (nd * (F.col("n") - 1)), 4).alias("covar_samp"))
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation (deterministic listagg).
+# ---------------------------------------------------------------------------
+@query("q67_string_agg", """
+SELECT n_regionkey AS regionkey,
+       STRING_AGG(n_name, ',' ORDER BY n_name) AS nations,
+       COUNT(*) AS n_nations
+FROM nation GROUP BY n_regionkey
+""")
+def q67_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    return (n.groupBy(F.col("n_regionkey").alias("regionkey"))
+             .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",")
+                   .alias("nations"),
+                  F.count("*").alias("n_nations")))
+
+
+# ---------------------------------------------------------------------------
+# Linear regression (slope/intercept) from the same exact moments.
+# ---------------------------------------------------------------------------
+@query("q68_linear_regression", f"""
+WITH m AS ({_MOMENTS_SQL})
+SELECT l_returnflag,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 8)
+         AS slope_qty_on_price,
+       ROUND((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx)
+             / CAST(n AS DOUBLE), 6) AS intercept
+FROM m
+""")
+def q68_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    xi = F.round("l_extendedprice", 0).cast("bigint")
+    yi = F.round("l_quantity", 0).cast("bigint")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(xi).alias("sx"), F.sum(yi).alias("sy"),
+        F.sum(xi * yi).alias("sxy"), F.sum(xi * xi).alias("sxx"))
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    slope = (nd * F.col("sxy") - sxd * F.col("sy")) / (nd * F.col("sxx") - sxd * F.col("sx"))
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx")) / nd
+    return m.select("l_returnflag",
+                    F.round(slope, 8).alias("slope_qty_on_price"),
+                    F.round(intercept, 6).alias("intercept"))
+
+
+# ---------------------------------------------------------------------------
+# Bitwise aggregates — commutative exact integer ops, trivially
+# order-insensitive.
+# ---------------------------------------------------------------------------
+@query("q69_bitwise_agg", """
+SELECT l_returnflag,
+       BIT_AND(l_orderkey % 65536) AS key_and,
+       BIT_OR(l_orderkey % 65536) AS key_or,
+       BIT_XOR(l_orderkey % 65536) AS key_xor
+FROM lineitem GROUP BY l_returnflag
+""")
+def q69_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey") % 65536
+    return (li.groupBy("l_returnflag")
+              .agg(F.bit_and(k).alias("key_and"),
+                   F.bit_or(k).alias("key_or"),
+                   F.bit_xor(k).alias("key_xor")))
