@@ -51,14 +51,17 @@ class ZmqPublisher:
 
 class FilePublisher:
     """Test stand-in: length-prefixed frames appended to a local file —
-    same at-most-once, fire-and-forget contract as the ZMQ PUB edge."""
+    same at-most-once, fire-and-forget contract as the ZMQ PUB edge.
+    Holds the handle open (bind-once like the PUB socket); one flush per
+    message preserves the per-message visibility the tests rely on."""
 
     def __init__(self, path: str):
         self.path = path
+        self._f = open(path, "ab")  # noqa: SIM115 — lifetime = publisher
 
     def publish(self, payload: bytes) -> None:
-        with open(self.path, "ab") as f:
-            f.write(len(payload).to_bytes(4, "big") + payload)
+        self._f.write(len(payload).to_bytes(4, "big") + payload)
+        self._f.flush()
 
 
 def publish_batch(batch_df: DataFrame, publisher) -> int:
