@@ -21,6 +21,13 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in FIXTURE_TABLES:
         raise KeyError(f"unknown fixture table {name!r}; known: {FIXTURE_TABLES}")
+    # Pin the session to UTC on every load: DuckDB oracle timestamps are
+    # naive UTC, and a non-UTC driver session would shift every rendered
+    # TimestampType value (events.ts is the only tz-sensitive column; the
+    # TPC-H dates read as TIMESTAMP_NTZ and are immune). Idempotent,
+    # runtime-settable, and required for oracle parity regardless of how
+    # the caller built the session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is parquet INT64 TIMESTAMP(NANOS), which Spark's reader
         # rejects; read the raw ns-since-epoch long and truncate to Spark's
