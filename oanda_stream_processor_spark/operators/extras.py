@@ -260,3 +260,49 @@ def q64_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.try_variant_get(v, "$.k", "string").alias("k_string"),
                       F.try_variant_get(v, "$.missing", "string").isNull()
                        .alias("missing_is_null")))
+
+
+# ---------------------------------------------------------------------------
+# RANGE window frames (value-based, vs the ROWS frames elsewhere) +
+# first/last/nth_value: 7-day trailing spend per customer ordered by
+# epoch-days — a numeric range frame identical in both engines.
+# ---------------------------------------------------------------------------
+@query("q73_range_frame", """
+WITH o AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CAST(DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS day_num
+  FROM orders)
+SELECT o_orderkey, o_custkey, day_num,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY day_num
+             RANGE BETWEEN 7 PRECEDING AND CURRENT ROW), 2) AS spend_7d,
+       COUNT(*) OVER (PARTITION BY o_custkey ORDER BY day_num
+             RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS n_7d,
+       ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) AS first_price,
+       ROUND(LAST_VALUE(o_totalprice) OVER w, 2) AS latest_price,
+       ROUND(NTH_VALUE(o_totalprice, 2) OVER w, 2) AS second_price
+FROM o
+WINDOW w AS (PARTITION BY o_custkey ORDER BY day_num, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""")
+def q73_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    day_num = F.datediff(F.to_date("o_orderdate"),
+                         F.lit("1970-01-01").cast("date")).cast("bigint")
+    df = o.select("o_orderkey", "o_custkey", "o_totalprice",
+                  day_num.alias("day_num"))
+    # RANGE frame: all peers within 7 day-units of the current ORDER BY
+    # value (ties included) — value-based, unlike ROWS frames. The
+    # trailing-sum is computed over the same value window in both
+    # engines; ROWS frame with a full tiebreak for the positional funcs.
+    wr = (W.partitionBy("o_custkey").orderBy("day_num")
+           .rangeBetween(-7, 0))
+    wp = (W.partitionBy("o_custkey").orderBy("day_num", "o_orderkey")
+           .rowsBetween(W.unboundedPreceding, 0))
+    return df.select(
+        "o_orderkey", "o_custkey", "day_num",
+        F.round(F.sum("o_totalprice").over(wr), 2).alias("spend_7d"),
+        F.count("*").over(wr).alias("n_7d"),
+        F.round(F.first("o_totalprice").over(wp), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(wp), 2).alias("latest_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(wp), 2).alias("second_price"))
