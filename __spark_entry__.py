@@ -12,50 +12,35 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from oanda_stream_processor_spark.operators import asof, relational, scalar
+# Unconditional imports: a broken module must fail loudly here, not silently
+# drop its whole query family from the driver's correctness run.
+from oanda_stream_processor_spark.operators import (
+    asof,
+    dedup,
+    extras,
+    multimodal,
+    relational,
+    scalar,
+    similarity,
+    stats,
+    textops,
+    udfs,
+)
+from oanda_stream_processor_spark.operators import ticks as tick_queries
 
-_MODULES = [relational, scalar, asof]
-
-try:  # widened incrementally; keep entry importable even mid-build
-    from oanda_stream_processor_spark.operators import dedup
-    _MODULES.append(dedup)
-except ImportError:
-    pass
-try:
-    from oanda_stream_processor_spark.operators import similarity
-    _MODULES.append(similarity)
-except ImportError:
-    pass
-try:
-    from oanda_stream_processor_spark.operators import textops
-    _MODULES.append(textops)
-except ImportError:
-    pass
-try:
-    from oanda_stream_processor_spark.operators import multimodal
-    _MODULES.append(multimodal)
-except ImportError:
-    pass
-try:
-    from oanda_stream_processor_spark.operators import ticks as tick_queries
-    _MODULES.append(tick_queries)
-except ImportError:
-    pass
-try:
-    from oanda_stream_processor_spark.operators import udfs
-    _MODULES.append(udfs)
-except ImportError:
-    pass
-try:
-    from oanda_stream_processor_spark.operators import extras
-    _MODULES.append(extras)
-except ImportError:
-    pass
-try:
-    from oanda_stream_processor_spark.operators import stats
-    _MODULES.append(stats)
-except ImportError:
-    pass
+_MODULES = [
+    relational,
+    scalar,
+    asof,
+    dedup,
+    similarity,
+    textops,
+    multimodal,
+    tick_queries,
+    udfs,
+    extras,
+    stats,
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:
