@@ -120,15 +120,36 @@ def test_watermark_drops_late_rows(spark, tmp_path):
 
 def test_stale_quote_state(spark, tick_capture):
     stream = build_stream(spark, tick_capture)
-    flagged = stale_quotes(stream, stale_after_sec=3.0)
+    flagged = stale_quotes(stream, stale_after_sec=3.0,
+                           instruments=["EUR_USD", "USD_JPY"])
     out = _run_to_memory(spark, flagged, f"t{uuid.uuid4().hex[:8]}")
     rows = out.collect()
-    assert len(rows) == 4  # one assessment per publishable message
-    by_inst = {}
-    for r in rows:
-        by_inst.setdefault(r.instrument, []).append(r)
-    # heartbeat at 09:15:05 against last EUR_USD tick — global key
-    assert "__global__" in by_inst
+    # 3 tick assessments + the heartbeat fanned into both monitored groups
+    assert len(rows) == 5
+    eur = sorted((r for r in rows if r.instrument == "EUR_USD"),
+                 key=lambda r: r.observed_ts)
+    # heartbeat at :05 observes a 3.88s gap since the :01.123 tick -> stale
+    assert eur[1].stale and abs(eur[1].gap_seconds - 3.876544) < 1e-3
+    assert eur[1].last_tick_ts == eur[0].observed_ts  # clock not refreshed
+    # the :07 tick ends a 5.88s gap: assessed stale, clock refreshed
+    assert eur[2].stale and eur[2].last_tick_ts == eur[2].observed_ts
+    jpy = sorted((r for r in rows if r.instrument == "USD_JPY"),
+                 key=lambda r: r.observed_ts)
+    # USD_JPY had no tick before the heartbeat: no gap, not stale
+    assert jpy[0].gap_seconds is None and not jpy[0].stale
+
+
+def test_stale_quote_streaming_requires_instruments(spark, tick_capture):
+    with pytest.raises(ValueError, match="instrument list"):
+        stale_quotes(build_stream(spark, tick_capture))
+
+
+def test_stale_quote_batch_derives_instruments(spark, tick_capture):
+    from oanda_stream_processor_spark.sources.ndjson import read_ticks
+    flagged = stale_quotes(read_ticks(spark, tick_capture), stale_after_sec=3.0)
+    rows = flagged.collect()
+    assert len(rows) == 5
+    assert any(r.stale for r in rows)
 
 
 def test_top_of_book_streaming(spark, tick_capture):
@@ -239,10 +260,11 @@ def test_stale_quote_tws_matches_applyinpandas(spark, tick_capture):
         with pytest.raises(ImportError, match="google.protobuf"):
             stale_quotes_tws(build_stream(spark, tick_capture))
         return
+    insts = ["EUR_USD", "USD_JPY"]
     a = _run_to_memory(spark, stale_quotes(build_stream(spark, tick_capture),
-                                           stale_after_sec=3.0),
+                                           stale_after_sec=3.0, instruments=insts),
                        f"t{uuid.uuid4().hex[:8]}")
     b = _run_to_memory(spark, stale_quotes_tws(build_stream(spark, tick_capture),
-                                               stale_after_sec=3.0),
+                                               stale_after_sec=3.0, instruments=insts),
                        f"t{uuid.uuid4().hex[:8]}")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
