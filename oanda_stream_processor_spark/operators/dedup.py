@@ -132,7 +132,17 @@ FROM flat a JOIN flat b
   ON a.band_id = b.band_id AND a.band_key = b.band_key
  AND a.doc_id < b.doc_id
 """)
-def q42_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized LSH candidate pairs, the stage q42/q55/q57 share.
+
+    The pair set feeds multiple plan branches (q55 unions it twice into
+    the edge list; q57 joins it twice), so one eager localCheckpoint of
+    the small candidate-pair frame stops every consumer from re-running
+    the whole shingle->minhash->banding chain. The signature self-join
+    inside needs NO checkpoint: AQE's ReusedExchange shares the groupBy
+    exchange between both band branches (measured faster than forcing a
+    materialization).
+    """
     sig = q41_minhash_signature(spark, sf_dir)
     band_key = [
         F.md5(F.concat(*[F.col(f"h{b * BAND_ROWS + r}") for r in range(BAND_ROWS)])
@@ -147,9 +157,14 @@ def q42_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", f"stack({N_BANDS}, {stack_expr}) AS (band_id, band_key)")
     a = flat.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
     b = flat.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
-    return (a.join(b, ["band_id", "band_key"])
-             .where(F.col("doc_a") < F.col("doc_b"))
-             .select("doc_a", "doc_b").distinct())
+    pairs = (a.join(b, ["band_id", "band_key"])
+              .where(F.col("doc_a") < F.col("doc_b"))
+              .select("doc_a", "doc_b").distinct())
+    return pairs.localCheckpoint(eager=True)
+
+
+def q42_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lsh_candidate_pairs(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -239,12 +254,13 @@ def q44_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # canonical = min doc_id per component (the "keep-one" materialization a
 # dedup pipeline ends with).
 #
-# Spark: iterative min-label propagation (join + min-agg per round) — the
-# standard large-graph CC approach; converges in O(log n) rounds, each
-# round one shuffle on doc_id. Driver only checks the convergence
-# counter, never the data. The fixpoint (min reachable id per doc) is
-# unique, so the oracle can compute it any other way: DuckDB uses a
-# recursive-CTE reachability closure and takes MIN per doc.
+# Spark: iterative min-label propagation (join + min-agg per round) — one
+# shuffle on doc_id per round, converging in O(max component diameter)
+# rounds. Driver only checks the convergence counter (a limit(1) scan of
+# the round's already-materialized frame), never the data. The fixpoint
+# (min reachable id per doc) is unique, so the oracle can compute it any
+# other way: DuckDB uses a recursive-CTE reachability closure and takes
+# MIN per doc.
 # ---------------------------------------------------------------------------
 _CANDIDATES_SQL = f"""
 sig AS (
@@ -275,33 +291,48 @@ SELECT doc AS doc_id, MIN(r) AS component,
        (doc = MIN(r)) AS is_canonical
 FROM reach GROUP BY doc
 """)
-def q55_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = q42_lsh_candidates(spark, sf_dir)
+def q55_dedup_components(spark: SparkSession, sf_dir: str,
+                         *, max_rounds: int = 20) -> DataFrame:
+    """Min-label propagation over the materialized LSH candidate graph.
+
+    One localCheckpoint per round materializes ``merged`` exactly once;
+    both the next round's labels AND the convergence flag are derived
+    from the checkpointed blocks, so each round is one shuffle-join +
+    one agg, with no second job recomputing the round's lineage.
+
+    One-hop propagation converges in O(max component diameter) rounds
+    (not O(log n)); LSH near-dup components are short-diameter in
+    practice, and exhausting the budget raises rather than silently
+    returning unconverged labels.
+    """
+    pairs = _lsh_candidate_pairs(spark, sf_dir)  # already materialized
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     edges = (pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
              .unionByName(pairs.select(F.col("doc_b").alias("src"),
                                        F.col("doc_a").alias("dst"))))
-    edges = edges.localCheckpoint(eager=True)  # freeze the graph once
     # iterate ONLY the active subgraph: docs with at least one edge.
     # Singletons keep component = doc_id and never enter the loop — at
     # corpus scale the candidate graph is a tiny fraction of the corpus.
     active = edges.select(F.col("src").alias("doc_id")).distinct()
     labels = active.select("doc_id", F.col("doc_id").alias("component"))
-    for _ in range(10):  # converges in <= log2(max component diameter)
+    for _ in range(max_rounds):
         neigh = (edges.join(labels, edges.src == labels.doc_id)
                  .select(F.col("dst").alias("doc_id"),
                          F.col("component").alias("n_comp")))
         merged = (labels.join(neigh, "doc_id", "left")
                   .groupBy("doc_id")
                   .agg(F.least(F.min("component"), F.min("n_comp")).alias("new_comp"),
-                       F.min("component").alias("old_comp")))
-        changed = merged.where(
-            F.col("new_comp") < F.col("old_comp")).limit(1).count()
-        labels = (merged.select("doc_id",
-                                F.coalesce("new_comp", "old_comp").alias("component"))
-                  .localCheckpoint(eager=True))  # cut the iterative lineage
-        if changed == 0:
+                       F.min("component").alias("old_comp"))
+                  .localCheckpoint(eager=True))  # one materialization per round
+        labels = merged.select(
+            "doc_id", F.coalesce("new_comp", "old_comp").alias("component"))
+        if merged.where(F.col("new_comp") < F.col("old_comp")).limit(1).count() == 0:
             break
+    else:
+        raise RuntimeError(
+            f"dedup components did not converge in {max_rounds} rounds; "
+            "a candidate component has diameter > max_rounds — raise "
+            "max_rounds (propagation is O(diameter))")
     full = (docs.join(labels, "doc_id", "left")
             .select("doc_id",
                     F.coalesce("component", F.col("doc_id")).alias("component")))
@@ -336,7 +367,7 @@ JOIN sizes sa ON sa.doc_id = p.doc_a
 JOIN sizes sb ON sb.doc_id = p.doc_b
 """)
 def q57_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = q42_lsh_candidates(spark, sf_dir)
+    pairs = _lsh_candidate_pairs(spark, sf_dir)  # materialized; joined twice below
     sh = _spark_shingles(load_table(spark, sf_dir, "documents")).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
