@@ -92,6 +92,28 @@ def _cosine(a, b) -> F.Column:
     return _dot(a, b) / (F.sqrt(_sqnorm(a)) * F.sqrt(_sqnorm(b)))
 
 
+# --- random-hyperplane LSH bucket (shared by q46/q48) ----------------------
+
+def _sql_plane_literal(p: int) -> str:
+    return "[" + ", ".join(repr(c) for c in PLANES[p]) + "]"
+
+
+def _sql_bucket(emb: str) -> str:
+    terms = []
+    for p in range(N_PLANES):
+        dot = SQL_DOT.format(n=DIM, a=emb, b=_sql_plane_literal(p))
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _bucket(emb) -> F.Column:
+    total = F.lit(0)
+    for p in range(N_PLANES):
+        plane = F.array(*[F.lit(c) for c in PLANES[p]])
+        total = total + F.when(_dot(emb, plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return total
+
+
 # ---------------------------------------------------------------------------
 # Brute-force cosine top-k: exact ANN baseline. Query set broadcast; rank
 # by rounded cosine with vec_id tiebreak so ordering is ulp-robust.
@@ -133,29 +155,40 @@ def q45_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Near-duplicate embeddings: label-bucketed pair join (block on label, the
-# natural cluster key) + cosine threshold.
+# Near-duplicate embeddings: candidate generation blocks on
+# (label, lsh_bucket) — the random-hyperplane bucket bounds the block
+# size, so the pair join is never quadratic in a label's cardinality —
+# then exact cosine + threshold re-ranks the candidates (the q57 LSH +
+# exact-verify production shape). The bucket is part of the operator's
+# definition; the oracle applies the identical bucket expression.
 # ---------------------------------------------------------------------------
 @query("q46_embedding_neardup", f"""
+WITH bucketed AS (
+  SELECT vec_id, label, embedding, {_sql_bucket('embedding')} AS bucket
+  FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
        ROUND({sql_cosine('a.embedding', 'b.embedding')}, 6) AS cosine
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND a.vec_id < b.vec_id
+FROM bucketed a JOIN bucketed b
+  ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE ROUND({sql_cosine('a.embedding', 'b.embedding')}, 6) >= 0.30
 """)
 def q46_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     # norms precomputed per side (linear, not per-pair); multiplication
     # order matches the oracle's SQRT(na) * SQRT(nb) for bit-parity
-    a = e.select(F.col("vec_id").alias("vec_a"), "label",
-                 F.col("embedding").alias("emb_a"),
-                 F.sqrt(_sqnorm(F.col("embedding"))).alias("norm_a"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
-                 F.col("embedding").alias("emb_b"),
-                 F.sqrt(_sqnorm(F.col("embedding"))).alias("norm_b"))
+    bucketed = e.withColumn("bucket", _bucket(F.col("embedding")))
+    a = bucketed.select(F.col("vec_id").alias("vec_a"), "label", "bucket",
+                        F.col("embedding").alias("emb_a"),
+                        F.sqrt(_sqnorm(F.col("embedding"))).alias("norm_a"))
+    b = bucketed.select(F.col("vec_id").alias("vec_b"),
+                        F.col("label").alias("label_b"),
+                        F.col("bucket").alias("bucket_b"),
+                        F.col("embedding").alias("emb_b"),
+                        F.sqrt(_sqnorm(F.col("embedding"))).alias("norm_b"))
     cos = F.round(_dot(F.col("emb_a"), F.col("emb_b"))
                   / (F.col("norm_a") * F.col("norm_b")), 6)
     return (a.join(b, (F.col("label") == F.col("label_b"))
+                   & (F.col("bucket") == F.col("bucket_b"))
                    & (F.col("vec_a") < F.col("vec_b")))
              .withColumn("cosine", cos)
              .where(F.col("cosine") >= 0.30)
@@ -193,26 +226,6 @@ def q47_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic hyperplanes -> 2^N_PLANES buckets; exact cosine only
 # within the query's bucket.
 # ---------------------------------------------------------------------------
-def _sql_plane_literal(p: int) -> str:
-    return "[" + ", ".join(repr(c) for c in PLANES[p]) + "]"
-
-
-def _sql_bucket(emb: str) -> str:
-    terms = []
-    for p in range(N_PLANES):
-        dot = SQL_DOT.format(n=DIM, a=emb, b=_sql_plane_literal(p))
-        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
-    return "(" + " + ".join(terms) + ")"
-
-
-def _bucket(emb) -> F.Column:
-    total = F.lit(0)
-    for p in range(N_PLANES):
-        plane = F.array(*[F.lit(c) for c in PLANES[p]])
-        total = total + F.when(_dot(emb, plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return total
-
-
 @query("q48_ann_lsh", f"""
 WITH bucketed AS (
   SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bucket FROM embeddings),
@@ -264,16 +277,23 @@ _SQL_CENTROIDS = """
            AS c_val
   FROM flat GROUP BY label, pos
 """
+# per-row distance: sequential double fold in index order — the same
+# order-fixed accumulation the Spark zip_with/aggregate performs, so the
+# doubles are bit-identical (no groupBy -> no order nondeterminism)
+_SQL_D2 = ("LIST_AGGREGATE(LIST_TRANSFORM(RANGE({n}), i -> "
+           "(CAST(e.embedding[i+1] AS DOUBLE) - c.c_vals[i+1])"
+           " * (CAST(e.embedding[i+1] AS DOUBLE) - c.c_vals[i+1])), 'sum')")
 
 @query("q56_ann_ivf", f"""
 WITH flat AS ({_SQL_FLAT}),
-centroids AS ({_SQL_CENTROIDS}),
+cent_long AS ({_SQL_CENTROIDS}),
+centroids AS (
+  SELECT c_label, LIST(c_val ORDER BY c_pos) AS c_vals
+  FROM cent_long GROUP BY c_label),
 dists AS (
-  SELECT f.vec_id, c.c_label,
-         CAST(SUM(CAST((f.val - c.c_val) * (f.val - c.c_val)
-                       AS DECIMAL(30,12))) AS DOUBLE) AS d2
-  FROM flat f JOIN centroids c ON f.pos = c.c_pos
-  GROUP BY f.vec_id, c.c_label),
+  SELECT e.vec_id, c.c_label,
+         {_SQL_D2.format(n=DIM)} AS d2
+  FROM embeddings e CROSS JOIN centroids c),
 assigned AS (
   SELECT vec_id, c_label AS cell FROM (
     SELECT vec_id, c_label,
@@ -297,6 +317,13 @@ ranked AS (
 SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 """)
 def q56_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse quantizer as broadcast state: centroids are packed into ONE
+    row of (label, vals) structs and nested-loop-broadcast onto the
+    embeddings; each row computes its distance to every centroid with
+    zip_with/aggregate inside codegen and takes the argmin with a struct
+    array_min — no posexplode, so the pre-assignment row count stays N
+    instead of N x DIM x n_labels, and the old vec_id re-join disappears
+    (the assignment row already carries the embedding)."""
     e = load_table(spark, sf_dir, "embeddings")
     flat = e.select("vec_id", "label",
                     F.posexplode("embedding").alias("pos", "raw")) \
@@ -305,16 +332,40 @@ def q56_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                               F.col("pos").alias("c_pos"))
                  .agg(F.round(F.sum(F.col("val").cast("decimal(30,12)"))
                               .cast("double") / F.count("*"), 6).alias("c_val")))
-    dists = (flat.join(F.broadcast(centroids), flat.pos == centroids.c_pos)
-             .groupBy("vec_id", "c_label")
-             .agg(F.sum(((F.col("val") - F.col("c_val"))
-                         * (F.col("val") - F.col("c_val")))
-                        .cast("decimal(30,12)")).cast("double").alias("d2")))
-    wa = W.partitionBy("vec_id").orderBy(F.round("d2", 6), F.asc("c_label"))
-    assigned = (dists.withColumn("rn", F.row_number().over(wa))
-                .where(F.col("rn") == 1)
-                .select("vec_id", F.col("c_label").alias("cell")))
-    cells = e.join(assigned, "vec_id").select("vec_id", "embedding", "cell")
+    # pack the (tiny) centroid table into one row: [(c_label, c_vals[DIM])]
+    cent_vecs = centroids.groupBy("c_label").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("c_pos", "c_val"))),
+                    lambda s: s["c_val"]).alias("c_vals"))
+    # one tiny row; checkpoint so the posexplode+groupBy centroid chain
+    # runs once instead of once per branch (cells, query-side broadcast)
+    cent_one = cent_vecs.agg(
+        F.array_sort(F.collect_list(F.struct("c_label", "c_vals"))).alias("cents")) \
+        .localCheckpoint(eager=True)
+
+    def _d2(c_vals) -> F.Column:
+        # sequential double fold in index order — bit-identical to the
+        # oracle's LIST_AGGREGATE sum (no groupBy, so order is fixed;
+        # doubles keep the interpreted HOF path ~10x cheaper than
+        # BigDecimal accumulation)
+        return F.aggregate(
+            F.zip_with(F.col("embedding"), c_vals,
+                       lambda x, y: (x.cast("double") - y)
+                                    * (x.cast("double") - y)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    # argmin by (round(d2,6), label) == the oracle's ROW_NUMBER ordering
+    scored_cells = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(F.round(_d2(c["c_vals"]), 6).alias("d2r"),
+                           c["c_label"].alias("cell")))
+
+    def _assign(frame: DataFrame) -> DataFrame:
+        return (frame.crossJoin(F.broadcast(cent_one))
+                .select("vec_id", "embedding",
+                        F.array_min(scored_cells)["cell"].alias("cell")))
+
+    # assignment runs ONCE (checkpointed); the query branch filters it
+    cells = _assign(e).localCheckpoint(eager=True)
     q = (cells.where(F.col("vec_id") < N_QUERIES)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("q_emb"),
