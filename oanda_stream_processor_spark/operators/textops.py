@@ -177,8 +177,7 @@ def q51_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q52_fingerprint", f"""
 WITH grams AS (
   SELECT doc_id, pos, n_pos,
-         CAST('0x' || SUBSTR(MD5(SUBSTR(text, CAST(pos AS INTEGER), {GRAM})), 1, 15)
-              AS BIGINT) AS h
+         MD5(SUBSTR(text, CAST(pos AS INTEGER), {GRAM})) AS h
   FROM (SELECT doc_id, text, LENGTH(text) - {GRAM} + 1 AS n_pos,
                UNNEST(RANGE(1, LENGTH(text) - {GRAM} + 2)) AS pos
         FROM documents)),
@@ -192,21 +191,31 @@ FROM winnowed WHERE pos <= n_pos - {WINNOW} + 1
 GROUP BY doc_id
 """)
 def q52_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing entirely inside ONE per-document projection: the gram
+    hashes, the per-window minima, and the distinct fingerprints are
+    array HOFs over the row's own text — no explode (corpus-length row
+    blowup), no window sort, no shuffle at all until nothing is left to
+    shuffle. Fingerprints compare as md5 hex strings (hex lexicographic
+    == numeric order, identical in both engines), dropping the old
+    per-position base-16 string conversion.
+
+    The per-row gram array is O(len(text)) strings, fine for web-scale
+    documents (<= a few MB); a corpus of pathological single-documents
+    (GBs of text in one row) would want the exploded window formulation
+    instead, at the cost of a corpus-wide shuffle.
+    """
     d = load_table(spark, sf_dir, "documents")
-    # n_pos derived from length(text) — no COUNT(*) OVER pass needed
-    grams = (
-        d.select("doc_id", "text",
-                 (F.length("text") - (GRAM - 1)).alias("n_pos"),
-                 F.explode(F.sequence(F.lit(1), F.length("text") - (GRAM - 1)))
-                  .alias("pos"))
-         .select("doc_id", "pos", "n_pos",
-                 F.conv(F.substring(
-                     F.md5(F.expr(f"cast(substring(text, pos, {GRAM}) as binary)")),
-                     1, 15), 16, 10).cast("bigint").alias("h"))
-    )
-    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW - 1)
-    winnowed = grams.select("doc_id", "pos", "n_pos", F.min("h").over(w).alias("fp"))
-    return (winnowed.where(F.col("pos") <= F.col("n_pos") - (WINNOW - 1))
-                    .groupBy("doc_id")
-                    .agg(F.countDistinct("fp").alias("n_fingerprints"),
-                         F.min("fp").alias("min_fp")))
+    # docs shorter than one full winnow window emit no fingerprint rows
+    # (same contract as the oracle's pos <= n_pos - WINNOW + 1 filter)
+    d = d.where(F.length("text") >= GRAM + WINNOW - 1)
+    grams = F.expr(
+        f"transform(sequence(1, length(text) - {GRAM - 1}), "
+        f"p -> md5(cast(substring(text, p, {GRAM}) as binary)))")
+    fps = F.expr(
+        f"array_distinct(transform(sequence(1, size(grams) - {WINNOW - 1}), "
+        f"p -> array_min(slice(grams, p, {WINNOW}))))")
+    return (d.select("doc_id", grams.alias("grams"))
+             .select("doc_id", fps.alias("fps"))
+             .select("doc_id",
+                     F.size("fps").cast("long").alias("n_fingerprints"),
+                     F.array_min("fps").alias("min_fp")))
