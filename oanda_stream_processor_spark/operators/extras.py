@@ -132,10 +132,10 @@ def q35_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query("q36_map_funcs", """
 SELECT event_id,
-       1 AS n_keys,
-       'k' AS first_key,
+       CAST(LEN(JSON_KEYS(props)) AS INTEGER) AS n_keys,
+       JSON_KEYS(props)[1] AS first_key,
        CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_value,
-       CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) IS NOT NULL AS has_k
+       LIST_CONTAINS(JSON_KEYS(props), 'k') AS has_k
 FROM events WHERE event_id % 20 = 0
 """)
 def q36_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
