@@ -33,15 +33,32 @@ def route(df: DataFrame, col: str = "value") -> DataFrame:
     Routing rules are the reference's 3-way dispatch
     (oanda_client.rs:63-82): ``type=="HEARTBEAT"`` → heartbeat; has an
     ``instrument`` key → price_tick; valid JSON otherwise → unknown
-    (retained); non-JSON → dropped.
+    (retained); non-JSON → dropped. A discriminator match whose payload
+    fails validation — any serde-required field (models.rs:10-27: all
+    seven PriceTick fields, Heartbeat.time) absent or type-mismatched —
+    is demoted to unknown, mirroring the reference's serde-failure
+    fallback (oanda_client.rs:66-78). Element-level PriceLevel
+    validation is not enforced (documented divergence: from_json nulls
+    a bad array element's field where serde rejects the whole message).
     """
     v = F.col(col)
     # get_json_object returns null for non-JSON input → used both for the
     # malformed-line drop and for the discriminator.
     is_json = F.get_json_object(v, "$").isNotNull()
+    pt = F.from_json(v, PRICE_TICK)
+    hb = F.from_json(v, HEARTBEAT)
+    # from_json yields null for a missing or type-mismatched field — the
+    # closest Spark analog of a serde deserialization failure.
+    pt_valid = (pt["asks"].isNotNull() & pt["bids"].isNotNull()
+                & pt["closeoutAsk"].isNotNull() & pt["closeoutBid"].isNotNull()
+                & pt["instrument"].isNotNull() & pt["status"].isNotNull()
+                & pt["time"].isNotNull())
+    hb_valid = hb["time"].isNotNull()
+    is_hb = F.get_json_object(v, "$.type") == "HEARTBEAT"
+    has_instrument = F.get_json_object(v, "$.instrument").isNotNull()
     msg_type = (
-        F.when(F.get_json_object(v, "$.type") == "HEARTBEAT", F.lit("heartbeat"))
-         .when(F.get_json_object(v, "$.instrument").isNotNull(), F.lit("price_tick"))
+        F.when(is_hb & hb_valid, F.lit("heartbeat"))
+         .when(~is_hb & has_instrument & pt_valid, F.lit("price_tick"))
          .otherwise(F.lit("unknown"))
     )
     out = (
@@ -49,12 +66,10 @@ def route(df: DataFrame, col: str = "value") -> DataFrame:
           .withColumn("message_type", msg_type)
           .withColumn(
               "price_tick",
-              F.when(F.col("message_type") == "price_tick",
-                     F.from_json(v, PRICE_TICK)))
+              F.when(F.col("message_type") == "price_tick", pt))
           .withColumn(
               "heartbeat",
-              F.when(F.col("message_type") == "heartbeat",
-                     F.from_json(v, HEARTBEAT)))
+              F.when(F.col("message_type") == "heartbeat", hb))
           .withColumnRenamed(col, "raw")
     )
     return out.select("message_type", "price_tick", "heartbeat", "raw")

@@ -71,6 +71,27 @@ def test_heartbeats_are_data_rows(spark, tick_capture):
     assert hb.select("event_ts").collect()[0].event_ts is not None
 
 
+def test_schema_mismatch_demoted_to_unknown(spark, tmp_path):
+    # oanda_client.rs:66-78: a discriminator match whose payload fails
+    # serde (required field missing) falls back to Unknown — and Unknown
+    # is never published (main.rs:117-119)
+    src = tmp_path / "mismatch.ndjson"
+    src.write_text("\n".join([
+        # has "instrument" but no closeoutBid/closeoutAsk/time -> Unknown
+        '{"instrument":"EUR_USD","status":"tradeable","bids":[],"asks":[]}',
+        # heartbeat without time -> Unknown
+        '{"type":"HEARTBEAT"}',
+        # complete tick -> price_tick
+        '{"type":"PRICE","time":"2026-08-13T09:15:01Z","instrument":"EUR_USD",'
+        '"status":"tradeable","closeoutBid":"1.0","closeoutAsk":"1.1",'
+        '"bids":[],"asks":[]}',
+    ]) + "\n")
+    df = read_ticks(spark, str(src))
+    counts = dict(df.groupBy("message_type").count().collect())
+    assert counts == {"unknown": 2, "price_tick": 1}
+    assert publishable(df).count() == 1
+
+
 def test_nested_ladders_parsed(spark, tick_capture):
     df = read_ticks(spark, tick_capture)
     r = (df.where(F.col("price_tick.instrument") == "EUR_USD")
