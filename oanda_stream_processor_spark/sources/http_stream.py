@@ -53,6 +53,9 @@ class OandaStreamReader(DataSourceStreamReader):
         self.mode = options.get("mode", "replay")
         self.path = options.get("path")
         self.batch_lines = int(options.get("batch_lines", "1000"))
+        self.max_lines_per_trigger = int(
+            options.get("max_lines_per_trigger", "10000"))
+        self._cursor = 0  # highest offset handed to the engine so far
         if self.mode == "live":
             raise NotImplementedError(
                 "live HTTP mode needs the 'requests' package and network "
@@ -69,9 +72,14 @@ class OandaStreamReader(DataSourceStreamReader):
         return {"line": 0}
 
     def latestOffset(self) -> dict:
-        # cap batch growth — the reference's bounded-channel backpressure
-        # (main.rs:52) expressed as maxLinesPerTrigger
-        return {"line": self._line_count()}
+        # bounded-channel backpressure (reference main.rs:52): a large
+        # backlog drains max_lines_per_trigger lines per micro-batch
+        # instead of all at once. The cursor tracks the highest offset
+        # already handed out (commit() re-syncs it after a checkpoint
+        # restart, when this reader starts fresh at 0).
+        total = self._line_count()
+        self._cursor = min(total, self._cursor + self.max_lines_per_trigger)
+        return {"line": self._cursor}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["line"], end["line"]
@@ -92,7 +100,11 @@ class OandaStreamReader(DataSourceStreamReader):
                     yield (line.rstrip("\n"),)
 
     def commit(self, end: dict) -> None:
-        pass  # replay source has nothing to ack; live mode would ack here
+        # replay has nothing to ack (live mode would ack here); keep the
+        # backpressure cursor at least at the committed offset so a
+        # checkpoint-restarted reader doesn't re-ration already-consumed
+        # lines
+        self._cursor = max(self._cursor, end["line"])
 
 
 class OandaStreamDataSource(DataSource):

@@ -48,6 +48,23 @@ def test_oanda_stream_source_partition_ranges(tick_capture):
     assert len(got) == 7 and got[0].startswith('{"type":"PRICE"')
 
 
+def test_oanda_stream_backpressure_caps_trigger(tick_capture):
+    # a backlog larger than max_lines_per_trigger is rationed across
+    # triggers rather than consumed in one
+    r = OandaStreamReader({"mode": "replay", "path": tick_capture,
+                           "max_lines_per_trigger": "3"})
+    assert r.latestOffset() == {"line": 3}
+    assert r.latestOffset() == {"line": 6}
+    assert r.latestOffset() == {"line": 7}   # clamped at EOF
+    assert r.latestOffset() == {"line": 7}
+    # checkpoint-restart: a fresh reader whose commit() saw offset 6
+    # resumes rationing from there, not from zero
+    r2 = OandaStreamReader({"mode": "replay", "path": tick_capture,
+                            "max_lines_per_trigger": "3"})
+    r2.commit({"line": 6})
+    assert r2.latestOffset() == {"line": 7}
+
+
 def test_salted_join_matches_plain_join(spark):
     big = spark.range(0, 1000).select((F.col("id") % 3).alias("k"), "id")
     small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], ["k", "tag"])
