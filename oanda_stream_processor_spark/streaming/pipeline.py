@@ -70,11 +70,16 @@ def install_shutdown_handlers(handles: "PipelineHandles") -> None:
 def run_pipeline(spark: SparkSession, source_path: str, *,
                  checkpoint_dir: str,
                  publisher=None,
+                 publisher_factory=None,
                  verbose: bool = False,
                  parquet_out: str | None = None) -> PipelineHandles:
     """Assemble and start the sink set (each sink is its own query, its
     own checkpoint — independent progress, one bad sink never stops the
-    stream: invariant 4 generalized)."""
+    stream: invariant 4 generalized).
+
+    ``publisher`` drives the single-socket reference-parity edge;
+    ``publisher_factory`` the partition-parallel one (a publisher per
+    partition, opened executor-side). Either or both may run."""
     stream = build_stream(spark, source_path)
     handles = PipelineHandles()
     if verbose:  # K1 is conditional on -v (main.rs:46-47)
@@ -82,6 +87,9 @@ def run_pipeline(spark: SparkSession, source_path: str, *,
     if publisher is not None:
         handles.queries.append(
             sinks.start_publish_stream(stream, publisher, checkpoint_dir))
+    if publisher_factory is not None:
+        handles.queries.append(sinks.start_publish_stream_partitioned(
+            stream, publisher_factory, checkpoint_dir))
     if parquet_out is not None:
         handles.queries.append(sinks.start_parquet_stream(
             stream, parquet_out, os.path.join(checkpoint_dir)))

@@ -54,6 +54,30 @@ def test_pipeline_publish_file_sink(spark, tick_capture, tmp_path):
     assert all(f[0] >> 3 in (1, 2) for f in frames)  # oneof field 1|2
 
 
+def test_pipeline_publish_partitioned(spark, tick_capture, tmp_path):
+    # partition-parallel edge: one publisher per partition, frames fan
+    # into {base}.{uuid} files; total count is exactly the publishable set
+    import glob
+    from oanda_stream_processor_spark.streaming.sinks import (
+        PartitionedFilePublisherFactory)
+    base = str(tmp_path / "part.bin")
+    handles = run_pipeline(spark, tick_capture,
+                           checkpoint_dir=str(tmp_path / "ckpt"),
+                           publisher_factory=PartitionedFilePublisherFactory(base))
+    handles.process_all_available()
+    handles.stop()
+    frames = []
+    for path in glob.glob(base + ".*"):
+        data = open(path, "rb").read()
+        i = 0
+        while i < len(data):
+            ln = int.from_bytes(data[i:i + 4], "big")
+            frames.append(data[i + 4:i + 4 + ln])
+            i += 4 + ln
+    assert len(frames) == 4  # 3 ticks + 1 heartbeat; unknown excluded
+    assert all(f[0] >> 3 in (1, 2) for f in frames)
+
+
 def test_ohlc_candles_streaming(spark, tick_capture):
     stream = build_stream(spark, tick_capture)
     candles = ohlc_candles(stream, width="1 minute", watermark="0 seconds")
