@@ -77,11 +77,19 @@ FROM lineitem GROUP BY l_returnflag
 """)
 def q33_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # one percentile() buffer+sort serves all three quantiles (the agg
+    # accepts an array of percentages); three separate calls tripled the
+    # per-group value buffering and final sort
+    pcts = F.percentile("l_extendedprice",
+                        F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
     return (li.groupBy("l_returnflag")
-            .agg(F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
-                 F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
-                 F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
-                 F.round(F.median("l_quantity"), 4).alias("median_qty")))
+            .agg(pcts.alias("pcts"),
+                 F.round(F.median("l_quantity"), 4).alias("median_qty"))
+            .select("l_returnflag",
+                    F.round(F.col("pcts")[0], 4).alias("p50"),
+                    F.round(F.col("pcts")[1], 4).alias("p90"),
+                    F.round(F.col("pcts")[2], 4).alias("p99"),
+                    "median_qty"))
 
 
 # ---------------------------------------------------------------------------
