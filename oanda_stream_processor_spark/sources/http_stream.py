@@ -8,12 +8,17 @@ Spark 4 Python data source API: ``DataSource`` +
 ``DataSourceStreamReader`` with real offset/partition plumbing.
 
 Two modes:
-* live  — requests-based chunked GET (requires the ``requests``
-  package and network; raises a clear error when unavailable — this
-  container has neither).
+* live   — a driver-side thread holds the long-lived chunked GET
+  (requests; Authorization: Bearer like oanda_client.rs:26-29) and
+  frames NDJSON lines into a local spool file — a write-ahead log, so
+  offsets are replayable and the normal offset/partition machinery
+  serves micro-batches from the spool. A stream error is logged and
+  ends intake (the reference's loop-exit, oanda_client.rs:89-93) while
+  already-spooled lines keep draining. At cluster scale the same shape
+  is "ingest to Kafka, read with maxOffsetsPerTrigger".
 * replay — reads an NDJSON capture file as if it were the wire,
-  advancing a line-number offset per micro-batch. This is the tested
-  path and exactly the reference's input format.
+  advancing a line-number offset per micro-batch; identical wire
+  format, no network.
 
 Register and use::
 
@@ -21,6 +26,9 @@ Register and use::
     df = (spark.readStream.format("oanda_stream")
           .option("mode", "replay").option("path", capture)
           .option("batch_lines", "100").load())
+    # live: .option("mode", "live").option("url", cfg.stream_url())
+    #       .option("auth_token", cfg.auth_token)
+    #       .option("spool_dir", "/tmp/oanda-spool")
 
 The emitted rows are raw lines (``value`` string) — the same record
 unit as the file/Kafka sources, so functions.ticks.route() composes
@@ -29,14 +37,69 @@ unchanged downstream.
 
 from __future__ import annotations
 
+import logging
 import os
+import threading
+import uuid
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
                                     DataSourceStreamReader, InputPartition)
 from pyspark.sql.types import StringType, StructField, StructType
 
+log = logging.getLogger(__name__)
+
 SCHEMA = StructType([StructField("value", StringType())])
+
+try:
+    import requests
+    HAVE_REQUESTS = True
+except ImportError:  # pragma: no cover
+    requests = None
+    HAVE_REQUESTS = False
+
+
+class _LiveSpool:
+    """Driver-side intake thread: one long-lived chunked GET, each
+    received line appended to the spool file (blank keep-alives
+    included — the framing layer downstream skips them, S2)."""
+
+    def __init__(self, url: str, spool_path: str,
+                 auth_token: str | None = None, timeout_sec: float = 30.0):
+        self.url = url
+        self.spool_path = spool_path
+        self.error: Exception | None = None
+        self._headers = (
+            {"Authorization": f"Bearer {auth_token}"} if auth_token else {})
+        self._timeout = timeout_sec
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="oanda-live-spool")
+        self._thread.start()
+
+    def _run(self) -> None:
+        try:
+            with requests.get(self.url, headers=self._headers, stream=True,
+                              timeout=self._timeout) as resp:
+                resp.raise_for_status()  # oanda_client.rs:31 error_for_status
+                with open(self.spool_path, "ab") as f:
+                    for line in resp.iter_lines(delimiter=b"\n"):
+                        if self._stop.is_set():
+                            return
+                        f.write(line.rstrip(b"\r") + b"\n")
+                        f.flush()
+        except Exception as exc:  # noqa: BLE001 — reference exits its loop
+            log.error("live stream ended: %s", exc)
+            self.error = exc
+
+    def stop(self) -> None:
+        self._stop.set()
+
+
+# live spools are driver-process state; the reader instance is pickled to
+# executors for read(), so it must carry only the spool PATH, never the
+# thread — the registry keeps the unpicklable half here on the driver.
+_SPOOLS: dict[str, _LiveSpool] = {}
 
 
 @dataclass
@@ -56,12 +119,27 @@ class OandaStreamReader(DataSourceStreamReader):
         self.max_lines_per_trigger = int(
             options.get("max_lines_per_trigger", "10000"))
         self._cursor = 0  # highest offset handed to the engine so far
+        self._spool_key: str | None = None
         if self.mode == "live":
-            raise NotImplementedError(
-                "live HTTP mode needs the 'requests' package and network "
-                "access (absent in this environment); use mode=replay — "
-                "the wire format is identical (NDJSON lines)")
-        if not self.path or not os.path.exists(self.path):
+            if not HAVE_REQUESTS:
+                raise ImportError(
+                    "live HTTP mode needs the 'requests' package; "
+                    "use mode=replay (identical NDJSON wire format)")
+            url = options.get("url")
+            if not url:
+                raise ValueError(
+                    "live mode needs a 'url' option "
+                    "(e.g. Config.from_env().stream_url())")
+            spool_dir = options.get("spool_dir") or os.path.join(
+                os.environ.get("TMPDIR", "/tmp"), "oanda_stream_spool")
+            os.makedirs(spool_dir, exist_ok=True)
+            self.path = os.path.join(spool_dir, f"spool-{uuid.uuid4().hex}.ndjson")
+            open(self.path, "ab").close()  # offsets valid before first byte
+            self._spool_key = self.path
+            _SPOOLS[self._spool_key] = _LiveSpool(
+                url, self.path, auth_token=options.get("auth_token"),
+                timeout_sec=float(options.get("timeout_sec", "30")))
+        elif not self.path or not os.path.exists(self.path):
             raise ValueError(f"replay path not found: {self.path!r}")
 
     def _line_count(self) -> int:
@@ -100,11 +178,17 @@ class OandaStreamReader(DataSourceStreamReader):
                     yield (line.rstrip("\n"),)
 
     def commit(self, end: dict) -> None:
-        # replay has nothing to ack (live mode would ack here); keep the
-        # backpressure cursor at least at the committed offset so a
+        # the spool is the ack log (live) / nothing to ack (replay); keep
+        # the backpressure cursor at least at the committed offset so a
         # checkpoint-restarted reader doesn't re-ration already-consumed
         # lines
         self._cursor = max(self._cursor, end["line"])
+
+    def stop(self) -> None:
+        if self._spool_key is not None:
+            spool = _SPOOLS.pop(self._spool_key, None)
+            if spool is not None:
+                spool.stop()
 
 
 class OandaStreamDataSource(DataSource):

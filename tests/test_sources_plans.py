@@ -31,9 +31,94 @@ def test_oanda_stream_source_replay(spark, tick_capture):
     assert counts == {"price_tick": 3, "heartbeat": 1, "unknown": 1}
 
 
-def test_oanda_stream_source_live_mode_gated(tick_capture):
-    with pytest.raises(NotImplementedError, match="replay"):
-        OandaStreamReader({"mode": "live", "path": tick_capture})
+def test_oanda_stream_source_live_mode_requires_url(tick_capture):
+    with pytest.raises(ValueError, match="url"):
+        OandaStreamReader({"mode": "live"})
+
+
+def _serve_capture_chunked(capture: str, expect_token: str):
+    """Local stand-in for the OANDA pricing stream: one chunked GET
+    response framing the capture's lines (the reference's exact wire
+    shape, oanda_client.rs:34-39)."""
+    import http.server
+    import threading
+
+    data = open(capture, "rb").read()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            if self.headers.get("Authorization") != f"Bearer {expect_token}":
+                self.send_response(401)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Transfer-Encoding", "chunked")
+            self.send_header("Content-Type", "application/octet-stream")
+            self.end_headers()
+            for line in data.splitlines(keepends=True):
+                self.wfile.write(f"{len(line):x}\r\n".encode() + line + b"\r\n")
+            self.wfile.write(b"0\r\n\r\n")
+
+        def log_message(self, *a):  # noqa: D102
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}/stream"
+
+
+def test_oanda_stream_source_live_http(spark, tick_capture, tmp_path):
+    """The real wire path: chunked GET -> spool -> micro-batches."""
+    import time
+
+    srv, url = _serve_capture_chunked(tick_capture, expect_token="tok")
+    try:
+        spark.dataSource.register(OandaStreamDataSource)
+        lines = (spark.readStream.format("oanda_stream")
+                 .option("mode", "live").option("url", url)
+                 .option("auth_token", "tok")
+                 .option("spool_dir", str(tmp_path / "spool")).load())
+        parsed = derive_tick_columns(route(nonblank_lines(lines)))
+        name = f"t{uuid.uuid4().hex[:8]}"
+        q = (parsed.writeStream.format("memory").queryName(name).start())
+        try:
+            deadline = time.time() + 30
+            want = {"price_tick": 3, "heartbeat": 1, "unknown": 1}
+            while time.time() < deadline:
+                got = dict(spark.sql(
+                    f"SELECT message_type, count(*) c FROM {name} "
+                    "GROUP BY 1").collect())
+                if got == want:
+                    break
+                time.sleep(0.5)
+            assert got == want
+        finally:
+            q.stop()
+    finally:
+        srv.shutdown()
+
+
+def test_oanda_stream_source_live_bad_token_spools_nothing(tick_capture, tmp_path):
+    # 401 -> error_for_status -> intake ends with the error recorded
+    # (reference loop-exit, oanda_client.rs:89-93); no lines spool
+    import time
+
+    from oanda_stream_processor_spark.sources.http_stream import _SPOOLS
+
+    srv, url = _serve_capture_chunked(tick_capture, expect_token="tok")
+    try:
+        r = OandaStreamReader({"mode": "live", "url": url,
+                               "auth_token": "wrong",
+                               "spool_dir": str(tmp_path / "spool")})
+        spool = _SPOOLS[r.path]
+        deadline = time.time() + 10
+        while time.time() < deadline and spool.error is None:
+            time.sleep(0.1)
+        assert spool.error is not None
+        assert r.latestOffset() == {"line": 0}
+        r.stop()
+    finally:
+        srv.shutdown()
 
 
 def test_oanda_stream_source_partition_ranges(tick_capture):
