@@ -174,10 +174,21 @@ def q51_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # min hash of every 4-position window; the distinct kept hashes are the
 # doc's fingerprints.
 # ---------------------------------------------------------------------------
+HASH_BASE = 131            # polynomial gram-hash base
+HASH_MOD = 1_000_000_007   # prime modulus; h < 2^30, products fit int64
+
+# DuckDB gram hash: the same left-to-right polynomial fold, unrolled
+# (ASCII returns INT32 — the first term casts to BIGINT so the fold
+# stays in 64-bit the whole way).
+_SQL_GRAM_H = "CAST(ASCII(SUBSTR(text, CAST(pos AS INTEGER), 1)) AS BIGINT)"
+for _i in range(1, GRAM):
+    _SQL_GRAM_H = (f"(({_SQL_GRAM_H}) * {HASH_BASE} + "
+                   f"ASCII(SUBSTR(text, CAST(pos+{_i} AS INTEGER), 1))) "
+                   f"% {HASH_MOD}")
+
 @query("q52_fingerprint", f"""
 WITH grams AS (
-  SELECT doc_id, pos, n_pos,
-         MD5(SUBSTR(text, CAST(pos AS INTEGER), {GRAM})) AS h
+  SELECT doc_id, pos, n_pos, {_SQL_GRAM_H} AS h
   FROM (SELECT doc_id, text, LENGTH(text) - {GRAM} + 1 AS n_pos,
                UNNEST(RANGE(1, LENGTH(text) - {GRAM} + 2)) AS pos
         FROM documents)),
@@ -193,13 +204,20 @@ GROUP BY doc_id
 def q52_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing entirely inside ONE per-document projection: the gram
     hashes, the per-window minima, and the distinct fingerprints are
-    array HOFs over the row's own text — no explode (corpus-length row
-    blowup), no window sort, no shuffle at all until nothing is left to
-    shuffle. Fingerprints compare as md5 hex strings (hex lexicographic
-    == numeric order, identical in both engines), dropping the old
-    per-position base-16 string conversion.
+    array expressions over the row's own text — no explode
+    (corpus-length row blowup), no window sort, no shuffle at all until
+    nothing is left to shuffle.
 
-    The per-row gram array is O(len(text)) strings, fine for web-scale
+    Gram hash = base-131 polynomial of the char codes mod 1e9+7:
+    pure 64-bit integer arithmetic that both engines compute exactly
+    (replacing md5 — a per-call MessageDigest + hex compare that
+    dominated the runtime; DuckDB lacks xxhash64, so a cheap hash with
+    cross-engine parity has to be arithmetic). The codepoint array is
+    built once per document, then each position folds 8 element_at's —
+    no per-position substring rescans (Spark's UTF8String.substring is
+    O(pos)) and no per-window array allocation (least() over 4 reads).
+
+    The per-row arrays are O(len(text)) ints, fine for web-scale
     documents (<= a few MB); a corpus of pathological single-documents
     (GBs of text in one row) would want the exploded window formulation
     instead, at the cost of a corpus-wide shuffle.
@@ -208,13 +226,19 @@ def q52_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # docs shorter than one full winnow window emit no fingerprint rows
     # (same contract as the oracle's pos <= n_pos - WINNOW + 1 filter)
     d = d.where(F.length("text") >= GRAM + WINNOW - 1)
+    codes = F.transform(F.split("text", ""), lambda c: F.ascii(c))
+    acc = "cast(element_at(codes, p) as bigint)"
+    for i in range(1, GRAM):
+        acc = (f"(({acc}) * {HASH_BASE} + element_at(codes, p + {i})) "
+               f"% {HASH_MOD}")
     grams = F.expr(
-        f"transform(sequence(1, length(text) - {GRAM - 1}), "
-        f"p -> md5(cast(substring(text, p, {GRAM}) as binary)))")
+        f"transform(sequence(1, size(codes) - {GRAM - 1}), p -> {acc})")
+    winmin = ", ".join(f"element_at(grams, p + {j})" for j in range(WINNOW))
     fps = F.expr(
         f"array_distinct(transform(sequence(1, size(grams) - {WINNOW - 1}), "
-        f"p -> array_min(slice(grams, p, {WINNOW}))))")
-    return (d.select("doc_id", grams.alias("grams"))
+        f"p -> least({winmin})))")
+    return (d.select("doc_id", codes.alias("codes"))
+             .select("doc_id", grams.alias("grams"))
              .select("doc_id", fps.alias("fps"))
              .select("doc_id",
                      F.size("fps").cast("long").alias("n_fingerprints"),
