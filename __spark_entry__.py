@@ -18,6 +18,7 @@ from oanda_stream_processor_spark.operators import (
     asof,
     dedup,
     extras,
+    llmprep,
     multimodal,
     relational,
     scalar,
@@ -40,6 +41,7 @@ _MODULES = [
     udfs,
     extras,
     stats,
+    llmprep,
 ]
 
 

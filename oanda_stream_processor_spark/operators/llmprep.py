@@ -1,0 +1,217 @@
+"""Training-data preparation operators (north-star extension;
+SURVEY.md §2.2 'LLM-pipeline extensions', second batch).
+
+The curation steps a 100 TB corpus pipeline runs between dedup and
+tokenization: TF-IDF term weighting, fixed-stride token chunking,
+pattern redaction (PII-shaped), deterministic stratified sampling, and
+vocabulary construction. All pure built-in expressions — zero Python
+UDFs — with DuckDB oracle twins.
+
+Scale notes (100 TB):
+* tfidf — one token explode + two map-side-combinable groupBys (tf per
+  (doc, term); df per term); the df table is tiny after aggregation and
+  broadcasts. Per-doc top-k is a window over (doc) — the shuffle is on
+  doc_id, uniform.
+* chunking — per-row array HOFs (no explode until the final chunk
+  rows); output row count = ceil(tokens/stride) per doc, linear.
+* redaction — per-row regexp projection; no shuffle.
+* sampling — keep/drop decided by md5(doc_id) mod 100: deterministic,
+  seedless, reproducible on any engine and any cluster size, and
+  resample-stable under repartitioning (the property `TABLESAMPLE`
+  lacks). One map-side-combinable groupBy for the per-stratum audit.
+* vocab — one explode + one map-side-combinable count groupBy; top-k
+  via TakeOrdered-shaped window on a frame that is already tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+CHUNK = 16        # tokens per chunk
+STRIDE = 12       # tokens between chunk starts (CHUNK-STRIDE overlap)
+TOP_TERMS = 3     # tf-idf terms kept per document
+VOCAB_K = 20      # vocabulary entries kept
+SAMPLE_PCT = 20   # stratified sample keep-rate (percent)
+
+REDACT_TERMS = ("customer", "supplier")   # entity terms, hit the fixture
+RE_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+RE_PHONE = "\\+?[0-9][0-9 ()-]{7,}[0-9]"
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+SQL_TOKS = ("SELECT doc_id, lang, LIST_FILTER(STRING_SPLIT(text, ' '), "
+            "x -> x <> '') AS toks FROM documents")
+
+
+def _toks(d: DataFrame) -> DataFrame:
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    return d.select("doc_id", "lang", toks.alias("toks"))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF: tf = in-doc term count, idf = ln((N+1)/(df+1)) (smoothed),
+# top TOP_TERMS terms per doc by rounded score. Rounding before ranking
+# makes the order robust to last-ulp ln() differences across engines.
+# ---------------------------------------------------------------------------
+@query("q74_tfidf_top_terms", f"""
+WITH tok AS (SELECT doc_id, UNNEST(toks) AS term FROM ({SQL_TOKS})),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * LN((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, term, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rank
+  FROM scored)
+SELECT doc_id, term, score, rank FROM ranked WHERE rank <= {TOP_TERMS}
+""")
+def q74_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = _toks(d).select("doc_id", F.explode("toks").alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # one tiny scalar; embedded as a literal
+    score = F.round(
+        F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6)
+    scored = (tf.join(F.broadcast(df), "term")
+              .select("doc_id", "term", score.alias("score")))
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= TOP_TERMS)
+            .select("doc_id", "term", "score", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# Token-window chunking: fixed CHUNK-token windows every STRIDE tokens
+# (the standard overlapping-context split before tokenization).
+# ---------------------------------------------------------------------------
+@query("q75_doc_chunks", f"""
+WITH t AS (SELECT doc_id, toks FROM ({SQL_TOKS}) WHERE LEN(toks) > 0),
+starts AS (
+  SELECT doc_id, toks,
+         UNNEST(RANGE(0, GREATEST(LEN(toks) - {CHUNK - STRIDE}, 1), {STRIDE}))
+           AS start
+  FROM t)
+SELECT doc_id, CAST(start / {STRIDE} AS BIGINT) AS chunk_id,
+       CAST(LEN(LIST_SLICE(toks, start + 1, start + {CHUNK})) AS INTEGER)
+         AS n_tokens,
+       ARRAY_TO_STRING(LIST_SLICE(toks, start + 1, start + {CHUNK}), ' ')
+         AS chunk_text
+FROM starts
+""")
+def q75_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = _toks(d).where(F.size("toks") > 0)
+    # chunk starts: 0, STRIDE, 2*STRIDE, ... while start < len-(CHUNK-STRIDE)
+    # (last window may be short but never empty; every token is covered)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("toks") - (CHUNK - STRIDE + 1), F.lit(0)),
+        F.lit(STRIDE))
+    chunk = F.slice("toks", F.col("start") + 1, CHUNK)
+    return (t.select("doc_id", "toks", F.explode(starts).alias("start"))
+            .select("doc_id",
+                    (F.col("start") / STRIDE).cast("long").alias("chunk_id"),
+                    F.size(chunk).cast("int").alias("n_tokens"),
+                    F.array_join(chunk, " ").alias("chunk_text")))
+
+
+# ---------------------------------------------------------------------------
+# Pattern redaction: email/phone (PII shapes; zero-hit on the synthetic
+# fixture, verifying the no-op path) + entity-term redaction (hits).
+# ---------------------------------------------------------------------------
+_SQL_TERM_ALT = "|".join(REDACT_TERMS)
+
+@query("q76_redaction", f"""
+SELECT doc_id,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '{RE_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '{RE_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '\\b({_SQL_TERM_ALT})\\b')) AS BIGINT)
+         AS n_entities,
+       MD5(REGEXP_REPLACE(
+             REGEXP_REPLACE(
+               REGEXP_REPLACE(text, '{RE_EMAIL}', '[EMAIL]', 'g'),
+               '{RE_PHONE}', '[PHONE]', 'g'),
+             '\\b({_SQL_TERM_ALT})\\b', '[ENTITY]', 'g')) AS redacted_md5
+FROM documents
+""")
+def q76_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    term_re = f"\\b({_SQL_TERM_ALT})\\b"
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", RE_EMAIL, "[EMAIL]"),
+            RE_PHONE, "[PHONE]"),
+        term_re, "[ENTITY]")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(RE_EMAIL)).alias("n_emails"),
+        F.regexp_count("text", F.lit(RE_PHONE)).alias("n_phones"),
+        F.regexp_count("text", F.lit(term_re)).alias("n_entities"),
+        F.md5(redacted.cast("binary")).alias("redacted_md5"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling: md5(doc_id) mod 100 < SAMPLE_PCT.
+# Seedless, engine-independent, repartition-stable — the reproducibility
+# a TABLESAMPLE lacks. Audit: per-stratum totals + achieved rate.
+# ---------------------------------------------------------------------------
+_SQL_KEEP = (f"CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15) "
+             f"AS BIGINT) % 100 < {SAMPLE_PCT}")
+
+@query("q77_stratified_sample", f"""
+SELECT lang,
+       COUNT(*) AS n_total,
+       SUM(CASE WHEN {_SQL_KEEP} THEN 1 ELSE 0 END) AS n_sampled,
+       ROUND(SUM(CASE WHEN {_SQL_KEEP} THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS rate
+FROM documents GROUP BY lang
+""")
+def q77_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    digest = F.conv(F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+    keep = (digest.cast("bigint") % 100 < SAMPLE_PCT).cast("int")
+    return (d.groupBy("lang")
+            .agg(F.count("*").alias("n_total"),
+                 F.sum(keep).alias("n_sampled"),
+                 F.round(F.sum(keep) / F.count("*").cast("double"), 4)
+                  .alias("rate")))
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary construction: corpus-wide token counts, top VOCAB_K by
+# (count desc, token) — the first step of tokenizer training.
+# ---------------------------------------------------------------------------
+@query("q78_vocab_topk", f"""
+WITH tok AS (SELECT UNNEST(toks) AS token FROM ({SQL_TOKS})),
+counts AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token)
+SELECT token, n,
+       ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank
+FROM counts ORDER BY rank LIMIT {VOCAB_K}
+""")
+def q78_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = _toks(d).select(F.explode("toks").alias("token"))
+    counts = tok.groupBy("token").agg(F.count("*").alias("n"))
+    w = W.orderBy(F.desc("n"), F.asc("token"))
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= VOCAB_K))
