@@ -6,16 +6,19 @@ MinHash+LSH banding, SimHash, and n-gram Jaccard similarity — all as
 compositions of built-in DataFrame ops (no Python UDFs), so the whole
 family runs JVM-side and scales by partitioned shuffle.
 
-Determinism: every hash is md5 (identical across engines); minhash
-minima are lexicographic mins over md5 hex strings; simhash is pure
-integer math on a 60-bit prefix of md5 — so each operator is
-bit-reproducible and oracle-checkable in DuckDB.
+Determinism: exact dedup keys on md5 of the content; the minhash /
+banding family uses base-131/137 polynomial hashes mod 1e9+7 with K
+affine universal transforms — pure 64-bit integer arithmetic both
+engines compute exactly (one string hash per TOKEN, reused by every
+shingle and every minhash seed, instead of K digest calls per
+shingle). Jaccard joins on raw shingle strings (exact, no hash).
 
 Scale notes (100 TB):
 * exact dedup — one hash-shuffle on the digest; at scale the groupBy key
   is the md5, uniformly distributed → no skew.
-* minhash — explode to (doc, shingle), ONE map-side-combinable groupBy
-  computes all K minima; signature rows are tiny (doc_id + K hex).
+* minhash — token hashes fold once per document row (array HOFs, no
+  explode until the shingle-hash rows); ONE map-side-combinable groupBy
+  computes all K minima; signature rows are tiny (doc_id + K longs).
   LSH banding joins on (band_id, band_key) — uniformly distributed keys;
   candidate verification is per-bucket, never all-pairs.
 * simhash — explode × 60 bit-positions stays linear in corpus size;
@@ -39,6 +42,16 @@ BAND_ROWS = 2         # rows per LSH band -> 4 bands
 N_BANDS = N_HASHES // BAND_ROWS
 SIM_BITS = 60         # simhash width (60-bit md5 prefix fits a signed i64)
 
+HB = 131              # char-level polynomial base
+SB = 137              # token-level (shingle) polynomial base
+HM = 1_000_000_007    # prime modulus; a*h < ~1e18 stays inside int64
+
+# K affine universal-hash coefficients (a_s, b_s) — deterministic
+# pseudo-random odd constants < HM, embedded identically in both plans.
+_AFFINE = [(2 * ((s * 40_503_341 + 9_619_387) % (HM // 2)) + 1,
+            (s * 83_476_211 + 4_257_433) % HM)
+           for s in range(N_HASHES)]
+
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
@@ -60,6 +73,19 @@ SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(LEN(toks) - 2),
 FROM ({SQL_TOKS}) WHERE LEN(toks) >= 3
 """
 
+# per-token polynomial char hash: LIST_REDUCE starts from the first
+# element, which equals Spark's init-0 fold ((0*HB + c0) % HM == c0)
+_SQL_TOKH = (f"LIST_TRANSFORM(toks, t -> LIST_REDUCE("
+             f"LIST_TRANSFORM(RANGE(LENGTH(t)), "
+             f"i -> CAST(ASCII(SUBSTR(t, CAST(i+1 AS INTEGER), 1)) AS BIGINT)), "
+             f"(acc, x) -> (acc * {HB} + x) % {HM}))")
+# shingle hash combines 3 consecutive token hashes
+SQL_SHINGLE_HASHES = f"""
+SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(LEN(th) - 2),
+       i -> ((th[i+1] * {SB} + th[i+2]) % {HM} * {SB} + th[i+3]) % {HM})) AS sh
+FROM (SELECT doc_id, {_SQL_TOKH} AS th FROM ({SQL_TOKS}) WHERE LEN(toks) >= 3)
+"""
+
 
 def _spark_shingles(d: DataFrame) -> DataFrame:
     """(doc_id, shingle) — word 3-grams, JVM-side array lambdas."""
@@ -71,6 +97,24 @@ def _spark_shingles(d: DataFrame) -> DataFrame:
                               F.element_at("toks", i + 2),
                               F.element_at("toks", i + 3)))
     return d.select("doc_id", F.explode(shingles).alias("shingle"))
+
+
+def _spark_shingle_hashes(d: DataFrame) -> DataFrame:
+    """(doc_id, sh) — the 3-gram's polynomial hash: one char fold per
+    TOKEN, then 3 element_at's + arithmetic per shingle. Matches
+    SQL_SHINGLE_HASHES bit-for-bit (identical fold order, int64)."""
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    d = d.select("doc_id", toks.alias("toks")).where(F.size("toks") >= 3)
+    tok_h = F.expr(
+        f"transform(toks, t -> aggregate(transform(split(t, ''), "
+        f"c -> cast(ascii(c) as bigint)), 0L, "
+        f"(acc, x) -> (acc * {HB} + x) % {HM}))")
+    d = d.select("doc_id", tok_h.alias("th"))
+    sh = F.expr(
+        f"transform(sequence(1, size(th) - 2), i -> "
+        f"((element_at(th, i) * {SB} + element_at(th, i + 1)) % {HM} "
+        f"* {SB} + element_at(th, i + 2)) % {HM})")
+    return d.select("doc_id", F.explode(sh).alias("sh"))
 
 
 # ---------------------------------------------------------------------------
@@ -91,37 +135,41 @@ def q40_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# MinHash signatures: K independent permutations simulated by seeded md5;
-# the signature is the per-seed lexicographic min over shingle hashes.
+# MinHash signatures: K independent permutations simulated by affine
+# universal hashes (a_s·sh + b_s) mod p over the shingle's polynomial
+# hash; the signature is the per-permutation min. One string hash per
+# token total — the K permutations are integer transforms, not digests.
 # ---------------------------------------------------------------------------
 _MINHASH_AGGS_SQL = ",\n       ".join(
-    f"MIN(MD5('{s}|' || shingle)) AS h{s}" for s in range(N_HASHES))
+    f"MIN((sh * {a} + {b}) % {HM}) AS h{s}"
+    for s, (a, b) in enumerate(_AFFINE))
 
 @query("q41_minhash_signature", f"""
 SELECT doc_id,
        {_MINHASH_AGGS_SQL}
-FROM ({SQL_SHINGLES})
+FROM ({SQL_SHINGLE_HASHES})
 GROUP BY doc_id
 """)
 def q41_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _spark_shingles(load_table(spark, sf_dir, "documents"))
-    aggs = [F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")).cast("binary")))
-             .alias(f"h{s}") for s in range(N_HASHES)]
+    sh = _spark_shingle_hashes(load_table(spark, sf_dir, "documents"))
+    aggs = [F.min((F.col("sh") * a + b) % HM).alias(f"h{s}")
+            for s, (a, b) in enumerate(_AFFINE)]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
 # ---------------------------------------------------------------------------
-# LSH banding on the minhash signature: band key = md5 of the band's rows;
-# docs sharing any band key are candidate near-duplicates.
+# LSH banding on the minhash signature: band key = the band's minima
+# joined as a string; docs sharing any band key are candidate near-dups.
 # ---------------------------------------------------------------------------
 _BAND_KEYS_SQL = ", ".join(
-    "MD5(" + " || ".join(f"h{b * BAND_ROWS + r}" for r in range(BAND_ROWS)) + f") AS band{b}"
+    " || '|' || ".join(f"CAST(h{b * BAND_ROWS + r} AS VARCHAR)"
+                       for r in range(BAND_ROWS)) + f" AS band{b}"
     for b in range(N_BANDS))
 
 @query("q42_lsh_candidates", f"""
 WITH sig AS (
   SELECT doc_id, {_MINHASH_AGGS_SQL}
-  FROM ({SQL_SHINGLES}) GROUP BY doc_id),
+  FROM ({SQL_SHINGLE_HASHES}) GROUP BY doc_id),
 bands AS (
   SELECT doc_id, {_BAND_KEYS_SQL} FROM sig),
 flat AS (
@@ -145,8 +193,8 @@ def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sig = q41_minhash_signature(spark, sf_dir)
     band_key = [
-        F.md5(F.concat(*[F.col(f"h{b * BAND_ROWS + r}") for r in range(BAND_ROWS)])
-              .cast("binary")).alias(f"band{b}")
+        F.concat_ws("|", *[F.col(f"h{b * BAND_ROWS + r}").cast("string")
+                           for r in range(BAND_ROWS)]).alias(f"band{b}")
         for b in range(N_BANDS)
     ]
     bands = sig.select("doc_id", *band_key)
@@ -265,7 +313,7 @@ def q44_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CANDIDATES_SQL = f"""
 sig AS (
   SELECT doc_id, {_MINHASH_AGGS_SQL}
-  FROM ({SQL_SHINGLES}) GROUP BY doc_id),
+  FROM ({SQL_SHINGLE_HASHES}) GROUP BY doc_id),
 bands AS (
   SELECT doc_id, {_BAND_KEYS_SQL} FROM sig),
 flat AS (
