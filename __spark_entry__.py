@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 # drop its whole query family from the driver's correctness run.
 from oanda_stream_processor_spark.operators import (
     asof,
+    curation,
     dedup,
     extras,
     llmprep,
@@ -42,6 +43,7 @@ _MODULES = [
     extras,
     stats,
     llmprep,
+    curation,
 ]
 
 

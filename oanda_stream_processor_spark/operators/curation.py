@@ -1,0 +1,242 @@
+"""Corpus-curation operators (north-star extension; SURVEY.md §2.2
+'LLM-pipeline extensions', third batch).
+
+The quality/safety gates a 100 TB pretraining pipeline runs before
+tokenization: Gopher/C4-style repetition filters, benchmark-
+contamination detection via n-gram overlap, greedy sequence packing
+into fixed token budgets, and a recursive-CTE hierarchy walk (Spark
+4.x `WITH RECURSIVE`). All pure built-in expressions — zero Python
+UDFs — with DuckDB oracle twins.
+
+Scale notes (100 TB):
+* repetition filter — pure per-row projection (array HOFs compute the
+  bigram set in-place); NO shuffle anywhere. The cheapest possible
+  shape: runs at scan speed, pushes column pruning to the reader.
+* contamination — the benchmark gram set is tiny relative to the
+  corpus (benchmarks are MBs, corpora are TBs): distinct-reduce it,
+  then BROADCAST it; the corpus side streams through a broadcast hash
+  join with no big-side shuffle. Gram hashes are the same base-131/137
+  polynomial ints the dedup family uses (no digest machinery).
+* packing — one window per (lang) partition ordered by doc_id (the
+  shuffle key is the stratum, uniform), then a map-side-combinable
+  groupBy on (lang, pack_id). At 100 TB the window partitions by the
+  stratum key and each stratum streams in sorted order — no global
+  sort, no driver state.
+* hierarchy walk — recursion depth is the number of key digits
+  (log10 n: 7 levels at 10M customers); each level is one
+  self-union; Spark's recursive CTE executes it as an iterative
+  union with AQE sizing each step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from .dedup import HB, HM, SB, SQL_TOKS
+from .llmprep import SQL_TOKS as SQL_TOKS_LANG  # includes the lang column
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+CONTAM_GRAM = 5       # token n-gram width for contamination checks
+BENCH_MOD = 97        # doc_id % BENCH_MOD == 0 -> "benchmark" member
+PACK_BUDGET = 256     # tokens per training sequence (packing bin)
+MAX_DUP_BIGRAM = 0.20  # repetition-filter thresholds (Gopher-style)
+MIN_CHARS_PER_TOK = 3.0
+MAX_CHARS_PER_TOK = 12.0
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# q79 — Gopher/C4-style repetition + length quality filter.
+# Per-document: token count, duplicate-token fraction, duplicate-bigram
+# fraction, chars-per-token; `keep` applies the standard thresholds.
+# Everything is a per-row array expression: zero shuffles.
+# ---------------------------------------------------------------------------
+@query("q79_repetition_filter", f"""
+WITH t AS (
+  SELECT doc_id, toks, n_chars FROM (
+    SELECT doc_id, n_chars,
+           LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS toks
+    FROM documents) WHERE LEN(toks) >= 2),
+m AS (
+  SELECT doc_id,
+         LEN(toks) AS n_tokens,
+         LEN(LIST_DISTINCT(toks)) AS n_unique,
+         LEN(LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(toks)),
+             i -> LIST_EXTRACT(toks, i) || ' ' || LIST_EXTRACT(toks, i + 1))))
+           AS n_unique_bigrams,
+         n_chars FROM t)
+SELECT doc_id, n_tokens,
+       ROUND(1.0 - n_unique / CAST(n_tokens AS DOUBLE), 4) AS dup_token_frac,
+       ROUND(1.0 - n_unique_bigrams / CAST(n_tokens - 1 AS DOUBLE), 4)
+         AS dup_bigram_frac,
+       ROUND(n_chars / CAST(n_tokens AS DOUBLE), 4) AS chars_per_tok,
+       (1.0 - n_unique_bigrams / CAST(n_tokens - 1 AS DOUBLE)
+          <= {MAX_DUP_BIGRAM}
+        AND n_chars / CAST(n_tokens AS DOUBLE) >= {MIN_CHARS_PER_TOK}
+        AND n_chars / CAST(n_tokens AS DOUBLE) <= {MAX_CHARS_PER_TOK})
+         AS keep
+FROM m
+""")
+def q79_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    t = (d.select("doc_id", "n_chars", toks.alias("toks"))
+         .where(F.size("toks") >= 2))
+    bigrams = F.zip_with(
+        F.slice("toks", 1, F.size("toks") - 1),
+        F.slice("toks", 2, F.size("toks") - 1),
+        lambda a, b: F.concat_ws(" ", a, b))
+    m = t.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_unique"),
+        F.size(F.array_distinct(bigrams)).alias("n_unique_bigrams"),
+        "n_chars")
+    dup_tok = 1.0 - F.col("n_unique") / F.col("n_tokens").cast("double")
+    dup_big = (1.0 - F.col("n_unique_bigrams")
+               / (F.col("n_tokens") - 1).cast("double"))
+    cpt = F.col("n_chars") / F.col("n_tokens").cast("double")
+    return m.select(
+        "doc_id", "n_tokens",
+        F.round(dup_tok, 4).alias("dup_token_frac"),
+        F.round(dup_big, 4).alias("dup_bigram_frac"),
+        F.round(cpt, 4).alias("chars_per_tok"),
+        ((dup_big <= MAX_DUP_BIGRAM)
+         & (cpt >= MIN_CHARS_PER_TOK)
+         & (cpt <= MAX_CHARS_PER_TOK)).alias("keep"))
+
+
+# ---------------------------------------------------------------------------
+# q80 — benchmark-contamination check: which corpus documents share
+# CONTAM_GRAM-token n-grams with the "benchmark" subset
+# (doc_id % BENCH_MOD == 0 stands in for an eval set). Gram identity is
+# the dedup family's polynomial hash chain: one char-fold per token,
+# then a SB-base fold across the n-gram — pure int64 arithmetic.
+# ---------------------------------------------------------------------------
+_SQL_TOKH = (f"LIST_TRANSFORM(toks, t -> LIST_REDUCE("
+             f"LIST_TRANSFORM(RANGE(LENGTH(t)), "
+             f"i -> CAST(ASCII(SUBSTR(t, CAST(i+1 AS INTEGER), 1)) AS BIGINT)), "
+             f"(acc, x) -> (acc * {HB} + x) % {HM}))")
+
+_SQL_GRAMS = f"""
+SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+         RANGE(LEN(th) - {CONTAM_GRAM - 1}),
+         i -> ((((th[i+1] * {SB} + th[i+2]) % {HM} * {SB} + th[i+3]) % {HM}
+                * {SB} + th[i+4]) % {HM} * {SB} + th[i+5]) % {HM}))) AS gh
+FROM (SELECT doc_id, {_SQL_TOKH} AS th FROM ({SQL_TOKS})
+      WHERE LEN(toks) >= {CONTAM_GRAM})
+"""
+
+@query("q80_contamination", f"""
+WITH grams AS ({_SQL_GRAMS}),
+bench AS (SELECT DISTINCT doc_id AS bench_id, gh FROM grams
+          WHERE doc_id % {BENCH_MOD} = 0),
+corpus AS (SELECT doc_id, gh FROM grams WHERE doc_id % {BENCH_MOD} <> 0)
+SELECT c.doc_id,
+       COUNT(DISTINCT c.gh) AS n_overlap_grams,
+       COUNT(DISTINCT b.bench_id) AS n_bench_docs
+FROM corpus c JOIN bench b USING (gh)
+GROUP BY c.doc_id
+""")
+def q80_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    t = (d.select("doc_id", toks.alias("toks"))
+         .where(F.size("toks") >= CONTAM_GRAM))
+    tok_h = F.expr(
+        f"transform(toks, t -> aggregate(transform(split(t, ''), "
+        f"c -> cast(ascii(c) as bigint)), 0L, "
+        f"(acc, x) -> (acc * {HB} + x) % {HM}))")
+    th = t.select("doc_id", tok_h.alias("th"))
+    gram = F.expr(
+        f"array_distinct(transform(sequence(1, size(th) - {CONTAM_GRAM - 1}), "
+        f"i -> ((((element_at(th, i) * {SB} + element_at(th, i + 1)) % {HM} "
+        f"* {SB} + element_at(th, i + 2)) % {HM} "
+        f"* {SB} + element_at(th, i + 3)) % {HM} "
+        f"* {SB} + element_at(th, i + 4)) % {HM}))")
+    grams = th.select("doc_id", F.explode(gram).alias("gh"))
+    bench = (grams.where(F.col("doc_id") % BENCH_MOD == 0)
+             .select(F.col("doc_id").alias("bench_id"), "gh").distinct())
+    corpus = grams.where(F.col("doc_id") % BENCH_MOD != 0)
+    return (corpus.join(F.broadcast(bench), "gh")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("gh").alias("n_overlap_grams"),
+                 F.countDistinct("bench_id").alias("n_bench_docs")))
+
+
+# ---------------------------------------------------------------------------
+# q81 — greedy sequence packing: fill PACK_BUDGET-token training bins
+# with consecutive documents per language stratum. A document is
+# assigned to the bin its running total starts in (contiguous fill —
+# deterministic, single window pass, no bin-state loop).
+# ---------------------------------------------------------------------------
+@query("q81_sequence_packing", f"""
+WITH t AS (SELECT doc_id, lang, LEN(toks) AS n_tokens FROM ({SQL_TOKS_LANG})
+           WHERE LEN(toks) > 0),
+c AS (SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+SELECT lang,
+       (cum - n_tokens) // {PACK_BUDGET} AS pack_id,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS pack_tokens,
+       ROUND(SUM(n_tokens) / CAST({PACK_BUDGET} AS DOUBLE), 4) AS fill_rate
+FROM c GROUP BY lang, pack_id
+""")
+def q81_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    t = (d.select("doc_id", "lang", F.size(toks).alias("n_tokens"))
+         .where(F.col("n_tokens") > 0))
+    w = (W.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    pack = F.floor((F.col("cum") - F.col("n_tokens")) / PACK_BUDGET)
+    return (c.select("lang", pack.alias("pack_id"), "n_tokens")
+            .groupBy("lang", "pack_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("pack_tokens"),
+                 F.round(F.sum("n_tokens") / float(PACK_BUDGET), 4)
+                  .alias("fill_rate")))
+
+
+# ---------------------------------------------------------------------------
+# q82 — recursive CTE (Spark 4.x WITH RECURSIVE): walk the implicit
+# decimal hierarchy parent(c) = c div 10 from every customer up to the
+# root, then profile the tree by depth. Exercises the recursive-query
+# machinery end-to-end against DuckDB's implementation of the same SQL.
+# ---------------------------------------------------------------------------
+_RECURSIVE_SQL = """
+WITH RECURSIVE walk (custkey, node, depth) AS (
+  SELECT CAST(c_custkey AS BIGINT) AS custkey,
+         CAST(c_custkey AS BIGINT) AS node, 0 AS depth
+  FROM {src}
+  UNION ALL
+  SELECT custkey, node {idiv} 10 AS node, depth + 1 AS depth
+  FROM walk WHERE node >= 10
+)
+SELECT depth, COUNT(*) AS n_nodes, COUNT(DISTINCT node) AS n_distinct,
+       CAST(SUM(node) AS BIGINT) AS node_sum
+FROM walk GROUP BY depth
+"""
+
+@query("q82_recursive_hierarchy",
+       _RECURSIVE_SQL.format(src="customer", idiv="//"))
+def q82_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("customer_rec_src")
+    return spark.sql(
+        _RECURSIVE_SQL.format(src="customer_rec_src", idiv="div"))
