@@ -86,6 +86,26 @@ def main() -> int:
     print(("FAIL " if any(f.startswith('q26') for f in failures) else "ok   ")
           + "q26 pruned explode")
 
+    # q79: repetition filter is a pure projection — zero exchanges
+    from oanda_stream_processor_spark.operators import curation
+    check("q79 shuffle-free", curation.q79_repetition_filter(spark, SF),
+          count_of=("Exchange", 0, 0))
+
+    # q79: scan reads only the three columns the filter needs
+    p79 = plan_of(curation.q79_repetition_filter(spark, SF))
+    rs79 = p79.split("ReadSchema: ")[1].split("\n")[0]
+    for col in ("lang", "source"):
+        if col in rs79:
+            failures.append(f"q79: scan reads unused column {col}: {rs79}")
+    print(("FAIL " if any(f.startswith('q79') for f in failures) else "ok   ")
+          + "q79 column pruning")
+
+    # q80: the benchmark gram set broadcasts; the corpus side never
+    # sort-merges (broadcast hash join only)
+    q80 = curation.q80_contamination(spark, SF)
+    check("q80 broadcast bench set", q80, contains=["BroadcastHashJoin"])
+    check("q80 no sort-merge", q80, count_of=("SortMergeJoin", 0, 0))
+
     if failures:
         print("\n".join("AUDIT FAIL: " + f for f in failures))
         return 1
