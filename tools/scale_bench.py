@@ -41,6 +41,8 @@ HEAVY = [
     "q55_dedup_components", "q57_lsh_verified_pairs",
     "q45_cosine_topk", "q46_embedding_neardup", "q47_label_centroids",
     "q48_ann_lsh", "q56_ann_ivf",
+    # curation batch (documents-based; q82 walks customer -> not replicated)
+    "q79_repetition_filter", "q80_contamination", "q81_sequence_packing",
 ]
 
 
