@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 # drop its whole query family from the driver's correctness run.
 from oanda_stream_processor_spark.operators import (
     asof,
+    behavior,
     curation,
     dedup,
     extras,
@@ -44,6 +45,7 @@ _MODULES = [
     stats,
     llmprep,
     curation,
+    behavior,
 ]
 
 

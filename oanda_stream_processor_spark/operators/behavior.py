@@ -1,0 +1,145 @@
+"""Behavioral analytics over the events stream: ordered funnels and
+cohort retention (north-star extension; the warehouse queries every
+event pipeline ends up needing).
+
+Scale notes (100 TB):
+* funnel — three map-side-combinable conditional-min groupBys on
+  user_id (uniform key), each stage joined back per user. The stage
+  frames shrink monotonically (stage N+1 joins stage N's survivors),
+  and per-user aggregates are tiny relative to the event log — Spark
+  broadcasts them when small enough, AQE decides. No window over the
+  full log, no per-event state.
+* cohort retention — first-touch groupBy on user_id, then a distinct
+  (user, week) projection joined to the cohort map; the final
+  (cohort, offset) matrix is O(weeks²) rows. The distinct is the only
+  big shuffle, keyed uniformly.
+
+Both oracled against DuckDB on identical SQL semantics (week
+truncation is Monday-start in both engines; offsets are exact
+multiples of 7 days).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+FUNNEL = ("view", "click", "purchase")   # ordered stages
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+SQL_EV = "SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events"
+
+
+# ---------------------------------------------------------------------------
+# q83 — ordered funnel: users progressing view -> click -> purchase in
+# strict timestamp order (each stage's first event must follow the
+# previous stage's first event). Output: one row per stage with the
+# surviving user count and conversion from the previous stage.
+# ---------------------------------------------------------------------------
+@query("q83_funnel", f"""
+WITH ev AS ({SQL_EV}),
+s1 AS (SELECT user_id, MIN(ts) AS t1 FROM ev
+       WHERE event_type = '{FUNNEL[0]}' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM ev e JOIN s1 USING (user_id)
+       WHERE e.event_type = '{FUNNEL[1]}' AND e.ts > s1.t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM ev e JOIN s2 USING (user_id)
+       WHERE e.event_type = '{FUNNEL[2]}' AND e.ts > s2.t2 GROUP BY e.user_id),
+counts AS (
+  SELECT 1 AS stage_n, '{FUNNEL[0]}' AS stage, COUNT(*) AS n_users FROM s1
+  UNION ALL
+  SELECT 2, '{FUNNEL[1]}', COUNT(*) FROM s2
+  UNION ALL
+  SELECT 3, '{FUNNEL[2]}', COUNT(*) FROM s3)
+SELECT stage_n, stage, n_users,
+       ROUND(n_users / CAST(FIRST_VALUE(n_users) OVER (ORDER BY stage_n) AS DOUBLE), 4)
+         AS pct_of_entry
+FROM counts
+""")
+def q83_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (ev.where(F.col("event_type") == FUNNEL[0])
+          .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    s2 = (ev.where(F.col("event_type") == FUNNEL[1])
+          .join(s1, "user_id")
+          .where(F.col("ts") > F.col("t1"))
+          .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    s3 = (ev.where(F.col("event_type") == FUNNEL[2])
+          .join(s2, "user_id")
+          .where(F.col("ts") > F.col("t2"))
+          .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    counts = None
+    for n, (stage, frame) in enumerate(zip(FUNNEL, (s1, s2, s3)), start=1):
+        row = frame.agg(F.count("*").alias("n_users")).select(
+            F.lit(n).alias("stage_n"), F.lit(stage).alias("stage"), "n_users")
+        counts = row if counts is None else counts.unionByName(row)
+    from pyspark.sql import Window as W
+    w = W.orderBy("stage_n").rowsBetween(W.unboundedPreceding, W.currentRow)
+    entry = F.first("n_users").over(w)
+    return counts.select(
+        "stage_n", "stage", "n_users",
+        F.round(F.col("n_users") / entry.cast("double"), 4)
+         .alias("pct_of_entry"))
+
+
+# ---------------------------------------------------------------------------
+# q84 — cohort retention: users grouped by first-event week; for each
+# (cohort, week-offset), the share of the cohort active that week.
+# ---------------------------------------------------------------------------
+@query("q84_cohort_retention", f"""
+WITH ev AS ({SQL_EV}),
+first_touch AS (
+  SELECT user_id, CAST(DATE_TRUNC('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM ev GROUP BY user_id),
+cohort_sizes AS (
+  SELECT cohort_week, COUNT(*) AS cohort_size
+  FROM first_touch GROUP BY cohort_week),
+activity AS (
+  SELECT DISTINCT user_id, CAST(DATE_TRUNC('week', ts) AS DATE) AS active_week
+  FROM ev),
+ret AS (
+  SELECT f.cohort_week,
+         CAST(DATE_DIFF('day', f.cohort_week, a.active_week) // 7 AS BIGINT)
+           AS week_offset,
+         COUNT(*) AS n_active
+  FROM activity a JOIN first_touch f USING (user_id)
+  GROUP BY f.cohort_week, week_offset)
+SELECT r.cohort_week, r.week_offset, r.n_active,
+       ROUND(r.n_active / CAST(c.cohort_size AS DOUBLE), 4) AS retention
+FROM ret r JOIN cohort_sizes c USING (cohort_week)
+""")
+def q84_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_touch = (ev.groupBy("user_id")
+                   .agg(F.date_trunc("week", F.min("ts")).cast("date")
+                        .alias("cohort_week")))
+    cohort_sizes = (first_touch.groupBy("cohort_week")
+                    .agg(F.count("*").alias("cohort_size")))
+    activity = (ev.select("user_id",
+                          F.date_trunc("week", "ts").cast("date")
+                           .alias("active_week"))
+                .distinct())
+    ret = (activity.join(first_touch, "user_id")
+           .select("cohort_week",
+                   F.floor(F.datediff("active_week", "cohort_week") / 7)
+                    .alias("week_offset"))
+           .groupBy("cohort_week", "week_offset")
+           .agg(F.count("*").alias("n_active")))
+    return (ret.join(F.broadcast(cohort_sizes), "cohort_week")
+            .select("cohort_week", "week_offset", "n_active",
+                    F.round(F.col("n_active")
+                            / F.col("cohort_size").cast("double"), 4)
+                     .alias("retention")))
