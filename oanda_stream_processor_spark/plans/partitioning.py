@@ -44,20 +44,11 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     return out.drop("__salt")
 
 
-def write_partitioned(df: DataFrame, path: str, *partition_cols: str,
-                      mode: str = "overwrite") -> None:
-    """Lake layout: directory-partitioned parquet; readers prune
-    partitions from pushed-down filters on the partition columns."""
-    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
-
-
-def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int,
-                   mode: str = "overwrite") -> None:
-    """Bucketed managed table: joins/aggs on `key` between tables
-    bucketed the same way need no shuffle."""
-    (df.write.mode(mode)
-       .bucketBy(n_buckets, key).sortBy(key)
-       .saveAsTable(table))
+# Storage-layout writers live in sources/layout.py (partition pruning,
+# bucketed joins, compaction, interchange formats — plan-asserted in
+# tests/test_layout.py); re-exported here for callers thinking in
+# partitioning terms.
+from ..sources.layout import write_bucketed, write_partitioned  # noqa: E402,F401
 
 
 def partition_histogram(df: DataFrame) -> DataFrame:
