@@ -196,3 +196,41 @@ def test_skew_instrumentation(spark):
     assert skew_ratio(skewed) > 4.0
     hist = partition_histogram(skewed).collect()
     assert sum(r.n_rows for r in hist) == 10000
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The runtime re-plan path SCALE.md leans on for moderate skew:
+    AQE detects the hot post-shuffle partition and splits it
+    (SortMergeJoin(skew=true) + skewed AQEShuffleRead) — salting
+    (`salted_join`) stays reserved for the pathological single-key case."""
+    import pyspark.sql.functions as SF
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # tiny thresholds so the local fixture-scale join exercises the
+        # same decision a multi-GB hot partition triggers on a cluster
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(0, 200_000).select(
+            SF.when(SF.col("id") % 5 != 0, 0).otherwise(SF.col("id"))
+              .alias("k"),
+            SF.sha2(SF.col("id").cast("string").cast("binary"), 256)
+              .alias("pad"))
+        small = spark.range(0, 1000).select(
+            SF.col("id").alias("k"), (SF.col("id") * 2).alias("v"))
+        j = big.join(small, "k")
+        n = len(j.collect())
+        assert n == 160_200  # 160k hot-key rows x k=0 + 200 distinct-key
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
