@@ -1,0 +1,86 @@
+"""Cross-engine determinism of the hash primitives every dedup/
+curation oracle leans on: the per-token polynomial char fold, the
+3-gram shingle combine, and the md5-prefix bigint — computed by Spark
+expressions and DuckDB SQL over the SAME adversarial token set, value
+for value. The fixture-based oracle gate exercises these on word-salad
+text; this test feeds the edges the fixture never contains (unicode,
+single chars, long tokens, digit runs, punctuation)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from oanda_stream_processor_spark.operators.dedup import HB, HM, SB
+
+TOKENS = (
+    ["a", "z", "0", "9", " x", "x ", "aa", "ab", "ba",
+     "the", "quick", "brown", "supercalifragilisticexpialidocious",
+     "1234567890" * 8, "!@#$%^&*()", "mixedCASE123",
+     "éclair", "naïve", "中文", "Ж",
+     "tab\tinside", "quote'inside", 'double"quote']
+    + [f"tok{i}x{i * 7919}" for i in range(50)]
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duckdb.connect()
+
+
+def _spark_token_hashes(spark, tokens):
+    df = spark.createDataFrame([(t,) for t in tokens], "t string")
+    h = F.expr(
+        f"aggregate(transform(split(t, ''), c -> cast(ascii(c) as bigint)),"
+        f" 0L, (acc, x) -> (acc * {HB} + x) % {HM})")
+    return [r.h for r in df.select(h.alias("h")).collect()]
+
+
+def _duck_token_hashes(duck, tokens):
+    duck.execute("CREATE OR REPLACE TABLE toks(i INTEGER, t VARCHAR)")
+    duck.executemany("INSERT INTO toks VALUES (?, ?)",
+                     list(enumerate(tokens)))
+    rows = duck.execute(f"""
+        SELECT LIST_REDUCE(
+                 LIST_TRANSFORM(RANGE(LENGTH(t)),
+                   i -> CAST(ASCII(SUBSTR(t, CAST(i+1 AS INTEGER), 1)) AS BIGINT)),
+                 (acc, x) -> (acc * {HB} + x) % {HM})
+        FROM toks ORDER BY i""").fetchall()
+    return [r[0] for r in rows]
+
+
+def test_token_hash_parity(spark, duck):
+    assert _spark_token_hashes(spark, TOKENS) == \
+        _duck_token_hashes(duck, TOKENS)
+
+
+def test_shingle_combine_parity(spark, duck):
+    """3-token shingle hash: ((h1*SB + h2) % HM * SB + h3) % HM computed
+    over consecutive token-hash triples must agree."""
+    hs = _spark_token_hashes(spark, TOKENS)
+    spark_shingles = [((hs[i] * SB + hs[i + 1]) % HM * SB + hs[i + 2]) % HM
+                      for i in range(len(hs) - 2)]
+    duck.execute("CREATE OR REPLACE TABLE th(i INTEGER, h BIGINT)")
+    duck.executemany("INSERT INTO th VALUES (?, ?)", list(enumerate(hs)))
+    rows = duck.execute(f"""
+        SELECT ((a.h * {SB} + b.h) % {HM} * {SB} + c.h) % {HM}
+        FROM th a JOIN th b ON b.i = a.i + 1 JOIN th c ON c.i = a.i + 2
+        ORDER BY a.i""").fetchall()
+    assert [r[0] for r in rows] == spark_shingles
+
+
+def test_md5_prefix_bigint_parity(spark, duck):
+    """The md5-hex-prefix -> bigint digest (exact dedup, simhash token
+    hash, stratified sampling) must agree byte for byte."""
+    df = spark.createDataFrame([(t,) for t in TOKENS], "t string")
+    got = [r.h for r in df.select(
+        F.conv(F.substring(F.md5(F.col("t").cast("binary")), 1, 15), 16, 10)
+         .cast("bigint").alias("h")).collect()]
+    duck.execute("CREATE OR REPLACE TABLE m(i INTEGER, t VARCHAR)")
+    duck.executemany("INSERT INTO m VALUES (?, ?)", list(enumerate(TOKENS)))
+    rows = duck.execute(
+        "SELECT CAST('0x' || SUBSTR(MD5(t), 1, 15) AS BIGINT) "
+        "FROM m ORDER BY i").fetchall()
+    assert [r[0] for r in rows] == got
