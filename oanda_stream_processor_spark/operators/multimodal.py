@@ -133,3 +133,92 @@ def decode_media(m: DataFrame) -> DataFrame:
 def q54_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _with_fake_media(load_table(spark, sf_dir, "documents"))
     return decode_media(m)
+
+
+# ---------------------------------------------------------------------------
+# Resize planning: aspect-preserving fit to MAX_SIDE, pure integer math
+# (exact on both engines). The pixel resample itself is the q54-style
+# Arrow/mapInPandas path; planning the geometry is where Spark does the
+# corpus-scale work (deciding what to decode at what size BEFORE paying
+# for bytes).
+# ---------------------------------------------------------------------------
+MAX_SIDE = 224
+
+@query("q85_resize_plan", f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(n_chars % 640 + 1 AS INTEGER) AS width,
+         CAST(doc_id % 480 + 1 AS INTEGER) AS height
+  FROM documents)
+SELECT doc_id, width, height,
+       CAST(CASE WHEN GREATEST(width, height) <= {MAX_SIDE} THEN width
+            ELSE GREATEST(1, (width * {MAX_SIDE}) // GREATEST(width, height))
+            END AS INTEGER) AS out_w,
+       CAST(CASE WHEN GREATEST(width, height) <= {MAX_SIDE} THEN height
+            ELSE GREATEST(1, (height * {MAX_SIDE}) // GREATEST(width, height))
+            END AS INTEGER) AS out_h,
+       GREATEST(width, height) > {MAX_SIDE} AS is_downscale
+FROM m
+""")
+def q85_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    width = (F.col("n_chars") % 640 + 1).cast("int")
+    height = (F.col("doc_id") % 480 + 1).cast("int")
+    m = d.select("doc_id", width.alias("width"), height.alias("height"))
+    side = F.greatest("width", "height")
+    fit = lambda c: F.when(side <= MAX_SIDE, F.col(c)).otherwise(
+        F.greatest(F.lit(1),
+                   F.floor(F.col(c) * MAX_SIDE / side))).cast("int")
+    return m.select(
+        "doc_id", "width", "height",
+        fit("width").alias("out_w"), fit("height").alias("out_h"),
+        (side > MAX_SIDE).alias("is_downscale"))
+
+
+# ---------------------------------------------------------------------------
+# Frame-sampling schedule: pick <= MAX_FRAMES timestamps per synthetic
+# video (duration/fps derived deterministically from metadata), emit the
+# (sample_n, ts_ms, frame_idx) schedule. The schedule explodes ~8 rows
+# per video regardless of duration — bounded output, and the downstream
+# decoder touches only scheduled frames.
+# ---------------------------------------------------------------------------
+MAX_FRAMES = 8
+MIN_STEP_MS = 1000
+
+@query("q86_frame_sample", f"""
+WITH v AS (
+  SELECT doc_id,
+         CAST((n_chars * 37) % 120000 + 1000 AS BIGINT) AS duration_ms,
+         CAST(24 + doc_id % 6 AS INTEGER) AS fps
+  FROM documents),
+s AS (
+  SELECT doc_id, duration_ms, fps,
+         GREATEST({MIN_STEP_MS}, duration_ms // {MAX_FRAMES}) AS step_ms
+  FROM v)
+SELECT doc_id,
+       CAST(ts_ms // step_ms AS INTEGER) AS sample_n,
+       CAST(ts_ms AS BIGINT) AS ts_ms,
+       CAST((ts_ms * fps) // 1000 AS BIGINT) AS frame_idx
+FROM s, UNNEST(RANGE(0, duration_ms, step_ms)) AS t(ts_ms)
+""")
+def q86_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    v = d.select(
+        "doc_id",
+        ((F.col("n_chars") * 37) % 120000 + 1000).cast("bigint")
+         .alias("duration_ms"),
+        (24 + F.col("doc_id") % 6).cast("int").alias("fps"))
+    s = v.withColumn(
+        "step_ms", F.greatest(F.lit(MIN_STEP_MS),
+                              F.floor(F.col("duration_ms") / MAX_FRAMES)))
+    ts = F.explode(F.sequence(
+        F.lit(0).cast("bigint"),
+        F.col("duration_ms") - 1,
+        F.col("step_ms"))).alias("ts_ms")
+    return (s.select("doc_id", "fps", "step_ms", ts)
+            .select("doc_id",
+                    F.floor(F.col("ts_ms") / F.col("step_ms")).cast("int")
+                     .alias("sample_n"),
+                    F.col("ts_ms").cast("bigint").alias("ts_ms"),
+                    F.floor(F.col("ts_ms") * F.col("fps") / 1000)
+                     .cast("bigint").alias("frame_idx")))
