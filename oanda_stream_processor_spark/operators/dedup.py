@@ -148,7 +148,7 @@ _BAND_KEYS_SQL = ", ".join(
                        for r in range(BAND_ROWS)) + f" AS band{b}"
     for b in range(N_BANDS))
 
-@query("q42_lsh_candidates", f"""
+_Q42_SQL = f"""
 WITH sig AS (
   SELECT doc_id, {_MINHASH_AGGS_SQL}
   FROM ({SQL_SHINGLE_HASHES}) GROUP BY doc_id),
@@ -161,19 +161,33 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM flat a JOIN flat b
   ON a.band_id = b.band_id AND a.band_key = b.band_key
  AND a.doc_id < b.doc_id
-""")
-def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+def _minhash_signature_from_sh(sh: DataFrame) -> DataFrame:
+    """Signatures from a precomputed (doc_id, sh) shingle-hash frame."""
+    aggs = [F.min((F.col("sh") * a + b) % HM).alias(f"h{s}")
+            for s, (a, b) in enumerate(_AFFINE)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str,
+                         sh: DataFrame | None = None) -> DataFrame:
     """Materialized LSH candidate pairs, the stage q42/q55/q57 share.
 
     The pair set feeds multiple plan branches (q55 unions it twice into
     the edge list; q57 joins it twice), so one eager localCheckpoint of
     the small candidate-pair frame stops every consumer from re-running
-    the whole shingle->minhash->banding chain. The signature self-join
-    inside needs NO checkpoint: AQE's ReusedExchange shares the groupBy
-    exchange between both band branches (measured faster than forcing a
-    materialization).
+    the whole shingle->minhash->banding chain. Callers that also need
+    the shingle index (q57) pass their checkpointed ``sh`` so the
+    chain runs once per query, not once per stage. The signature
+    self-join inside needs NO checkpoint: AQE's ReusedExchange shares
+    the groupBy exchange between both band branches (measured faster
+    than forcing a materialization).
     """
-    sig = q41_minhash_signature(spark, sf_dir)
+    if sh is None:
+        sig = q41_minhash_signature(spark, sf_dir)
+    else:
+        sig = _minhash_signature_from_sh(sh)
     band_key = [
         F.concat_ws("|", *[F.col(f"h{b * BAND_ROWS + r}").cast("string")
                            for r in range(BAND_ROWS)]).alias(f"band{b}")
@@ -193,6 +207,7 @@ def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.localCheckpoint(eager=True)
 
 
+@query("q42_lsh_candidates", _Q42_SQL)
 def q42_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_candidate_pairs(spark, sf_dir)
 
@@ -432,9 +447,12 @@ JOIN sizes sa ON sa.doc_id = p.doc_a
 JOIN sizes sb ON sb.doc_id = p.doc_b
 """)
 def q57_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _lsh_candidate_pairs(spark, sf_dir)  # materialized; joined twice below
     sh = (_spark_shingle_hashes(load_table(spark, sf_dir, "documents"))
-          .distinct().localCheckpoint(eager=True))  # three consumers below
+          .distinct().localCheckpoint(eager=True))  # four consumers below
+    # signatures take MIN per doc, so the distinct sh frame yields the
+    # same signature as the raw stream — one shingle chain serves both
+    # the recall stage and the verify stage
+    pairs = _lsh_candidate_pairs(spark, sf_dir, sh=sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
