@@ -330,6 +330,68 @@ def q44_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Skew-aware Jaccard: identical to q44 but with a document-frequency cut
+# on hot shingles BEFORE the inverted-index join. A shingle appearing in
+# df docs creates df^2/2 join pairs; boilerplate/stop-phrase shingles at
+# corpus scale make single buckets quadratic. Dropping shingles with
+# df > ceil(DF_CUT_FRAC * n_docs) caps every bucket at a corpus-relative
+# bound, so the join's worst key is O(n_docs * DF_CUT_FRAC) — the
+# standard prefilter production near-dup pipelines apply (cf. df-cut in
+# suffix-array/minhash dedup literature). Jaccard is then computed over
+# the pruned shingle space in BOTH engines — semantics shift only for
+# pairs whose overlap was mostly boilerplate, which is the point.
+# ---------------------------------------------------------------------------
+DF_CUT_FRAC = 0.01   # keep shingles present in <= 1% of the corpus
+
+@query("q87_jaccard_dfcut", f"""
+WITH shs AS (SELECT DISTINCT doc_id, sh FROM ({SQL_SHINGLE_HASHES})),
+cut AS (SELECT CAST(CEIL({DF_CUT_FRAC} * COUNT(*)) AS BIGINT) AS c FROM documents),
+keep AS (
+  SELECT sh FROM shs GROUP BY sh
+  HAVING COUNT(*) <= (SELECT c FROM cut)),
+fsh AS (SELECT s.doc_id, s.sh FROM shs s JOIN keep USING (sh)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM fsh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM fsh a JOIN fsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.05
+""")
+def q87_jaccard_dfcut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q44 with the hot-shingle df-cut applied: the per-shingle document
+    frequency is computed once from the materialized shingle index and
+    postings with df above the corpus-relative cut never enter the join.
+    The cut threshold is an aggregate scalar kept as a one-row broadcast
+    frame — no driver collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (_spark_shingle_hashes(docs)
+          .distinct().localCheckpoint(eager=True))
+    cut = docs.agg(F.ceil(DF_CUT_FRAC * F.count("*")).alias("c"))
+    keep = (sh.groupBy("sh").agg(F.count("*").alias("df"))
+            .join(F.broadcast(cut))
+            .where(F.col("df") <= F.col("c")).select("sh"))
+    fsh = sh.join(keep, "sh")
+    sizes = fsh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = fsh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = fsh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (a.join(b, "sh")
+              .where(F.col("doc_a") < F.col("doc_b"))
+              .groupBy("doc_a", "doc_b").agg(F.count("*").alias("i")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = (F.col("i").cast("double")
+           / (F.col("na") + F.col("nb") - F.col("i")))
+    return (inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+                 .where(jac >= 0.05)
+                 .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard")))
+
+
+# ---------------------------------------------------------------------------
 # Near-dup clustering: connected components over the LSH candidate graph,
 # canonical = min doc_id per component (the "keep-one" materialization a
 # dedup pipeline ends with).

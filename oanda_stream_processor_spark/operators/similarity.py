@@ -378,3 +378,98 @@ def q56_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     wr = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (scored.withColumn("rank", F.row_number().over(wr))
                   .where(F.col("rank") <= TOP_K))
+
+
+# ---------------------------------------------------------------------------
+# Scalar-quantized ANN (FAISS SQ8-shaped): each dimension is quantized to
+# an 8-bit code against per-dimension corpus min/max; search runs
+# asymmetric-distance (exact query vs reconstructed candidate). Codes are
+# 8x smaller than float32 vectors, so at 100 TB the candidate scan reads
+# an order of magnitude less and the quantizer state (2*DIM doubles) is a
+# broadcast literal. "Training" (min/max per dim) is one
+# map-side-combinable aggregate pass — deterministic, so the DuckDB twin
+# mirrors it exactly (no k-means iteration nondeterminism).
+# ---------------------------------------------------------------------------
+SQ_LEVELS = 256
+
+_SQL_DIMSTATS = f"""
+  SELECT pos, MIN(val) AS lo, MAX(val) AS hi
+  FROM ({_SQL_FLAT}) GROUP BY pos
+"""
+# reconstruct dimension i of a vector: lo + (code + 0.5) * (hi-lo)/LEVELS;
+# code = clamp(floor((x-lo)/(hi-lo)*LEVELS), 0, LEVELS-1); hi == lo -> 0
+_SQL_RECON = f"""LIST_TRANSFORM(RANGE({DIM}), i ->
+  los[i+1] + (CASE WHEN his[i+1] = los[i+1] THEN 0
+    ELSE LEAST({SQ_LEVELS - 1}, GREATEST(0, FLOOR(
+      (CAST(embedding[i+1] AS DOUBLE) - los[i+1])
+      / (his[i+1] - los[i+1]) * {SQ_LEVELS}))) END + 0.5)
+    * (his[i+1] - los[i+1]) / {SQ_LEVELS})"""
+_SQL_ADC = (f"LIST_AGGREGATE(LIST_TRANSFORM(RANGE({DIM}), i -> "
+            f"(CAST(q_emb[i+1] AS DOUBLE) - recon[i+1])"
+            f" * (CAST(q_emb[i+1] AS DOUBLE) - recon[i+1])), 'sum')")
+
+@query("q88_ann_sq", f"""
+WITH stats AS ({_SQL_DIMSTATS}),
+packed AS (
+  SELECT LIST(lo ORDER BY pos) AS los, LIST(hi ORDER BY pos) AS his
+  FROM stats),
+recons AS (
+  SELECT vec_id, {_SQL_RECON} AS recon
+  FROM embeddings CROSS JOIN packed),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+      WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT query_id, r.vec_id AS cand_id, ROUND({_SQL_ADC}, 6) AS d2
+  FROM q JOIN recons r ON r.vec_id <> query_id),
+ranked AS (
+  SELECT query_id, cand_id, d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY d2, cand_id) AS rank
+  FROM scored)
+SELECT query_id, cand_id, d2, rank FROM ranked WHERE rank <= {TOP_K}
+""")
+def q88_ann_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 quantize + asymmetric-distance top-k. The quantizer state
+    (per-dim lo/hi) is packed into ONE row and nested-loop-broadcast onto
+    the corpus, reconstruction happens per row inside codegen (zip_with
+    over sequential index), and the query set is broadcast against the
+    reconstructed candidates — no shuffle of the big side anywhere."""
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select("vec_id", F.posexplode("embedding").alias("pos", "raw")) \
+            .withColumn("val", F.col("raw").cast("double"))
+    stats = flat.groupBy("pos").agg(F.min("val").alias("lo"),
+                                    F.max("val").alias("hi"))
+    packed = stats.agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("pos", "lo"))),
+                    lambda s: s["lo"]).alias("los"),
+        F.transform(F.array_sort(F.collect_list(F.struct("pos", "hi"))),
+                    lambda s: s["hi"]).alias("his")) \
+        .localCheckpoint(eager=True)   # one tiny row; stats pass runs once
+
+    # recon_i = lo + (code_i + 0.5) * (hi - lo) / LEVELS, code clamped
+    recon = F.expr(f"""
+        transform(sequence(0, {DIM - 1}), i ->
+          element_at(los, i + 1) +
+          (CASE WHEN element_at(his, i + 1) = element_at(los, i + 1) THEN 0
+           ELSE least({SQ_LEVELS - 1}, greatest(0, floor(
+             (cast(element_at(embedding, i + 1) as double)
+              - element_at(los, i + 1))
+             / (element_at(his, i + 1) - element_at(los, i + 1))
+             * {SQ_LEVELS}))) END + 0.5d)
+          * (element_at(his, i + 1) - element_at(los, i + 1)) / {SQ_LEVELS})""")
+    recons = (e.crossJoin(F.broadcast(packed))
+               .select("vec_id", recon.alias("recon")))
+    q = (e.where(F.col("vec_id") < N_QUERIES)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("q_emb")))
+    d2 = F.aggregate(
+        F.zip_with("q_emb", "recon",
+                   lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    scored = (recons.join(F.broadcast(q),
+                          F.col("vec_id") != F.col("query_id"))
+              .select("query_id", F.col("vec_id").alias("cand_id"),
+                      F.round(d2, 6).alias("d2")))
+    wr = W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cand_id"))
+    return (scored.withColumn("rank", F.row_number().over(wr))
+                  .where(F.col("rank") <= TOP_K))
