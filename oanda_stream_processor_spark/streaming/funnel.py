@@ -1,0 +1,91 @@
+"""Streaming sessionized funnel: per-user ordered stage progression.
+
+The batch twin is ``operators/behavior.q83_funnel`` (first view, first
+click strictly after it, first purchase strictly after that). Here the
+same semantics run incrementally over a stream with
+``applyInPandasWithState``: state is the user's highest reached stage
+and its event time, and a row is emitted the moment a user advances a
+stage — the streaming shape a product-analytics pipeline actually runs.
+
+Equivalence: processing each user's events in event-time order, the
+greedy "advance on the first qualifying event" rule reaches exactly the
+batch fixpoint (min ts per stage with strictly-increasing constraint).
+Events arriving out of event-time order across micro-batches can
+diverge from the batch answer — inherent to incremental funnels; feed
+through a watermarked sort upstream when ordering matters.
+
+Scale: state is (int, long) per user, partitioned by user_id — RocksDB
+state store territory at 100 TB; the grouping shuffle is the only wide
+edge and its key is the natural user partitioning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+FUNNEL = ("view", "click", "purchase")   # ordered stages (= behavior.FUNNEL)
+
+OUTPUT_SCHEMA = "user_id long, stage_n int, stage string, stage_ts timestamp"
+STATE_SCHEMA = "stage int, stage_us long"
+
+
+def _advance(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    (user_id,) = key
+    stage, stage_us = state.get if state.exists else (0, None)
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts")
+        for row in pdf.itertuples(index=False):
+            if stage >= len(FUNNEL):
+                break
+            ts_us = int(row.ts.value // 1000)   # pandas ns -> us
+            # strictly after the previous stage's time, matching the
+            # batch funnel's `ts > t_prev`
+            if (row.event_type == FUNNEL[stage]
+                    and (stage_us is None or ts_us > stage_us)):
+                stage += 1
+                stage_us = ts_us
+                out.append((user_id, stage, FUNNEL[stage - 1], row.ts))
+    state.update((stage, stage_us))
+    if out:
+        yield pd.DataFrame(out, columns=["user_id", "stage_n", "stage",
+                                         "stage_ts"])
+
+
+def funnel_progress(events: DataFrame) -> DataFrame:
+    """(user_id, event_type, ts) stream -> one row per stage advance.
+
+    Works on batch frames too (same code path Spark uses for
+    applyInPandas group iteration), which is how the parity test pins
+    it against q83's batch counts.
+    """
+    return (events
+            .select("user_id", "event_type", "ts")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _advance,
+                outputStructType=OUTPUT_SCHEMA,
+                stateStructType=STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def funnel_counts(spark, progress_table: str) -> DataFrame:
+    """Stage counts + conversion over an accumulated progress sink
+    (memory/Delta table fed by :func:`funnel_progress`)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    prog = spark.table(progress_table)
+    counts = prog.groupBy("stage_n", "stage").agg(
+        F.countDistinct("user_id").alias("n_users"))
+    w = W.orderBy("stage_n").rowsBetween(W.unboundedPreceding, W.currentRow)
+    entry = F.first("n_users").over(w)
+    return counts.select(
+        "stage_n", "stage", "n_users",
+        F.round(F.col("n_users") / entry.cast("double"), 4)
+         .alias("pct_of_entry"))

@@ -329,3 +329,46 @@ def test_matview_restart_no_double_count(spark, tick_capture, tmp_path):
     # last_bid/last_ask carry the latest observation, non-null
     assert all(r.last_bid is not None and r.last_ask is not None
                for r in got)
+
+
+def test_streaming_funnel_progress(spark, tmp_path):
+    """Funnel state survives micro-batches: stage advances emitted as
+    they happen, out-of-order stages ignored, terminal stage reached."""
+    from oanda_stream_processor_spark.streaming.funnel import (
+        funnel_counts, funnel_progress)
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    line = '{"user_id": %d, "event_type": "%s", "ts": "2026-08-13T10:%02d:00"}'
+    # batch 1: u1 view->click, u2 view, u3 click (no view yet: ignored)
+    (src / "a.ndjson").write_text("\n".join([
+        line % (1, "view", 0), line % (1, "click", 1),
+        line % (2, "view", 2), line % (3, "click", 3)]) + "\n")
+    events = (spark.readStream
+              .schema("user_id long, event_type string, ts timestamp")
+              .json(str(src)))
+    prog = funnel_progress(events)
+    name = f"t{uuid.uuid4().hex[:8]}"
+    q = (prog.writeStream.format("memory").queryName(name)
+         .outputMode("append").start())
+    q.processAllAvailable()
+    first = {(r.user_id, r.stage_n) for r in
+             spark.sql(f"SELECT * FROM {name}").collect()}
+    assert first == {(1, 1), (1, 2), (2, 1)}  # u3's click ignored
+
+    # batch 2: u1 purchases (same-ts click must NOT double-advance),
+    # u2 clicks, u3 views then clicks -> state carried across batches
+    (src / "b.ndjson").write_text("\n".join([
+        line % (1, "purchase", 5), line % (1, "click", 1),
+        line % (2, "click", 6),
+        line % (3, "view", 7), line % (3, "click", 8)]) + "\n")
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    got = {(r.user_id, r.stage_n, r.stage) for r in rows}
+    assert got == {(1, 1, "view"), (1, 2, "click"), (1, 3, "purchase"),
+                   (2, 1, "view"), (2, 2, "click"),
+                   (3, 1, "view"), (3, 2, "click")}
+    counts = {(r.stage_n, r.n_users, r.pct_of_entry)
+              for r in funnel_counts(spark, name).collect()}
+    assert counts == {(1, 3, 1.0), (2, 3, 1.0), (3, 1, round(1 / 3, 4))}
