@@ -529,3 +529,85 @@ def q57_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b",
                     F.round(jac, 6).alias("jaccard"),
                     ((i0 >= 1) & (jac >= 0.05)).alias("verified")))
+
+
+# ---------------------------------------------------------------------------
+# q90 — PageRank over the near-dup candidate graph (5 iterations,
+# damping 0.85). Ranking the dedup graph surfaces template/boilerplate
+# hubs: documents LSH-linked to many others score high and are curation
+# targets. The graph is symmetric (both directions of every candidate
+# pair), so every node has in- and out-edges and no dangling-mass term
+# is needed.
+#
+# Cross-engine exactness: ranks are fixed-point bigints (scale 1e12) and
+# every step is integer arithmetic — init r0 = S0 div n, per-edge
+# contribution r div out_degree, update TELE + (85 * sum) div 100 — so
+# both engines compute bit-identical bigints (no float summation-order
+# hazard). Fixed 5 iterations rather than convergence keeps the oracle
+# expressible as unrolled CTEs.
+#
+# Scale: per iteration one join (edges x ranks, both partitioned by the
+# same key) + one map-side-combinable sum — the canonical Pregel-style
+# plan; localCheckpoint per round caps lineage. Edges frame is reused
+# across rounds from one materialization.
+# ---------------------------------------------------------------------------
+PR_SCALE = 10 ** 12
+PR_ITERS = 5
+
+
+def _q90_sql() -> str:
+    prev = "r0"
+    iters = []
+    for k in range(1, PR_ITERS + 1):
+        iters.append(f"""
+r{k} AS (
+  SELECT e.dst AS doc_id,
+         (15 * {PR_SCALE}) // (100 * s.n)
+           + (85 * SUM(p.r // deg.d)) // 100 AS r
+  FROM edges e
+  JOIN {prev} p ON p.doc_id = e.src
+  JOIN deg ON deg.src = e.src
+  CROSS JOIN scal s
+  GROUP BY e.dst, s.n)""")
+        prev = f"r{k}"
+    return f"""
+WITH {_CANDIDATES_SQL},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+scal AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT doc_id, {PR_SCALE} // n AS r FROM nodes CROSS JOIN scal),
+{','.join(iters)}
+SELECT doc_id, r AS rank_fp FROM {prev}
+"""
+
+
+@query("q90_pagerank")
+def q90_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _lsh_candidate_pairs(spark, sf_dir)
+    edges = (pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+             .unionByName(pairs.select(F.col("doc_b").alias("src"),
+                                       F.col("doc_a").alias("dst"))))
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    # edges carry their source degree for the whole run; one materialization
+    ed = edges.join(deg, "src").localCheckpoint(eager=True)
+    nodes = ed.select(F.col("src").alias("doc_id")).distinct()
+    scal = nodes.agg(F.count("*").alias("n")).localCheckpoint(eager=True)
+    ranks = (nodes.crossJoin(F.broadcast(scal))
+             .select("doc_id", F.expr(f"{PR_SCALE} div n").alias("r")))
+    for _ in range(PR_ITERS):
+        ranks = (ed.join(ranks, ed.src == ranks.doc_id)
+                 .select(F.col("dst").alias("doc_id"),
+                         F.expr("r div d").alias("contrib"))
+                 .groupBy("doc_id").agg(F.sum("contrib").alias("s"))
+                 .crossJoin(F.broadcast(scal))
+                 .select("doc_id",
+                         F.expr(f"(15 * {PR_SCALE}) div (100 * n) "
+                                f"+ (85 * s) div 100").alias("r"))
+                 .localCheckpoint(eager=True))
+    return ranks.select("doc_id", F.col("r").alias("rank_fp"))
+
+
+ORACLES["q90_pagerank"] = _q90_sql()

@@ -314,3 +314,81 @@ def q73_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first("o_totalprice").over(wp), 2).alias("first_price"),
         F.round(F.last("o_totalprice").over(wp), 2).alias("latest_price"),
         F.round(F.nth_value("o_totalprice", 2).over(wp), 2).alias("second_price"))
+
+
+# ---------------------------------------------------------------------------
+# q91 — Z-order (Morton) clustering profile: min-max-normalize two
+# correlated scan dimensions (customer, order day) to Z_BITS-bit ranks,
+# interleave their bits into the Morton code, derive the file/bucket
+# assignment a Z-ordered writer would produce (top Z_BUCKETS_LOG2 bits),
+# and report each bucket's per-dimension min/max envelope — the
+# data-skipping statistics that decide whether a multi-dimensional
+# predicate can prune the bucket. This is the OPTIMIZE ZORDER BY loop
+# from lakehouse table formats; normalization and interleave are pure
+# integer arithmetic, so the DuckDB twin is bit-exact.
+#
+# Scale: normalization needs one tiny min/max aggregate (broadcast back
+# as a one-row frame); the z-value is then a per-row projection and the
+# envelope one map-side-combinable groupBy on a 6-bit key. A real writer
+# range-partitions on z before writing — repartitionByRange(z) + write,
+# with this query as its audit.
+# ---------------------------------------------------------------------------
+Z_BITS = 8          # bits per dimension after rank normalization
+Z_BUCKETS_LOG2 = 6  # 64 buckets = top 6 bits of the 16-bit z-value
+
+_Z_TOP = (1 << Z_BITS) - 1
+
+@query("q91_zorder_profile", f"""
+WITH dims AS (
+  SELECT o_orderkey, o_custkey AS ck,
+         DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS dd
+  FROM orders),
+stats AS (
+  SELECT MIN(ck) AS ck_lo, MAX(ck) AS ck_hi,
+         MIN(dd) AS dd_lo, MAX(dd) AS dd_hi
+  FROM dims),
+norm AS (
+  SELECT o_orderkey, ck, dd,
+         CASE WHEN ck_hi = ck_lo THEN 0
+              ELSE ((ck - ck_lo) * {_Z_TOP}) // (ck_hi - ck_lo) END AS nck,
+         CASE WHEN dd_hi = dd_lo THEN 0
+              ELSE ((dd - dd_lo) * {_Z_TOP}) // (dd_hi - dd_lo) END AS ndd
+  FROM dims CROSS JOIN stats),
+zvals AS (
+  SELECT ck, dd,
+         LIST_AGGREGATE(LIST_TRANSFORM(RANGE({Z_BITS}), i ->
+           (((nck >> i) & 1) << (2 * i + 1)) + (((ndd >> i) & 1) << (2 * i))),
+           'sum') AS z
+  FROM norm)
+SELECT z >> {2 * Z_BITS - Z_BUCKETS_LOG2} AS z_bucket,
+       COUNT(*) AS n_rows,
+       MIN(ck) AS ck_min, MAX(ck) AS ck_max,
+       MIN(dd) AS dd_min, MAX(dd) AS dd_max
+FROM zvals
+GROUP BY 1
+""")
+def q91_zorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    dd = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    dims = o.select("o_orderkey", F.col("o_custkey").cast("long").alias("ck"),
+                    dd.cast("long").alias("dd"))
+    stats = dims.agg(F.min("ck").alias("ck_lo"), F.max("ck").alias("ck_hi"),
+                     F.min("dd").alias("dd_lo"), F.max("dd").alias("dd_hi"))
+    norm = (dims.crossJoin(F.broadcast(stats))
+            .select("ck", "dd",
+                    F.expr(f"IF(ck_hi = ck_lo, 0L, "
+                           f"((ck - ck_lo) * {_Z_TOP}) div (ck_hi - ck_lo))")
+                     .alias("nck"),
+                    F.expr(f"IF(dd_hi = dd_lo, 0L, "
+                           f"((dd - dd_lo) * {_Z_TOP}) div (dd_hi - dd_lo))")
+                     .alias("ndd")))
+    z = F.expr(
+        f"aggregate(sequence(0, {Z_BITS - 1}), 0L, (acc, i) -> acc"
+        f" + (((nck >> i) & 1) << (2 * i + 1))"
+        f" + (((ndd >> i) & 1) << (2 * i)))")
+    return (norm.select("ck", "dd", z.alias("z"))
+            .groupBy(F.shiftright("z", 2 * Z_BITS - Z_BUCKETS_LOG2)
+                      .alias("z_bucket"))
+            .agg(F.count("*").alias("n_rows"),
+                 F.min("ck").alias("ck_min"), F.max("ck").alias("ck_max"),
+                 F.min("dd").alias("dd_min"), F.max("dd").alias("dd_max")))

@@ -215,3 +215,59 @@ def q78_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.orderBy(F.desc("n"), F.asc("token"))
     return (counts.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= VOCAB_K))
+
+
+# ---------------------------------------------------------------------------
+# q89 — passage-level dedup (RefinedWeb/FineWeb-style): documents are cut
+# into non-overlapping PASSAGE-token windows, each passage is hashed, and
+# a passage is "duplicated" when its hash occurs more than once in the
+# corpus (any document, including elsewhere in the same one). The per-doc
+# duplicated-passage ratio drives the drop verdict — the granularity
+# between whole-document exact dedup (q40) and shingle similarity (q44).
+#
+# Scale: one explode to passage rows (corpus-linear), one map-side-
+# combinable count per passage hash, one broadcast-sized?? no — the
+# frequency table is corpus-sized, so it joins back on the md5 key
+# (uniform, skew-free) and aggregates per doc. Three shuffles total, all
+# on uniform keys.
+# ---------------------------------------------------------------------------
+PASSAGE = 16        # tokens per passage (non-overlapping)
+DUP_RATIO_DROP = 0.5
+
+@query("q89_passage_dedup", f"""
+WITH t AS (SELECT doc_id, toks FROM ({SQL_TOKS}) WHERE LEN(toks) > 0),
+passages AS (
+  SELECT doc_id,
+         MD5(ARRAY_TO_STRING(
+           LIST_SLICE(toks, start + 1, start + {PASSAGE}), ' ')) AS ph
+  FROM (SELECT doc_id, toks,
+               UNNEST(RANGE(0, LEN(toks), {PASSAGE})) AS start
+        FROM t)),
+freq AS (SELECT ph, COUNT(*) AS c FROM passages GROUP BY ph)
+SELECT p.doc_id,
+       COUNT(*) AS n_passages,
+       COUNT(*) FILTER (WHERE f.c > 1) AS n_dup,
+       ROUND(COUNT(*) FILTER (WHERE f.c > 1) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS dup_ratio,
+       COUNT(*) FILTER (WHERE f.c > 1) / CAST(COUNT(*) AS DOUBLE)
+         >= {DUP_RATIO_DROP} AS drop_doc
+FROM passages p JOIN freq f USING (ph)
+GROUP BY p.doc_id
+""")
+def q89_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = _toks(d).where(F.size("toks") > 0)
+    starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(PASSAGE))
+    ph = F.md5(F.array_join(
+        F.slice("toks", F.col("start") + 1, PASSAGE), " ").cast("binary"))
+    passages = (t.select("doc_id", "toks", F.explode(starts).alias("start"))
+                .select("doc_id", ph.alias("ph")))
+    freq = passages.groupBy("ph").agg(F.count("*").alias("c"))
+    dup = (F.count(F.when(F.col("c") > 1, True))).alias("n_dup")
+    ratio = F.col("n_dup") / F.col("n_passages").cast("double")
+    return (passages.join(freq, "ph")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_passages"), dup)
+            .select("doc_id", "n_passages", "n_dup",
+                    F.round(ratio, 6).alias("dup_ratio"),
+                    (ratio >= DUP_RATIO_DROP).alias("drop_doc")))
