@@ -240,3 +240,60 @@ def q82_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     c.createOrReplaceTempView("customer_rec_src")
     return spark.sql(
         _RECURSIVE_SQL.format(src="customer_rec_src", idiv="div"))
+
+
+# ---------------------------------------------------------------------------
+# q93 — unigram language-model scoring (the CCNet/perplexity quality
+# gate): train unigram stats on the corpus itself (token -> count, total
+# N), score each document by its average per-token negative
+# log-likelihood, and keep the low-perplexity band. Real pipelines score
+# against a reference-corpus LM; self-scoring exercises the identical
+# plan (train pass + broadcast join + per-doc fold).
+#
+# Cross-engine determinism: ln() may differ between engines in the last
+# ulp, so each token's NLL is frozen to a fixed-point bigint
+# (round(-ln(c/N) * 1e6)) BEFORE summation; integer sums are
+# order-independent, so the per-doc total is bit-exact even though the
+# doc's tokens are summed in different orders by different engines.
+#
+# Scale: the vocab aggregate is map-side combinable and its result is
+# tiny relative to the corpus (vocab grows ~log of corpus size) ->
+# broadcast join onto the exploded token stream; one per-doc sum.
+# ---------------------------------------------------------------------------
+NLL_KEEP_MAX = 3.6   # keep docs with avg NLL <= this (nats/token)
+
+@query("q93_unigram_nll", f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> ''))
+           AS token
+  FROM documents),
+vocab AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+scal AS (SELECT SUM(c) AS n FROM vocab),
+scored AS (
+  SELECT t.doc_id,
+         CAST(ROUND(-LN(CAST(v.c AS DOUBLE) / s.n) * 1000000) AS BIGINT)
+           AS nll_fp
+  FROM tok t JOIN vocab v USING (token) CROSS JOIN scal s)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(SUM(nll_fp) / (COUNT(*) * 1000000.0), 4) AS avg_nll,
+       SUM(nll_fp) / (COUNT(*) * 1000000.0) <= {NLL_KEEP_MAX} AS keep
+FROM scored GROUP BY doc_id
+""")
+def q93_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    tok = d.select("doc_id", F.explode(toks).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count("*").alias("c"))
+    scal = vocab.agg(F.sum("c").alias("n"))
+    nll_fp = F.round(-F.log(F.col("c").cast("double") / F.col("n"))
+                     * 1_000_000).cast("bigint")
+    scored = (tok.join(F.broadcast(vocab.crossJoin(F.broadcast(scal))),
+                       "token")
+              .select("doc_id", nll_fp.alias("nll_fp")))
+    avg = F.col("sum_fp") / (F.col("n_tokens") * 1_000_000.0)
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum("nll_fp").alias("sum_fp"))
+            .select("doc_id", "n_tokens",
+                    F.round(avg, 4).alias("avg_nll"),
+                    (avg <= NLL_KEEP_MAX).alias("keep")))

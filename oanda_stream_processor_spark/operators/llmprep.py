@@ -271,3 +271,58 @@ def q89_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_passages", "n_dup",
                     F.round(ratio, 6).alias("dup_ratio"),
                     (ratio >= DUP_RATIO_DROP).alias("drop_doc")))
+
+
+# ---------------------------------------------------------------------------
+# q94 — weight-proportional (PPS / Poisson) sampling: inclusion
+# probability proportional to document length in tokens, the importance-
+# sampling step that rebalances a training mix toward content-rich
+# documents. Deterministic and engine/cluster-invariant like q77: the
+# uniform draw is md5(doc_id), the inclusion test
+# u * S < K * w * U_MOD is pure bigint arithmetic (S = corpus token
+# mass, K = expected sample size), so the same doc set is kept on any
+# engine and any partitioning — the reproducibility property TABLESAMPLE
+# cannot give.
+#
+# Scale: corpus mass S is one tiny aggregate broadcast back; the keep
+# decision is a per-row projection; the audit one map-side-combinable
+# groupBy per stratum.
+# ---------------------------------------------------------------------------
+PPS_TARGET = 100    # expected sample size (docs)
+_U_MOD = 1_000_000
+
+_SQL_W = "LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> ''))"
+_SQL_U = (f"CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15) "
+          f"AS BIGINT) % {_U_MOD}")
+
+@query("q94_pps_sample", f"""
+WITH w AS (SELECT doc_id, lang, {_SQL_W} AS w, {_SQL_U} AS u FROM documents),
+scal AS (SELECT SUM(w) AS s FROM w),
+dec AS (
+  SELECT lang, w, (u * s < {PPS_TARGET} * w * {_U_MOD}) AS kept
+  FROM w CROSS JOIN scal)
+SELECT lang,
+       COUNT(*) AS n_total,
+       SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS n_sampled,
+       SUM(w) AS w_total,
+       SUM(CASE WHEN kept THEN w ELSE 0 END) AS w_sampled
+FROM dec GROUP BY lang
+""")
+def q94_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast("long")
+    u = (F.conv(F.substring(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15),
+            16, 10).cast("bigint") % _U_MOD)
+    base = d.select("doc_id", "lang", w.alias("w"), u.alias("u"))
+    scal = base.agg(F.sum("w").alias("s"))
+    kept = (F.col("u") * F.col("s")
+            < F.lit(PPS_TARGET) * F.col("w") * F.lit(_U_MOD))
+    dec = (base.crossJoin(F.broadcast(scal))
+           .select("lang", "w", kept.alias("kept")))
+    return (dec.groupBy("lang")
+            .agg(F.count("*").alias("n_total"),
+                 F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_sampled"),
+                 F.sum("w").alias("w_total"),
+                 F.sum(F.when(F.col("kept"), F.col("w")).otherwise(0))
+                  .alias("w_sampled")))

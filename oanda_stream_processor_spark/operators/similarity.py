@@ -284,7 +284,7 @@ _SQL_D2 = ("LIST_AGGREGATE(LIST_TRANSFORM(RANGE({n}), i -> "
            "(CAST(e.embedding[i+1] AS DOUBLE) - c.c_vals[i+1])"
            " * (CAST(e.embedding[i+1] AS DOUBLE) - c.c_vals[i+1])), 'sum')")
 
-@query("q56_ann_ivf", f"""
+_Q56_SQL = f"""
 WITH flat AS ({_SQL_FLAT}),
 cent_long AS ({_SQL_CENTROIDS}),
 centroids AS (
@@ -315,16 +315,18 @@ ranked AS (
                             ORDER BY cosine DESC, cand_id) AS rank
   FROM scored)
 SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
-""")
-def q56_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Coarse quantizer as broadcast state: centroids are packed into ONE
-    row of (label, vals) structs and nested-loop-broadcast onto the
-    embeddings; each row computes its distance to every centroid with
-    zip_with/aggregate inside codegen and takes the argmin with a struct
-    array_min — no posexplode, so the pre-assignment row count stays N
-    instead of N x DIM x n_labels, and the old vec_id re-join disappears
-    (the assignment row already carries the embedding)."""
-    e = load_table(spark, sf_dir, "embeddings")
+"""
+
+
+def _ivf_cells(e: DataFrame) -> DataFrame:
+    """(vec_id, embedding, cell): every vector assigned to its nearest
+    label-centroid cell. Coarse quantizer as broadcast state: centroids
+    are packed into ONE row of (label, vals) structs and
+    nested-loop-broadcast onto the embeddings; each row computes its
+    distance to every centroid with zip_with/aggregate inside codegen
+    and takes the argmin with a struct array_min — no posexplode, so the
+    pre-assignment row count stays N instead of N x DIM x n_labels.
+    Returns an eagerly checkpointed frame (shared by query/cand sides)."""
     flat = e.select("vec_id", "label",
                     F.posexplode("embedding").alias("pos", "raw")) \
             .withColumn("val", F.col("raw").cast("double"))
@@ -359,13 +361,16 @@ def q56_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda c: F.struct(F.round(_d2(c["c_vals"]), 6).alias("d2r"),
                            c["c_label"].alias("cell")))
 
-    def _assign(frame: DataFrame) -> DataFrame:
-        return (frame.crossJoin(F.broadcast(cent_one))
-                .select("vec_id", "embedding",
-                        F.array_min(scored_cells)["cell"].alias("cell")))
+    # assignment runs ONCE (checkpointed); consumers filter/join it
+    return (e.crossJoin(F.broadcast(cent_one))
+            .select("vec_id", "embedding",
+                    F.array_min(scored_cells)["cell"].alias("cell"))
+            .localCheckpoint(eager=True))
 
-    # assignment runs ONCE (checkpointed); the query branch filters it
-    cells = _assign(e).localCheckpoint(eager=True)
+
+@query("q56_ann_ivf", _Q56_SQL)
+def q56_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = _ivf_cells(load_table(spark, sf_dir, "embeddings"))
     q = (cells.where(F.col("vec_id") < N_QUERIES)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("q_emb"),
@@ -468,6 +473,92 @@ def q88_ann_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0), lambda acc, x: acc + x)
     scored = (recons.join(F.broadcast(q),
                           F.col("vec_id") != F.col("query_id"))
+              .select("query_id", F.col("vec_id").alias("cand_id"),
+                      F.round(d2, 6).alias("d2")))
+    wr = W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cand_id"))
+    return (scored.withColumn("rank", F.row_number().over(wr))
+                  .where(F.col("rank") <= TOP_K))
+
+
+# ---------------------------------------------------------------------------
+# q92 — IVF-SQ composed ANN (the FAISS IVFSQ shape): the IVF coarse
+# quantizer (q56) prunes the search to the query's cell, and within the
+# cell distances are computed against SQ8-reconstructed candidates
+# (q88's asymmetric distance) instead of raw vectors. At 100 TB this is
+# the production layout: cells partition the corpus (cell id = partition
+# key), codes shrink the in-cell scan 8x, and only the (tiny) quantizer
+# state — centroids + per-dim min/max — is broadcast.
+# ---------------------------------------------------------------------------
+@query("q92_ann_ivf_sq", f"""
+WITH flat AS ({_SQL_FLAT}),
+cent_long AS ({_SQL_CENTROIDS}),
+centroids AS (
+  SELECT c_label, LIST(c_val ORDER BY c_pos) AS c_vals
+  FROM cent_long GROUP BY c_label),
+dists AS (
+  SELECT e.vec_id, c.c_label,
+         {_SQL_D2.format(n=DIM)} AS d2
+  FROM embeddings e CROSS JOIN centroids c),
+assigned AS (
+  SELECT vec_id, c_label AS cell FROM (
+    SELECT vec_id, c_label,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY ROUND(d2, 6), c_label) AS rn
+    FROM dists) WHERE rn = 1),
+stats AS ({_SQL_DIMSTATS}),
+packed AS (
+  SELECT LIST(lo ORDER BY pos) AS los, LIST(hi ORDER BY pos) AS his
+  FROM stats),
+recons AS (
+  SELECT e.vec_id, a.cell, {_SQL_RECON} AS recon
+  FROM embeddings e JOIN assigned a USING (vec_id) CROSS JOIN packed),
+q AS (
+  SELECT e.vec_id AS query_id, e.embedding AS q_emb, a.cell
+  FROM embeddings e JOIN assigned a USING (vec_id)
+  WHERE e.vec_id < {N_QUERIES}),
+scored AS (
+  SELECT query_id, r.vec_id AS cand_id, ROUND({_SQL_ADC}, 6) AS d2
+  FROM q JOIN recons r ON r.cell = q.cell AND r.vec_id <> query_id),
+ranked AS (
+  SELECT query_id, cand_id, d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY d2, cand_id) AS rank
+  FROM scored)
+SELECT query_id, cand_id, d2, rank FROM ranked WHERE rank <= {TOP_K}
+""")
+def q92_ann_ivf_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cells = _ivf_cells(e)   # (vec_id, embedding, cell), checkpointed
+    flat = e.select("vec_id", F.posexplode("embedding").alias("pos", "raw")) \
+            .withColumn("val", F.col("raw").cast("double"))
+    packed = (flat.groupBy("pos")
+              .agg(F.min("val").alias("lo"), F.max("val").alias("hi"))
+              .agg(F.transform(F.array_sort(F.collect_list(F.struct("pos", "lo"))),
+                               lambda s: s["lo"]).alias("los"),
+                   F.transform(F.array_sort(F.collect_list(F.struct("pos", "hi"))),
+                               lambda s: s["hi"]).alias("his"))
+              .localCheckpoint(eager=True))
+    recon = F.expr(f"""
+        transform(sequence(0, {DIM - 1}), i ->
+          element_at(los, i + 1) +
+          (CASE WHEN element_at(his, i + 1) = element_at(los, i + 1) THEN 0
+           ELSE least({SQ_LEVELS - 1}, greatest(0, floor(
+             (cast(element_at(embedding, i + 1) as double)
+              - element_at(los, i + 1))
+             / (element_at(his, i + 1) - element_at(los, i + 1))
+             * {SQ_LEVELS}))) END + 0.5d)
+          * (element_at(his, i + 1) - element_at(los, i + 1)) / {SQ_LEVELS})""")
+    recons = (cells.crossJoin(F.broadcast(packed))
+              .select("vec_id", "cell", recon.alias("recon")))
+    q = (cells.where(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb"), "cell"))
+    d2 = F.aggregate(
+        F.zip_with("q_emb", "recon",
+                   lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    scored = (recons.join(F.broadcast(q), "cell")
+              .where(F.col("vec_id") != F.col("query_id"))
               .select("query_id", F.col("vec_id").alias("cand_id"),
                       F.round(d2, 6).alias("d2")))
     wr = W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cand_id"))
