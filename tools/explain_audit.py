@@ -106,6 +106,31 @@ def main() -> int:
     check("q80 broadcast bench set", q80, contains=["BroadcastHashJoin"])
     check("q80 no sort-merge", q80, count_of=("SortMergeJoin", 0, 0))
 
+    # q88: quantizer state broadcast-nested-loops onto the corpus, query
+    # set broadcast onto the reconstructions — no sort-merge join of the
+    # big side anywhere
+    from oanda_stream_processor_spark.operators import llmprep, similarity
+    q88 = similarity.q88_ann_sq(spark, SF)
+    check("q88 broadcast-only joins", q88, count_of=("SortMergeJoin", 0, 0))
+    check("q88 quantizer broadcast", q88, contains=["BroadcastNestedLoopJoin"])
+
+    # q91: z-value is a projection; only the tiny stats agg and the
+    # 64-key envelope groupBy shuffle (2 exchanges + AQE reads)
+    from oanda_stream_processor_spark.operators import extras
+    q91 = extras.q91_zorder_profile(spark, SF)
+    check("q91 no sort-merge", q91, count_of=("SortMergeJoin", 0, 0))
+
+    # q93: vocab joins onto the token stream as a broadcast, never a
+    # shuffled join of the exploded corpus side
+    q93 = curation.q93_unigram_nll(spark, SF)
+    check("q93 vocab broadcast", q93, contains=["BroadcastHashJoin"])
+    check("q93 no sort-merge", q93, count_of=("SortMergeJoin", 0, 0))
+
+    # q94: keep decision is a projection over a broadcast scalar; one
+    # groupBy exchange for the stratum audit, no joins of the big side
+    q94 = llmprep.q94_pps_sample(spark, SF)
+    check("q94 no sort-merge", q94, count_of=("SortMergeJoin", 0, 0))
+
     if failures:
         print("\n".join("AUDIT FAIL: " + f for f in failures))
         return 1
