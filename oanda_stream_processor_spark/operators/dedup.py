@@ -615,3 +615,70 @@ def q90_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["q90_pagerank"] = _q90_sql()
+
+
+# ---------------------------------------------------------------------------
+# q95 — SimHash near-dup pairs: the search stage q43's signatures exist
+# for. Charikar-style band blocking: split the 60-bit signature into 4
+# bands of 15 bits; by pigeonhole, any pair within hamming distance 3
+# agrees on at least one full band, so banding has perfect recall at
+# the verify threshold. Candidates = docs sharing any (band_id, band
+# value); verification = bit_count(xor) <= HAM_MAX on the full
+# signature. Never all-pairs; band values are ~uniform 15-bit keys.
+# ---------------------------------------------------------------------------
+SIM_BANDS = 4
+SIM_BAND_BITS = SIM_BITS // SIM_BANDS   # 15
+HAM_MAX = SIM_BANDS - 1                 # pigeonhole-guaranteed recall
+
+_Q43_CTE = f"""
+tok AS (
+  SELECT doc_id, UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS token
+  FROM documents),
+hashed AS (
+  SELECT doc_id, CAST('0x' || SUBSTR(MD5(token), 1, 15) AS BIGINT) AS h FROM tok),
+votes AS (
+  SELECT doc_id, {_SIM_VOTE_AGGS_SQL}
+  FROM hashed GROUP BY doc_id),
+sig AS (
+  SELECT doc_id, CAST({_SIM_RECOMBINE_SQL} AS BIGINT) AS simhash
+  FROM votes)
+"""
+
+_SIM_BAND_MASK = (1 << SIM_BAND_BITS) - 1
+
+@query("q95_simhash_pairs", f"""
+WITH {_Q43_CTE},
+flat AS (
+  {' UNION ALL '.join(
+      f'SELECT doc_id, simhash, {b} AS band_id, '
+      f'(simhash >> {b * SIM_BAND_BITS}) & {_SIM_BAND_MASK} AS band_val FROM sig'
+      for b in range(SIM_BANDS))}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sig_a,
+                  b.doc_id AS doc_b, b.simhash AS sig_b
+  FROM flat a JOIN flat b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       BIT_COUNT(XOR(sig_a, sig_b)) AS hamming
+FROM cand
+WHERE BIT_COUNT(XOR(sig_a, sig_b)) <= {HAM_MAX}
+""")
+def q95_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = q43_simhash(spark, sf_dir).localCheckpoint(eager=True)
+    stack_expr = ", ".join(
+        f"{b}, shiftright(simhash, {b * SIM_BAND_BITS}) & {_SIM_BAND_MASK}"
+        for b in range(SIM_BANDS))
+    flat = sig.selectExpr(
+        "doc_id", "simhash",
+        f"stack({SIM_BANDS}, {stack_expr}) AS (band_id, band_val)")
+    a = flat.select(F.col("doc_id").alias("doc_a"),
+                    F.col("simhash").alias("sig_a"), "band_id", "band_val")
+    b = flat.select(F.col("doc_id").alias("doc_b"),
+                    F.col("simhash").alias("sig_b"), "band_id", "band_val")
+    cand = (a.join(b, ["band_id", "band_val"])
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "sig_a", "doc_b", "sig_b").distinct())
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (cand.where(ham <= HAM_MAX)
+            .select("doc_a", "doc_b", ham.alias("hamming")))

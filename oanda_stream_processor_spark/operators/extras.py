@@ -392,3 +392,76 @@ def q91_zorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_rows"),
                  F.min("ck").alias("ck_min"), F.max("ck").alias("ck_max"),
                  F.min("dd").alias("dd_min"), F.max("dd").alias("dd_max")))
+
+
+# ---------------------------------------------------------------------------
+# q96 — temporal (point-in-time) join: each lineitem resolves its
+# order's SCD2 dimension version valid AT SHIP TIME — the Flink
+# "temporal table join" / warehouse AS OF join. Versions extend q39:
+# v1 valid from the order date, v2 (the status flip) valid from
+# order date + 30 days; valid_to = next version's valid_from via LEAD,
+# open intervals capped at 9999-12-31.
+#
+# Scale: the join carries the equi key (orderkey), so it hash-partitions
+# both sides on a uniform key and applies the interval predicate inside
+# the matched bucket — never a broadcast-nested-loop over time ranges.
+# Version chains are short (2 here; bounded in practice), so the
+# per-key interval scan is O(1).
+# ---------------------------------------------------------------------------
+@query("q96_temporal_join", """
+WITH updates AS (
+  SELECT o_orderkey, o_totalprice, o_orderdate
+  FROM orders WHERE o_orderstatus = 'O' AND o_orderkey % 5 = 0),
+versioned AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS version,
+         CAST(o_orderdate AS DATE) AS valid_from
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'F', FLOOR(o_totalprice * 1.1 * 100) / 100.0, 2,
+         CAST(o_orderdate AS DATE) + 30
+  FROM updates),
+intervals AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, version, valid_from,
+         COALESCE(LEAD(valid_from) OVER (PARTITION BY o_orderkey
+                                         ORDER BY version),
+                  DATE '9999-12-31') AS valid_to
+  FROM versioned)
+SELECT l.l_orderkey, l.l_linenumber, CAST(l.l_shipdate AS DATE) AS ship_date,
+       v.o_orderstatus AS status_at_ship,
+       v.o_totalprice AS price_at_ship,
+       v.version
+FROM lineitem l
+JOIN intervals v
+  ON v.o_orderkey = l.l_orderkey
+ AND CAST(l.l_shipdate AS DATE) >= v.valid_from
+ AND CAST(l.l_shipdate AS DATE) < v.valid_to
+""")
+def q96_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    updates = o.where((F.col("o_orderstatus") == "O")
+                      & (F.col("o_orderkey") % 5 == 0))
+    v1 = o.select("o_orderkey", "o_orderstatus", "o_totalprice",
+                  F.lit(1).alias("version"),
+                  F.to_date("o_orderdate").alias("valid_from"))
+    v2 = updates.select(
+        "o_orderkey", F.lit("F").alias("o_orderstatus"),
+        (F.floor(F.col("o_totalprice") * 1.1 * 100) / 100.0)
+          .alias("o_totalprice"),
+        F.lit(2).alias("version"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("valid_from"))
+    w = W.partitionBy("o_orderkey").orderBy("version")
+    intervals = (v1.unionByName(v2)
+                 .withColumn("valid_to",
+                             F.coalesce(F.lead("valid_from").over(w),
+                                        F.lit("9999-12-31").cast("date"))))
+    ship = F.to_date("l_shipdate")
+    return (li.select("l_orderkey", "l_linenumber", ship.alias("ship_date"))
+            .join(intervals,
+                  (F.col("o_orderkey") == F.col("l_orderkey"))
+                  & (F.col("ship_date") >= F.col("valid_from"))
+                  & (F.col("ship_date") < F.col("valid_to")))
+            .select("l_orderkey", "l_linenumber", "ship_date",
+                    F.col("o_orderstatus").alias("status_at_ship"),
+                    F.col("o_totalprice").alias("price_at_ship"),
+                    "version"))
