@@ -682,3 +682,68 @@ def q95_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (cand.where(ham <= HAM_MAX)
             .select("doc_a", "doc_b", ham.alias("hamming")))
+
+
+# ---------------------------------------------------------------------------
+# q97 — canonical selection by quality: the final materialization of a
+# dedup pipeline. Within each near-dup component (q55), keep the
+# highest-quality member — not the lowest id — ranked by an integer
+# quality key (alpha-character density in ppm, then token count, then
+# doc_id), so the winner is bit-deterministic on any engine. Emits one
+# row per component with its canonical doc and member count.
+#
+# Scale: component labels come from the converged q55 frame (one
+# iterative join chain), quality is a per-row projection, and the
+# winner is one window over component — shuffle key = component id,
+# uniform (md5-derived minima).
+# ---------------------------------------------------------------------------
+@query("q97_canonical_by_quality", f"""
+WITH comp AS ({{Q55}}),
+qual AS (
+  SELECT doc_id,
+         (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[a-z]', '', 'g')))
+           * 1000000 // LENGTH(text) AS alpha_ppm,
+         LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS n_tokens
+  FROM documents WHERE LENGTH(text) > 0),
+ranked AS (
+  SELECT c.component, c.doc_id, q.alpha_ppm, q.n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY c.component
+                            ORDER BY q.alpha_ppm DESC, q.n_tokens DESC,
+                                     c.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY c.component) AS n_members
+  FROM (SELECT doc_id, component FROM comp) c
+  JOIN qual q USING (doc_id))
+SELECT component, doc_id AS canonical_id, n_members, alpha_ppm, n_tokens
+FROM ranked WHERE rn = 1
+""")
+def q97_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = q55_dedup_components(spark, sf_dir).select("doc_id", "component")
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    alpha = F.length("text") - F.length(F.regexp_replace("text", "[a-z]", ""))
+    # integer ppm quality via `div` (not double-divide-then-cast):
+    # bit-exact vs the oracle's // at any magnitude
+    qual = d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_q"),
+        alpha.cast("long").alias("n_alpha"),
+        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+          .cast("long").alias("n_tokens"))
+    qual = qual.select(
+        "doc_id",
+        F.expr("(n_alpha * 1000000) div n_chars_q").alias("alpha_ppm"),
+        "n_tokens")
+    from pyspark.sql import Window as W
+    w = W.partitionBy("component").orderBy(
+        F.desc("alpha_ppm"), F.desc("n_tokens"), F.asc("doc_id"))
+    wc = W.partitionBy("component")
+    ranked = (comp.join(qual, "doc_id")
+              .withColumn("rn", F.row_number().over(w))
+              .withColumn("n_members", F.count("*").over(wc)))
+    return (ranked.where(F.col("rn") == 1)
+            .select("component", F.col("doc_id").alias("canonical_id"),
+                    "n_members", "alpha_ppm", "n_tokens"))
+
+
+ORACLES["q97_canonical_by_quality"] = \
+    ORACLES["q97_canonical_by_quality"].replace(
+        "{Q55}", ORACLES["q55_dedup_components"])

@@ -465,3 +465,106 @@ def q96_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("o_orderstatus").alias("status_at_ship"),
                     F.col("o_totalprice").alias("price_at_ship"),
                     "version"))
+
+
+# ---------------------------------------------------------------------------
+# q98 — data-skipping effectiveness: closes the q91 loop by measuring
+# what the Z-order layout buys. For a fixed two-dimensional predicate,
+# a bucket must be read iff its (min, max) envelope intersects the
+# predicate box; the query reports buckets/rows read vs rows actually
+# matching — the file-skipping audit a lakehouse OPTIMIZE job emits.
+# All integer arithmetic; same bucket assignment as q91.
+# ---------------------------------------------------------------------------
+SKIP_CK = (200, 500)       # predicate: ck BETWEEN 200 AND 500
+SKIP_DD = (9500, 9900)     # AND dd BETWEEN 9500 AND 9900 (1996-1997)
+
+@query("q98_skipping_effectiveness", f"""
+WITH dims AS (
+  SELECT o_orderkey, o_custkey AS ck,
+         DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS dd
+  FROM orders),
+stats AS (
+  SELECT MIN(ck) AS ck_lo, MAX(ck) AS ck_hi,
+         MIN(dd) AS dd_lo, MAX(dd) AS dd_hi
+  FROM dims),
+norm AS (
+  SELECT ck, dd,
+         CASE WHEN ck_hi = ck_lo THEN 0
+              ELSE ((ck - ck_lo) * {_Z_TOP}) // (ck_hi - ck_lo) END AS nck,
+         CASE WHEN dd_hi = dd_lo THEN 0
+              ELSE ((dd - dd_lo) * {_Z_TOP}) // (dd_hi - dd_lo) END AS ndd
+  FROM dims CROSS JOIN stats),
+zvals AS (
+  SELECT ck, dd,
+         LIST_AGGREGATE(LIST_TRANSFORM(RANGE({Z_BITS}), i ->
+           (((nck >> i) & 1) << (2 * i + 1)) + (((ndd >> i) & 1) << (2 * i))),
+           'sum') >> {2 * Z_BITS - Z_BUCKETS_LOG2} AS z_bucket
+  FROM norm),
+env AS (
+  SELECT z_bucket, COUNT(*) AS n_rows,
+         MIN(ck) AS ck_min, MAX(ck) AS ck_max,
+         MIN(dd) AS dd_min, MAX(dd) AS dd_max
+  FROM zvals GROUP BY z_bucket),
+flagged AS (
+  SELECT *,
+         (ck_max >= {SKIP_CK[0]} AND ck_min <= {SKIP_CK[1]}
+          AND dd_max >= {SKIP_DD[0]} AND dd_min <= {SKIP_DD[1]}) AS must_read
+  FROM env),
+matches AS (
+  SELECT COUNT(*) AS n_match FROM zvals
+  WHERE ck BETWEEN {SKIP_CK[0]} AND {SKIP_CK[1]}
+    AND dd BETWEEN {SKIP_DD[0]} AND {SKIP_DD[1]})
+SELECT COUNT(*) AS n_buckets,
+       SUM(CASE WHEN must_read THEN 1 ELSE 0 END) AS n_read_buckets,
+       SUM(n_rows) AS rows_total,
+       SUM(CASE WHEN must_read THEN n_rows ELSE 0 END) AS rows_read,
+       (SELECT n_match FROM matches) AS rows_match,
+       ROUND(1.0 - SUM(CASE WHEN must_read THEN n_rows ELSE 0 END)
+             / CAST(SUM(n_rows) AS DOUBLE), 6) AS skip_frac
+FROM flagged
+""")
+def q98_skipping_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    dd = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    dims = o.select(F.col("o_custkey").cast("long").alias("ck"),
+                    dd.cast("long").alias("dd"))
+    stats = dims.agg(F.min("ck").alias("ck_lo"), F.max("ck").alias("ck_hi"),
+                     F.min("dd").alias("dd_lo"), F.max("dd").alias("dd_hi"))
+    norm = (dims.crossJoin(F.broadcast(stats))
+            .select("ck", "dd",
+                    F.expr(f"IF(ck_hi = ck_lo, 0L, "
+                           f"((ck - ck_lo) * {_Z_TOP}) div (ck_hi - ck_lo))")
+                     .alias("nck"),
+                    F.expr(f"IF(dd_hi = dd_lo, 0L, "
+                           f"((dd - dd_lo) * {_Z_TOP}) div (dd_hi - dd_lo))")
+                     .alias("ndd")))
+    z = F.expr(
+        f"aggregate(sequence(0, {Z_BITS - 1}), 0L, (acc, i) -> acc"
+        f" + (((nck >> i) & 1) << (2 * i + 1))"
+        f" + (((ndd >> i) & 1) << (2 * i)))")
+    zvals = norm.select(
+        "ck", "dd",
+        F.shiftright(z, 2 * Z_BITS - Z_BUCKETS_LOG2).alias("z_bucket")) \
+        .localCheckpoint(eager=True)   # envelope + match branches share it
+    env = (zvals.groupBy("z_bucket")
+           .agg(F.count("*").alias("n_rows"),
+                F.min("ck").alias("ck_min"), F.max("ck").alias("ck_max"),
+                F.min("dd").alias("dd_min"), F.max("dd").alias("dd_max")))
+    must_read = ((F.col("ck_max") >= SKIP_CK[0]) & (F.col("ck_min") <= SKIP_CK[1])
+                 & (F.col("dd_max") >= SKIP_DD[0]) & (F.col("dd_min") <= SKIP_DD[1]))
+    flagged = env.withColumn("must_read", must_read)
+    matches = (zvals.where(F.col("ck").between(*SKIP_CK)
+                           & F.col("dd").between(*SKIP_DD))
+               .agg(F.count("*").alias("rows_match")))
+    agg = flagged.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.when(F.col("must_read"), 1).otherwise(0)).alias("n_read_buckets"),
+        F.sum("n_rows").alias("rows_total"),
+        F.sum(F.when(F.col("must_read"), F.col("n_rows")).otherwise(0))
+         .alias("rows_read"))
+    skip_frac = F.round(
+        1.0 - F.col("rows_read") / F.col("rows_total").cast("double"), 6)
+    return (agg.crossJoin(matches)
+            .select("n_buckets", "n_read_buckets", "rows_total", "rows_read",
+                    F.col("rows_match").alias("rows_match"),
+                    skip_frac.alias("skip_frac")))
