@@ -56,22 +56,67 @@ def _advance(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
                                          "stage_ts"])
 
 
-def funnel_progress(events: DataFrame) -> DataFrame:
+def _advance_with_ttl(ttl_ms: int):
+    """Variant of :func:`_advance` that evicts a user's funnel state
+    after ``ttl_ms`` of processing-time inactivity: when the timeout
+    fires, the user's journey is emitted as an ``expired`` row
+    (stage_n = -stage so downstream can count abandonment per stage)
+    and the state is dropped — the memory-bounding pattern every
+    long-running stateful pipeline needs (state stores grow without
+    bound under NoTimeout)."""
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            stage, stage_us = state.get
+            state.remove()
+            if stage > 0:
+                yield pd.DataFrame(
+                    [(user_id, -stage, "expired",
+                      pd.Timestamp(stage_us * 1000))],
+                    columns=["user_id", "stage_n", "stage", "stage_ts"])
+            return
+        stage, stage_us = state.get if state.exists else (0, None)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for row in pdf.itertuples(index=False):
+                if stage >= len(FUNNEL):
+                    break
+                ts_us = int(row.ts.value // 1000)
+                if (row.event_type == FUNNEL[stage]
+                        and (stage_us is None or ts_us > stage_us)):
+                    stage += 1
+                    stage_us = ts_us
+                    out.append((user_id, stage, FUNNEL[stage - 1], row.ts))
+        state.update((stage, stage_us))
+        state.setTimeoutDuration(ttl_ms)
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "stage_n", "stage",
+                                             "stage_ts"])
+    return fn
+
+
+def funnel_progress(events: DataFrame, *, ttl_ms: int | None = None) -> DataFrame:
     """(user_id, event_type, ts) stream -> one row per stage advance.
 
-    Works on batch frames too (same code path Spark uses for
-    applyInPandas group iteration), which is how the parity test pins
-    it against q83's batch counts.
+    With ``ttl_ms``, idle users' state is evicted on a processing-time
+    timeout and surfaced as an ``expired`` row (negative stage_n);
+    without it, state is unbounded (NoTimeout) — fine for tests, not
+    for production.
     """
+    if ttl_ms is None:
+        fn, conf = _advance, GroupStateTimeout.NoTimeout
+    else:
+        fn, conf = _advance_with_ttl(ttl_ms), GroupStateTimeout.ProcessingTimeTimeout
     return (events
             .select("user_id", "event_type", "ts")
             .groupBy("user_id")
             .applyInPandasWithState(
-                _advance,
+                fn,
                 outputStructType=OUTPUT_SCHEMA,
                 stateStructType=STATE_SCHEMA,
                 outputMode="append",
-                timeoutConf=GroupStateTimeout.NoTimeout))
+                timeoutConf=conf))
 
 
 def funnel_counts(spark, progress_table: str) -> DataFrame:

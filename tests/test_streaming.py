@@ -372,3 +372,44 @@ def test_streaming_funnel_progress(spark, tmp_path):
     counts = {(r.stage_n, r.n_users, r.pct_of_entry)
               for r in funnel_counts(spark, name).collect()}
     assert counts == {(1, 3, 1.0), (2, 3, 1.0), (3, 1, round(1 / 3, 4))}
+
+
+def test_streaming_funnel_ttl_evicts_idle_state(spark, tmp_path):
+    """With a processing-time TTL, an idle user's funnel state is
+    evicted on a later restart-batch and surfaced as an 'expired' row
+    with negative stage_n. Driven with availableNow + checkpoint
+    restarts: under the default trigger, ProcessingTimeTimeout keeps
+    scheduling timeout-service batches and processAllAvailable never
+    idles."""
+    import time as _time
+
+    from oanda_stream_processor_spark.streaming.funnel import funnel_progress
+
+    src = tmp_path / "ev"; src.mkdir()
+    out = str(tmp_path / "out"); ckpt = str(tmp_path / "ckpt")
+    line = '{"user_id": %d, "event_type": "%s", "ts": "2026-08-13T10:%02d:00"}'
+
+    def run_batch():
+        events = (spark.readStream
+                  .schema("user_id long, event_type string, ts timestamp")
+                  .json(str(src)))
+        q = (funnel_progress(events, ttl_ms=500)
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        # an armed ProcessingTimeTimeout keeps the availableNow query
+        # alive servicing timeout batches — cap the wait; the data batch
+        # and any due eviction run in the first seconds
+        q.awaitTermination(10)
+        q.stop()
+
+    (src / "a.ndjson").write_text(line % (1, "view", 0) + "\n")
+    run_batch()                      # u1 advances, TTL armed
+    _time.sleep(1.2)                 # let the 500ms TTL lapse
+    (src / "b.ndjson").write_text(line % (2, "view", 5) + "\n")
+    run_batch()                      # timeout fires -> u1 evicted
+    rows = spark.read.parquet(out).collect()
+    got = {(r.user_id, r.stage_n, r.stage) for r in rows}
+    assert (1, 1, "view") in got
+    assert (2, 1, "view") in got
+    assert (1, -1, "expired") in got, f"user 1 state not evicted: {got}"
