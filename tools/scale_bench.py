@@ -43,6 +43,12 @@ HEAVY = [
     "q48_ann_lsh", "q56_ann_ivf",
     # curation batch (documents-based; q82 walks customer -> not replicated)
     "q79_repetition_filter", "q80_contamination", "q81_sequence_packing",
+    # round-2 additions: skew-cut jaccard, quantized ANN, passage dedup,
+    # graph rank, LM quality gate, PPS sampling, simhash search,
+    # quality canonicals
+    "q87_jaccard_dfcut", "q88_ann_sq", "q89_passage_dedup",
+    "q90_pagerank", "q92_ann_ivf_sq", "q93_unigram_nll",
+    "q94_pps_sample", "q95_simhash_pairs", "q97_canonical_by_quality",
 ]
 
 
