@@ -297,3 +297,146 @@ def q93_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_tokens",
                     F.round(avg, 4).alias("avg_nll"),
                     (avg <= NLL_KEEP_MAX).alias("keep")))
+
+
+# ---------------------------------------------------------------------------
+# q99 — the curation pipeline, composed: exact-dedup -> quality gate ->
+# passage-dup drop -> unigram-NLL band -> PPS sample, emitting the
+# per-stage survivor funnel a 100 TB curation run reports. Each stage
+# recomputes its statistics over the *surviving* set (the pipeline
+# semantics), and every predicate is integer arithmetic (cross-
+# multiplied ratios, fixed-point NLL) so both engines agree bit-forbit.
+#
+# Scale: stage frames are materialized once each (localCheckpoint) and
+# every stage is the same shuffle shape as its standalone operator
+# (q40/q50/q89/q93/q94); the funnel output is 6 rows.
+# ---------------------------------------------------------------------------
+PIPE_PASSAGE = 16
+PIPE_NLL_MAX_FP = 3_600_000        # 3.6 nats/token * 1e6
+PIPE_PPS_TARGET = 100
+
+@query("q99_curation_pipeline", f"""
+WITH s1 AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (PARTITION BY MD5(text) ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1),
+feat AS (
+  SELECT doc_id, text,
+         LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS n_tokens,
+         LENGTH(text) AS n_chars,
+         LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[a-z]', '', 'g')) AS n_alpha
+  FROM s1),
+s2 AS (
+  SELECT doc_id, text, n_tokens FROM feat
+  WHERE n_tokens >= 10 AND n_alpha * 10 > n_chars * 6),
+toks2 AS (SELECT doc_id, text, n_tokens,
+                 LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS toks
+          FROM s2),
+passages AS (
+  SELECT doc_id,
+         MD5(ARRAY_TO_STRING(
+           LIST_SLICE(toks, start + 1, start + {PIPE_PASSAGE}), ' ')) AS ph
+  FROM (SELECT doc_id, toks, UNNEST(RANGE(0, LEN(toks), {PIPE_PASSAGE})) AS start
+        FROM toks2)),
+pfreq AS (SELECT ph, COUNT(*) AS c FROM passages GROUP BY ph),
+pstat AS (
+  SELECT p.doc_id, COUNT(*) AS n_passages,
+         COUNT(*) FILTER (WHERE f.c > 1) AS n_dup
+  FROM passages p JOIN pfreq f USING (ph) GROUP BY p.doc_id),
+s3 AS (
+  SELECT t.doc_id, t.text, t.n_tokens, t.toks FROM toks2 t
+  JOIN pstat s USING (doc_id)
+  WHERE 2 * s.n_dup < s.n_passages),
+tok3 AS (SELECT doc_id, UNNEST(toks) AS token FROM s3),
+vocab AS (SELECT token, COUNT(*) AS c FROM tok3 GROUP BY token),
+vn AS (SELECT SUM(c) AS n FROM vocab),
+nll AS (
+  SELECT t.doc_id,
+         SUM(CAST(ROUND(-LN(CAST(v.c AS DOUBLE) / s.n) * 1000000) AS BIGINT))
+           AS sum_fp,
+         COUNT(*) AS n_tok
+  FROM tok3 t JOIN vocab v USING (token) CROSS JOIN vn s
+  GROUP BY t.doc_id),
+s4 AS (
+  SELECT s3.doc_id, s3.n_tokens FROM s3 JOIN nll USING (doc_id)
+  WHERE nll.sum_fp <= {PIPE_NLL_MAX_FP} * nll.n_tok),
+wsum AS (SELECT SUM(n_tokens) AS s FROM s4),
+s5 AS (
+  SELECT doc_id FROM s4 CROSS JOIN wsum
+  WHERE (CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+         % 1000000) * s < {PIPE_PPS_TARGET} * n_tokens * 1000000)
+SELECT * FROM (
+  SELECT 0 AS stage_n, 'raw' AS stage, (SELECT COUNT(*) FROM documents) AS n_docs
+  UNION ALL SELECT 1, 'exact_dedup', (SELECT COUNT(*) FROM s1)
+  UNION ALL SELECT 2, 'quality', (SELECT COUNT(*) FROM s2)
+  UNION ALL SELECT 3, 'passage_dedup', (SELECT COUNT(*) FROM s3)
+  UNION ALL SELECT 4, 'lm_band', (SELECT COUNT(*) FROM s4)
+  UNION ALL SELECT 5, 'pps_sample', (SELECT COUNT(*) FROM s5))
+""")
+def q99_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+
+    w = W.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    s1 = (d.withColumn("rn", F.row_number().over(w))
+          .where(F.col("rn") == 1).select("doc_id", "text")
+          .localCheckpoint(eager=True))
+
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    alpha = F.length("text") - F.length(F.regexp_replace("text", "[a-z]", ""))
+    feat = s1.select("doc_id", "text", F.size(toks).alias("n_tokens"),
+                     F.length("text").alias("n_chars"),
+                     alpha.alias("n_alpha"))
+    s2 = (feat.where((F.col("n_tokens") >= 10)
+                     & (F.col("n_alpha") * 10 > F.col("n_chars") * 6))
+          .select("doc_id", "text", "n_tokens")
+          .localCheckpoint(eager=True))
+
+    toks2 = s2.select("doc_id", "text", "n_tokens", toks.alias("toks"))
+    starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(PIPE_PASSAGE))
+    ph = F.md5(F.array_join(
+        F.slice("toks", F.col("start") + 1, PIPE_PASSAGE), " ").cast("binary"))
+    passages = (toks2.select("doc_id", "toks", F.explode(starts).alias("start"))
+                .select("doc_id", ph.alias("ph")))
+    pfreq = passages.groupBy("ph").agg(F.count("*").alias("c"))
+    pstat = (passages.join(pfreq, "ph")
+             .groupBy("doc_id")
+             .agg(F.count("*").alias("n_passages"),
+                  F.count(F.when(F.col("c") > 1, True)).alias("n_dup")))
+    s3 = (toks2.join(pstat, "doc_id")
+          .where(2 * F.col("n_dup") < F.col("n_passages"))
+          .select("doc_id", "n_tokens", "toks")
+          .localCheckpoint(eager=True))
+
+    tok3 = s3.select("doc_id", F.explode("toks").alias("token"))
+    vocab = tok3.groupBy("token").agg(F.count("*").alias("c"))
+    vn = vocab.agg(F.sum("c").alias("n"))
+    nll_fp = F.round(-F.log(F.col("c").cast("double") / F.col("n"))
+                     * 1_000_000).cast("bigint")
+    nll = (tok3.join(F.broadcast(vocab.crossJoin(F.broadcast(vn))), "token")
+           .groupBy("doc_id")
+           .agg(F.sum(nll_fp).alias("sum_fp"), F.count("*").alias("n_tok")))
+    s4 = (s3.join(nll, "doc_id")
+          .where(F.col("sum_fp") <= PIPE_NLL_MAX_FP * F.col("n_tok"))
+          .select("doc_id", "n_tokens")
+          .localCheckpoint(eager=True))
+
+    wsum = s4.agg(F.sum("n_tokens").alias("s"))
+    u = (F.conv(F.substring(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15),
+            16, 10).cast("bigint") % 1_000_000)
+    s5 = (s4.crossJoin(F.broadcast(wsum))
+          .where(u * F.col("s")
+                 < F.lit(PIPE_PPS_TARGET) * F.col("n_tokens").cast("long")
+                   * 1_000_000))
+
+    def stage_row(n: int, name: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(F.count("*").alias("n_docs")).select(
+            F.lit(n).alias("stage_n"), F.lit(name).alias("stage"), "n_docs")
+
+    out = stage_row(0, "raw", d)
+    for n, (stage, frame) in enumerate(
+            [("exact_dedup", s1), ("quality", s2), ("passage_dedup", s3),
+             ("lm_band", s4), ("pps_sample", s5)], start=1):
+        out = out.unionByName(stage_row(n, stage, frame))
+    return out
