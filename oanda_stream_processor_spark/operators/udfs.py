@@ -127,3 +127,52 @@ def q72_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (e.groupBy("event_type")
              .agg(_median(F.col("value")).alias("median_value"),
                   _count_nonnull(F.col("value")).alias("n")))
+
+
+# ---------------------------------------------------------------------------
+# q100: polymorphic Python UDTF — the output schema is computed at
+# ANALYSIS time from the literal argument (Spark 4 `analyze` static
+# method), the dynamic-schema table function shape (one UDTF serving
+# any projection width). Here: explode a document's first K tokens into
+# K typed columns, K chosen by the caller — schema resolved before
+# execution, so Catalyst plans column pruning through it.
+# ---------------------------------------------------------------------------
+from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult  # noqa: E402
+
+
+@udtf
+class _HeadTokensUDTF:
+    @staticmethod
+    def analyze(text: AnalyzeArgument, k: AnalyzeArgument) -> AnalyzeResult:
+        n = k.value
+        fields = [T.StructField(f"tok{i}", T.StringType()) for i in range(n)]
+        return AnalyzeResult(schema=T.StructType(fields))
+
+    def __init__(self, analyze_result=None):
+        self._n = (len(analyze_result.schema.fields)
+                   if analyze_result is not None else 0)
+
+    def eval(self, text: str, k: int):
+        toks = [t for t in (text or "").split(" ") if t] if text else []
+        n = self._n or k
+        yield tuple((toks[i] if i < len(toks) else None) for i in range(n))
+
+
+HEAD_K = 3
+
+@query("q100_udtf_dynamic_schema", f"""
+SELECT doc_id,
+       LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')[1] AS tok0,
+       LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')[2] AS tok1,
+       LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')[3] AS tok2
+FROM documents
+""")
+def q100_udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    spark.udtf.register("head_tokens", _HeadTokensUDTF)
+    d.createOrReplaceTempView("docs_q100")
+    return spark.sql(f"""
+        SELECT d.doc_id, h.tok0, h.tok1, h.tok2
+        FROM docs_q100 d,
+        LATERAL head_tokens(d.text, {HEAD_K}) h
+    """)

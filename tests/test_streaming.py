@@ -413,3 +413,23 @@ def test_streaming_funnel_ttl_evicts_idle_state(spark, tmp_path):
     assert (1, 1, "view") in got
     assert (2, 1, "view") in got
     assert (1, -1, "expired") in got, f"user 1 state not evicted: {got}"
+
+
+def test_stream_static_join_enriches_ticks(spark, tick_capture):
+    """Stream-static join: the routed tick stream enriched against a
+    static instrument dimension (broadcast to every micro-batch; no
+    state, no watermark needed — the static side is re-read per batch)."""
+    dim = spark.createDataFrame(
+        [("EUR_USD", "EUR", 4), ("USD_JPY", "JPY", 2)],
+        "instrument string, quote_ccy string, pip_digits int")
+    stream = build_stream(spark, tick_capture)
+    ticks = (stream.where("message_type = 'price_tick'")
+             .select(F.col("price_tick.instrument").alias("instrument"),
+                     "event_ts"))
+    enriched = ticks.join(dim, "instrument", "left")
+    out = _run_to_memory(spark, enriched, f"t{uuid.uuid4().hex[:8]}")
+    rows = out.collect()
+    assert len(rows) == 3          # the capture has 3 ticks
+    by_inst = {r.instrument: r for r in rows}
+    assert by_inst["EUR_USD"].pip_digits == 4
+    assert all(r.quote_ccy is not None for r in rows)
