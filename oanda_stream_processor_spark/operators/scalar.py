@@ -274,3 +274,40 @@ def q62_top_of_book(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.max(key)["id"].alias("last_event_id"),
                   F.max(key)["v"].alias("last_value"),
                   F.count("*").alias("n_events")))
+
+
+# ---------------------------------------------------------------------------
+# q102 — hopping windows, batch analog of the streaming sliding candle:
+# width 1 hour, slide 30 minutes, so every event lands in exactly two
+# windows. Spark's native window() generator expands the assignment
+# inside codegen (epoch-aligned grid, same as the streaming operator);
+# the oracle reconstructs the identical grid with time_bucket and an
+# explicit 2-window unnest. One map-side-combinable groupBy on
+# (window_start, event_type).
+# ---------------------------------------------------------------------------
+@query("q102_hopping_windows", f"""
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+assigned AS (
+  SELECT event_type, value, ts,
+         UNNEST([TIME_BUCKET(INTERVAL 30 MINUTE, ts),
+                 TIME_BUCKET(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE])
+           AS window_start
+  FROM ev)
+SELECT window_start,
+       window_start + INTERVAL 60 MINUTE AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM assigned
+WHERE ts >= window_start AND ts < window_start + INTERVAL 60 MINUTE
+GROUP BY window_start, event_type
+""")
+def q102_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour", "30 minutes")
+    return (e.groupBy(w.alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 dsum(F.col("value")).alias("total_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "event_type", "n_events", "total_value"))

@@ -243,3 +243,43 @@ def q52_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("doc_id",
                      F.size("fps").cast("long").alias("n_fingerprints"),
                      F.array_min("fps").alias("min_fp")))
+
+
+# ---------------------------------------------------------------------------
+# q101 — fuzzy dictionary match (entity-resolution shape): match every
+# corpus vocabulary token against a probe dictionary by edit distance
+# <= 2. The dictionary side is tiny -> broadcast nested loop with a
+# length-band prefilter (|len(a) - len(b)| <= 2 is a Levenshtein lower
+# bound, pruning most pairs before the O(mn) distance); the corpus side
+# reduces to its distinct vocabulary first, so the expensive distance
+# runs once per (token, probe), not once per occurrence.
+# Levenshtein is integer-exact in both engines — no rounding hazards.
+# ---------------------------------------------------------------------------
+FUZZY_PROBES = ("custmer", "supplir", "windoww", "vektor", "agg")
+FUZZY_MAX_DIST = 2
+
+_SQL_PROBES = " UNION ALL ".join(f"SELECT '{p}' AS probe" for p in FUZZY_PROBES)
+
+@query("q101_fuzzy_match", f"""
+WITH vocab AS (
+  SELECT DISTINCT UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> ''))
+    AS token
+  FROM documents),
+probes AS ({_SQL_PROBES})
+SELECT p.probe, v.token,
+       LEVENSHTEIN(p.probe, v.token) AS dist
+FROM probes p JOIN vocab v
+  ON ABS(LENGTH(p.probe) - LENGTH(v.token)) <= {FUZZY_MAX_DIST}
+WHERE LEVENSHTEIN(p.probe, v.token) <= {FUZZY_MAX_DIST}
+""")
+def q101_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (d.select(F.explode(
+        F.filter(F.split("text", " "), lambda x: x != "")).alias("token"))
+        .distinct())
+    probes = spark.createDataFrame([(p,) for p in FUZZY_PROBES], "probe string")
+    band = (F.abs(F.length("probe") - F.length("token")) <= FUZZY_MAX_DIST)
+    dist = F.levenshtein("probe", "token")
+    return (vocab.join(F.broadcast(probes), band)
+            .where(dist <= FUZZY_MAX_DIST)
+            .select("probe", "token", dist.alias("dist")))
