@@ -119,3 +119,101 @@ def q29_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pairs.groupBy("user_id")
                  .agg(F.count("*").alias("n_pairs"),
                       F.min(F.col("b_id") - F.col("a_id")).alias("min_id_gap")))
+
+
+# ---------------------------------------------------------------------------
+# q103 — interval overlap join: two interval sets (order fulfilment
+# windows), all pairs that overlap in time. A naive a.start < b.end AND
+# b.start < a.end theta join is O(n·m); the rewrite explodes each
+# interval to the W-day buckets it covers and equi-joins on the bucket,
+# so only time-co-located intervals meet — the q29 trick generalized
+# from points to intervals. Pairs found in several shared buckets
+# dedup with one DISTINCT on the pair key.
+# ---------------------------------------------------------------------------
+IV_W = 10   # bucket width (days) >= max interval width -> <=2 buckets/interval
+
+@query("q103_interval_overlap", """
+WITH a AS (
+  SELECT o_orderkey AS a_key, CAST(o_orderdate AS DATE) AS a_start,
+         CAST(o_orderdate AS DATE) + 7 AS a_end
+  FROM orders WHERE o_orderstatus = 'O' AND o_orderkey % 20 = 0),
+b AS (
+  SELECT o_orderkey AS b_key, CAST(o_orderdate AS DATE) AS b_start,
+         CAST(o_orderdate AS DATE) + 10 AS b_end
+  FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 30 = 0)
+SELECT a_key, b_key,
+       DATE_DIFF('day', GREATEST(a_start, b_start),
+                 LEAST(a_end, b_end)) AS overlap_days
+FROM a JOIN b ON a_start < b_end AND b_start < a_end
+""")
+def q103_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    a = (o.where((F.col("o_orderstatus") == "O") & (F.col("o_orderkey") % 20 == 0))
+         .select(F.col("o_orderkey").alias("a_key"),
+                 day.alias("a_start"), (day + 7).alias("a_end")))
+    b = (o.where((F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 30 == 0))
+         .select(F.col("o_orderkey").alias("b_key"),
+                 day.alias("b_start"), (day + 10).alias("b_end")))
+
+    def buckets(start, end):
+        return F.sequence(F.floor(start / IV_W), F.floor((end - 1) / IV_W))
+
+    ab = a.withColumn("bk", F.explode(buckets(F.col("a_start"), F.col("a_end"))))
+    bb = b.withColumn("bk", F.explode(buckets(F.col("b_start"), F.col("b_end"))))
+    pairs = (ab.join(bb, "bk")
+             .where((F.col("a_start") < F.col("b_end"))
+                    & (F.col("b_start") < F.col("a_end")))
+             .select("a_key", "b_key", "a_start", "a_end", "b_start", "b_end")
+             .distinct())
+    return pairs.select(
+        "a_key", "b_key",
+        (F.least("a_end", "b_end") - F.greatest("a_start", "b_start"))
+          .alias("overlap_days"))
+
+
+# ---------------------------------------------------------------------------
+# q104 — forward as-of: for each error, the NEXT purchase at-or-after
+# it (merge_asof direction='forward'). Same union-merge shape as q28
+# with the carry reversed: first(ignorenulls) over the FOLLOWING frame;
+# at equal ts the error sorts before the purchase (side 0 < 1) so an
+# equal-timestamp purchase is visible, and (ts, side, event_id) makes
+# the earliest qualifying purchase the deterministic winner.
+# ---------------------------------------------------------------------------
+@query("q104_asof_forward", """
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+SELECT e.user_id, e.event_id AS error_id, e.ts AS error_ts,
+       (SELECT p.event_id FROM ev p
+        WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+          AND p.ts >= e.ts
+        ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS next_purchase_id,
+       (SELECT p.value FROM ev p
+        WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+          AND p.ts >= e.ts
+        ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS next_purchase_value
+FROM ev e WHERE e.event_type = 'error'
+""")
+def q104_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    errors = e.where(F.col("event_type") == "error")
+    purchases = e.where(F.col("event_type") == "purchase")
+    left = errors.select("user_id", "ts", "event_id",
+                         F.lit(0).alias("side"),
+                         F.lit(None).cast("struct<event_id:bigint,value:double>")
+                          .alias("r_payload"))
+    right = purchases.select("user_id", "ts", "event_id",
+                             F.lit(1).alias("side"),
+                             F.struct(F.col("event_id"), F.col("value"))
+                              .alias("r_payload"))
+    merged = left.unionByName(right)
+    w = (W.partitionBy("user_id")
+          .orderBy("ts", "side", "event_id")
+          .rowsBetween(0, W.unboundedFollowing))
+    carried = merged.withColumn(
+        "next_purchase", F.first("r_payload", ignorenulls=True).over(w))
+    return (carried.where(F.col("side") == 0)
+            .select("user_id",
+                    F.col("event_id").alias("error_id"),
+                    F.col("ts").alias("error_ts"),
+                    F.col("next_purchase.event_id").alias("next_purchase_id"),
+                    F.col("next_purchase.value").alias("next_purchase_value")))

@@ -568,3 +568,115 @@ def q98_skipping_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("n_buckets", "n_read_buckets", "rows_total", "rows_read",
                     F.col("rows_match").alias("rows_match"),
                     skip_frac.alias("skip_frac")))
+
+
+# ---------------------------------------------------------------------------
+# q105 — mode / most-frequent value per group with a DETERMINISTIC
+# tiebreak (highest count, then smallest value). Built from count +
+# row_number instead of the engines' mode() aggregates, whose tie
+# behavior is implementation-defined — the construction both engines
+# agree on bit-for-bit. Two map-side-combinable aggregations + one
+# window over the (tiny) per-group distinct-value frame.
+# ---------------------------------------------------------------------------
+@query("q105_mode_per_group", """
+WITH counts AS (
+  SELECT l_returnflag, l_quantity, COUNT(*) AS c
+  FROM lineitem GROUP BY l_returnflag, l_quantity),
+ranked AS (
+  SELECT l_returnflag, l_quantity, c,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY c DESC, l_quantity) AS rn
+  FROM counts)
+SELECT l_returnflag, l_quantity AS mode_qty, c AS n_occurrences
+FROM ranked WHERE rn = 1
+""")
+def q105_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = (li.groupBy("l_returnflag", "l_quantity")
+              .agg(F.count("*").alias("c")))
+    w = W.partitionBy("l_returnflag").orderBy(F.desc("c"), F.asc("l_quantity"))
+    return (counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("l_returnflag", F.col("l_quantity").alias("mode_qty"),
+                    F.col("c").alias("n_occurrences")))
+
+
+# ---------------------------------------------------------------------------
+# q106 — referential-integrity audit: orphan counts across the schema's
+# relationships (the dbt-test / data-contract check a pipeline runs
+# before publishing). Each relationship is one anti-join, all
+# broadcast-or-shuffle on the key; output is one row per relationship.
+# ---------------------------------------------------------------------------
+@query("q106_integrity_audit", """
+SELECT 'orders_without_customer' AS relationship,
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+UNION ALL
+SELECT 'lineitem_without_order',
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'lineitem_without_part',
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p
+                          WHERE p.p_partkey = l.l_partkey))
+UNION ALL
+SELECT 'customer_without_nation',
+       (SELECT COUNT(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM nation n
+                          WHERE n.n_nationkey = c.c_nationkey))
+""")
+def q106_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def orphans(name: str, child: DataFrame, ck: str,
+                parent: DataFrame, pk: str) -> DataFrame:
+        n = (child.join(parent.select(F.col(pk).alias(ck)), ck, "left_anti")
+             .agg(F.count("*").alias("n_orphans")))
+        return n.select(F.lit(name).alias("relationship"), "n_orphans")
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    na = load_table(spark, sf_dir, "nation")
+    out = orphans("orders_without_customer", o, "o_custkey", c, "c_custkey")
+    for args in (("lineitem_without_order", li, "l_orderkey", o, "o_orderkey"),
+                 ("lineitem_without_part", li, "l_partkey", p, "p_partkey"),
+                 ("customer_without_nation", c, "c_nationkey", na, "n_nationkey")):
+        out = out.unionByName(orphans(*args))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# q107 — column profile: per-column null count, distinct count, and
+# min/max length for the documents table — the schema-drift /
+# data-profiling pass (dbt tests, Deequ) a pipeline runs on arrival.
+# One aggregate job computes every column's profile (no per-column
+# scans); distincts are exact.
+# ---------------------------------------------------------------------------
+@query("q107_column_profile", """
+SELECT 'text' AS col, COUNT(*) - COUNT(text) AS n_null,
+       COUNT(DISTINCT text) AS n_distinct,
+       MIN(LENGTH(text)) AS min_len, MAX(LENGTH(text)) AS max_len
+FROM documents
+UNION ALL
+SELECT 'lang', COUNT(*) - COUNT(lang), COUNT(DISTINCT lang),
+       MIN(LENGTH(lang)), MAX(LENGTH(lang)) FROM documents
+UNION ALL
+SELECT 'source', COUNT(*) - COUNT(source), COUNT(DISTINCT source),
+       MIN(LENGTH(source)), MAX(LENGTH(source)) FROM documents
+""")
+def q107_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    rows = None
+    for col in ("text", "lang", "source"):
+        r = d.agg(
+            (F.count("*") - F.count(col)).alias("n_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(F.length(col)).alias("min_len"),
+            F.max(F.length(col)).alias("max_len"),
+        ).select(F.lit(col).alias("col"), "n_null", "n_distinct",
+                 "min_len", "max_len")
+        rows = r if rows is None else rows.unionByName(r)
+    return rows
