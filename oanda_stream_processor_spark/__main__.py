@@ -16,6 +16,7 @@ from __future__ import annotations
 import argparse
 import sys
 import tempfile
+import time
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -76,6 +77,12 @@ def main(argv: list[str] | None = None) -> int:
     install_shutdown_handlers(handles)
     handles.process_all_available()
     handles.stop()
+    # let the listener bus drain termination events while the py4j
+    # gateway is still alive, then unregister — otherwise the callback
+    # races interpreter teardown and prints a spurious
+    # Py4JNetworkException traceback on exit
+    time.sleep(0.5)
+    spark.streams.removeListener(listener)
     return 0
 
 
