@@ -12,6 +12,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .schemas import FIXTURE_TABLES
 
@@ -41,15 +42,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if hit is not None:
         return hit
     if name == "events":
-        # events.ts is parquet INT64 TIMESTAMP(NANOS), which Spark's reader
-        # rejects; read the raw ns-since-epoch long and truncate to Spark's
-        # μs timestamps (integer `div` — a double division would lose
-        # precision above 2^53 ns). Matches DuckDB's TIMESTAMP_NS→TIMESTAMP
-        # cast, and mirrors the documented ns→μs policy for the reference's
-        # ns-precision tick times (SURVEY.md §7 hard-part 3).
+        # events.ts has shipped in two fixture encodings: parquet INT64
+        # TIMESTAMP(NANOS) (read as a raw long under nanosAsLong, then
+        # truncated ns→μs with integer `div` — double division would lose
+        # precision above 2^53 ns) and, currently, plain timestamp[us]
+        # (read as TIMESTAMP_NTZ, cast to the session-UTC TimestampType).
+        # Sniff the dtype so either encoding loads; mirrors DuckDB's
+        # TIMESTAMP_NS→TIMESTAMP cast and the documented ns→μs policy for
+        # the reference's ns-precision tick times (SURVEY.md §7 hard-part 3).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = raw.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        else:
+            df = raw
     else:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     _TABLE_CACHE[key] = df
