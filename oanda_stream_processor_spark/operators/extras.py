@@ -93,6 +93,33 @@ def q33_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Approximate percentiles — the scale path next to q33's exact ones.
+# Spark's approx_percentile is a Greenwald-Khanna sketch: one pass, fixed
+# memory per group, map-side-combinable — no per-group full sort/buffer
+# like exact percentile(), so it stays cheap at 100 TB. GK guarantees
+# rank error <= n/accuracy; at accuracy 10_000 that's 0.01% of rows per
+# group. No DuckDB oracle: DuckDB's approx_quantile is a t-digest and
+# cannot reproduce GK outputs bit-for-bit (rows-only driver check;
+# tests/test_cross_engine.py asserts the GK rank-error bound against the
+# exact quantiles instead).
+# ---------------------------------------------------------------------------
+@query("q108_approx_percentiles")
+def q108_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pcts = F.expr(
+        "approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), 10000)")
+    return (li.groupBy("l_returnflag")
+            .agg(pcts.alias("pcts"),
+                 F.expr("approx_percentile(l_quantity, 0.5D, 10000)")
+                  .alias("median_qty_approx"))
+            .select("l_returnflag",
+                    F.col("pcts")[0].alias("p50_approx"),
+                    F.col("pcts")[1].alias("p90_approx"),
+                    F.col("pcts")[2].alias("p99_approx"),
+                    "median_qty_approx"))
+
+
+# ---------------------------------------------------------------------------
 # Multiset set-ops: INTERSECT ALL / EXCEPT ALL keep duplicates.
 # ---------------------------------------------------------------------------
 @query("q34_multiset_ops", """

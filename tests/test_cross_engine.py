@@ -84,3 +84,43 @@ def test_md5_prefix_bigint_parity(spark, duck):
         "SELECT CAST('0x' || SUBSTR(MD5(t), 1, 15) AS BIGINT) "
         "FROM m ORDER BY i").fetchall()
     assert [r[0] for r in rows] == got
+
+
+def test_approx_percentiles_within_gk_bound(spark):
+    """q108 (GK sketch, accuracy 10_000) must land within the GK rank-
+    error guarantee of q33's exact interpolated percentiles: the approx
+    value for percentage p lies between the exact values at ranks
+    (p - eps)*n and (p + eps)*n, eps = 1/accuracy. Checked per group on
+    the real sf0.001 lineitem so group sizes and value spread are the
+    oracle gate's own."""
+    from oanda_stream_processor_spark.operators.extras import (
+        q108_approx_percentiles)
+    from oanda_stream_processor_spark.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    approx = {r.l_returnflag: r for r in
+              q108_approx_percentiles(spark, sf).collect()}
+    li = load_table(spark, sf, "lineitem")
+    # eps = rank error of the sketch, plus a few rank units of slack:
+    # GK returns an actual data point while percentile() interpolates,
+    # so the discrete rank can sit just outside the interpolated
+    # bracket; 4 ranks at the smallest group covers it
+    n_min = min(r.n for r in
+                li.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+                  .collect())
+    eps = 1.0 / 10_000 + 4.0 / n_min
+    for p, col in ((0.5, "p50_approx"), (0.9, "p90_approx"),
+                   (0.99, "p99_approx")):
+        lo = max(0.0, p - eps)
+        hi = min(1.0, p + eps)
+        bounds = (li.groupBy("l_returnflag")
+                    .agg(F.expr(f"percentile(l_extendedprice, {lo})").alias("lo"),
+                         F.expr(f"percentile(l_extendedprice, {hi})").alias("hi"))
+                    .collect())
+        for b in bounds:
+            got = getattr(approx[b.l_returnflag], col)
+            # GK returns an actual data point at a rank within eps*n of
+            # the target; interpolated exact bounds bracket those ranks
+            assert b.lo - 1e-6 <= got <= b.hi + 1e-6, (
+                f"{col} flag={b.l_returnflag}: {got} not in "
+                f"[{b.lo}, {b.hi}]")
