@@ -87,6 +87,9 @@ def q83_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(n).alias("stage_n"), F.lit(stage).alias("stage"), "n_users")
         counts = row if counts is None else counts.unionByName(row)
     from pyspark.sql import Window as W
+    # global window is safe here: `counts` is exactly len(FUNNEL) rows
+    # by construction (one per stage), so the single-partition WindowExec
+    # the WARN flags holds 3 rows at any corpus size
     w = W.orderBy("stage_n").rowsBetween(W.unboundedPreceding, W.currentRow)
     entry = F.first("n_users").over(w)
     return counts.select(

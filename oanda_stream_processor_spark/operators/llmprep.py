@@ -212,9 +212,13 @@ def q78_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = _toks(d).select(F.explode("toks").alias("token"))
     counts = tok.groupBy("token").agg(F.count("*").alias("n"))
+    # distributed top-k FIRST (orderBy+limit -> TakeOrderedAndProject:
+    # per-partition heaps, never a global sort), then rank the K
+    # survivors; a row_number window over the full vocabulary would
+    # single-partition every distinct token at corpus scale
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(VOCAB_K)
     w = W.orderBy(F.desc("n"), F.asc("token"))
-    return (counts.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= VOCAB_K))
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 # ---------------------------------------------------------------------------

@@ -128,6 +128,8 @@ def funnel_counts(spark, progress_table: str) -> DataFrame:
     prog = spark.table(progress_table)
     counts = prog.groupBy("stage_n", "stage").agg(
         F.countDistinct("user_id").alias("n_users"))
+    # global window over one row per funnel stage (bounded, tiny) —
+    # the single-partition WindowExec WARN is benign here
     w = W.orderBy("stage_n").rowsBetween(W.unboundedPreceding, W.currentRow)
     entry = F.first("n_users").over(w)
     return counts.select(
