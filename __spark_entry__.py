@@ -20,6 +20,7 @@ from oanda_stream_processor_spark.operators import (
     curation,
     dedup,
     extras,
+    increment,
     llmprep,
     multimodal,
     relational,
@@ -42,6 +43,7 @@ _MODULES = [
     tick_queries,
     udfs,
     extras,
+    increment,
     stats,
     llmprep,
     curation,

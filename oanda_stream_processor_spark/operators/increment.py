@@ -1,0 +1,249 @@
+"""Incremental / corpus-management operators — the shapes a production
+training-data pipeline runs daily on top of the one-shot dedup family
+(operators/dedup.py): dedup a NEW BATCH against an existing index
+instead of re-clustering the corpus, profile the source mix, audit
+per-source duplication, and sample to a target mix with deterministic
+hashing.
+
+All JVM-expression plans (no Python UDFs); every query has a DuckDB
+oracle twin. Scale notes per query; the common theme is that the
+*batch* side is small relative to the *index* side, and every join is
+banded or keyed — never all-pairs, never index-wide shuffles beyond
+one keyed exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from .dedup import (
+    _BAND_KEYS_SQL,
+    _MINHASH_AGGS_SQL,
+    _minhash_signature_from_sh,
+    _spark_shingle_hashes,
+    BAND_ROWS,
+    N_BANDS,
+    SQL_SHINGLE_HASHES,
+)
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# q109 — incremental dedup: the daily-increment shape. The corpus is
+# split into an INDEX (doc_id % 10 != 0, the docs "already ingested")
+# and a BATCH (doc_id % 10 == 0, "today's crawl"); each batch doc gets
+# a verdict: 'exact' (its content hash exists in the index), 'near'
+# (shares an LSH band with an index doc but is not an exact copy), or
+# 'new'. Production keeps the index's signatures materialized; here
+# both sides derive inline from the same corpus so the oracle can see
+# identical inputs.
+#
+# Scale: batch<<index. Exact check = hash equi-join (broadcastable
+# batch side). Near check = band-key equi-join of batch bands against
+# index bands — candidate generation is banded exactly like q42, and
+# the join output is bounded by band collisions, never |batch|x|index|.
+# The index never shuffles except on the band key it is already
+# bucketed by in a production layout.
+# ---------------------------------------------------------------------------
+_Q109_SQL = f"""
+WITH sig AS (
+  SELECT doc_id, {_MINHASH_AGGS_SQL}
+  FROM ({SQL_SHINGLE_HASHES}) GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, {_BAND_KEYS_SQL} FROM sig),
+flat AS (
+  {' UNION ALL '.join(f'SELECT doc_id, {b} AS band_id, band{b} AS band_key FROM bands'
+                      for b in range(N_BANDS))}),
+batch AS (SELECT doc_id, MD5(text) AS h FROM documents WHERE doc_id % 10 = 0),
+index_h AS (SELECT DISTINCT MD5(text) AS h FROM documents WHERE doc_id % 10 != 0),
+near AS (
+  SELECT DISTINCT bf.doc_id
+  FROM flat bf JOIN flat ix
+    ON bf.band_id = ix.band_id AND bf.band_key = ix.band_key
+   AND ix.doc_id % 10 != 0
+  WHERE bf.doc_id % 10 = 0)
+SELECT b.doc_id,
+       CASE WHEN i.h IS NOT NULL THEN 'exact'
+            WHEN n.doc_id IS NOT NULL THEN 'near'
+            ELSE 'new' END AS verdict
+FROM batch b
+LEFT JOIN index_h i ON b.h = i.h
+LEFT JOIN near n ON b.doc_id = n.doc_id
+"""
+
+
+@query("q109_incremental_dedup", _Q109_SQL)
+def q109_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 10 == 0
+
+    # exact: batch content hash semi-joined against index hashes
+    hashed = d.select("doc_id", is_batch.alias("in_batch"),
+                      F.md5(F.col("text").cast("binary")).alias("h"))
+    batch = hashed.where("in_batch")
+    index_h = hashed.where(~F.col("in_batch")).select("h").distinct()
+    exact = (batch.join(index_h, "h", "left_semi")
+             .select("doc_id", F.lit(True).alias("is_exact")))
+
+    # near: band keys of batch vs band keys of index (q42's banding,
+    # but batch x index instead of self-join)
+    sig = _minhash_signature_from_sh(_spark_shingle_hashes(d))
+    band_key = [
+        F.concat_ws("|", *[F.col(f"h{b * BAND_ROWS + r}").cast("string")
+                           for r in range(BAND_ROWS)]).alias(f"band{b}")
+        for b in range(N_BANDS)]
+    stack_expr = ", ".join(f"{b}, band{b}" for b in range(N_BANDS))
+    flat = (sig.select("doc_id", *band_key)
+            .selectExpr("doc_id",
+                        f"stack({N_BANDS}, {stack_expr}) AS (band_id, band_key)"))
+    near = (flat.where(is_batch)
+            .join(flat.where(~is_batch).select("band_id", "band_key").distinct(),
+                  ["band_id", "band_key"], "left_semi")
+            .select("doc_id").distinct()
+            .select("doc_id", F.lit(True).alias("is_near")))
+
+    return (batch.select("doc_id")
+            .join(exact, "doc_id", "left")
+            .join(near, "doc_id", "left")
+            .select("doc_id",
+                    F.when(F.col("is_exact"), "exact")
+                     .when(F.col("is_near"), "near")
+                     .otherwise("new").alias("verdict")))
+
+
+# ---------------------------------------------------------------------------
+# q110 — source-mix report: the training-mix dashboard. Per
+# (source, lang): doc count, total chars, share of corpus chars (ppm,
+# integer — hash-stable), and cumulative ppm in descending-size order.
+#
+# Scale: one map-side-combinable aggregation; the window runs over the
+# aggregated (source x lang) table — bounded by the source/language
+# vocabulary (thousands at worst), not by corpus size, so the
+# single-partition WindowExec is safe at any corpus size.
+# ---------------------------------------------------------------------------
+@query("q110_source_mix", """
+WITH agg AS (
+  SELECT source, lang, COUNT(*) AS n_docs,
+         SUM(n_chars) AS total_chars
+  FROM documents GROUP BY source, lang),
+tot AS (SELECT SUM(total_chars) AS corpus_chars FROM agg)
+SELECT source, lang, n_docs, total_chars,
+       CAST((total_chars * 1000000 - (total_chars * 1000000) % corpus_chars)
+            / corpus_chars AS BIGINT) AS share_ppm,
+       CAST(SUM(total_chars * 1000000
+                - (total_chars * 1000000) % corpus_chars)
+              OVER (ORDER BY total_chars DESC, source, lang)
+            / corpus_chars AS BIGINT) AS cum_ppm
+FROM agg CROSS JOIN tot
+""")
+def q110_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    agg = (d.groupBy("source", "lang")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("total_chars")))
+    tot = agg.agg(F.sum("total_chars").alias("corpus_chars"))
+    j = agg.crossJoin(F.broadcast(tot))
+    # integer ppm via explicit floor division (hash-stable across
+    # engines; see dedup._idiv rationale)
+    num = F.col("total_chars") * 1_000_000
+    ppm_num = num - num % F.col("corpus_chars")
+    w = (W.orderBy(F.desc("total_chars"), "source", "lang")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (j.select("source", "lang", "n_docs", "total_chars",
+                     (ppm_num / F.col("corpus_chars")).cast("bigint")
+                     .alias("share_ppm"),
+                     (F.sum(ppm_num).over(w) / F.col("corpus_chars"))
+                     .cast("bigint").alias("cum_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# q111 — per-source duplication audit: how much of each source is
+# exact-duplicated, and how much of that duplication crosses source
+# boundaries (cross-source dups are the expensive kind — they survive
+# per-source dedup). dup_ppm is integer parts-per-million.
+#
+# Scale: two keyed aggregations on the content hash (uniform key) and
+# one groupBy source — no joins wider than the hash-group table.
+# ---------------------------------------------------------------------------
+@query("q111_source_dup_profile", """
+WITH h AS (SELECT doc_id, source, MD5(text) AS h FROM documents),
+freq AS (
+  SELECT h, COUNT(*) AS n_total, COUNT(DISTINCT source) AS n_sources
+  FROM h GROUP BY h)
+SELECT s.source,
+       COUNT(*) AS n_docs,
+       SUM(CASE WHEN f.n_total > 1 THEN 1 ELSE 0 END) AS n_dup_docs,
+       SUM(CASE WHEN f.n_sources > 1 THEN 1 ELSE 0 END) AS n_cross_source,
+       CAST((SUM(CASE WHEN f.n_total > 1 THEN 1 ELSE 0 END) * 1000000
+             - (SUM(CASE WHEN f.n_total > 1 THEN 1 ELSE 0 END) * 1000000)
+               % COUNT(*)) / COUNT(*) AS BIGINT) AS dup_ppm
+FROM h s JOIN freq f ON s.h = f.h
+GROUP BY s.source
+""")
+def q111_source_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select("doc_id", "source",
+                 F.md5(F.col("text").cast("binary")).alias("h"))
+    freq = (h.groupBy("h")
+            .agg(F.count("*").alias("n_total"),
+                 F.countDistinct("source").alias("n_sources")))
+    j = h.join(freq, "h")
+    n_dup = F.sum(F.when(F.col("n_total") > 1, 1).otherwise(0))
+    num = n_dup * 1_000_000
+    return (j.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 n_dup.alias("n_dup_docs"),
+                 F.sum(F.when(F.col("n_sources") > 1, 1).otherwise(0))
+                  .alias("n_cross_source"),
+                 ((num - num % F.count("*")) / F.count("*"))
+                 .cast("bigint").alias("dup_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# q112 — quota sampling to a target mix: per language, keep
+# floor(n_docs / 20) + 1 docs (a 5%-ish per-language quota with a
+# 1-doc floor so rare languages survive — the mixing knob production
+# pipelines tune), selected in deterministic md5 order so the "random"
+# sample is stable across runs and engines.
+#
+# Scale: row_number is partitioned BY LANG — per-language sorted
+# quota selection, the partition-parallel shape; no global sort. The
+# quota derives from a map-side-combinable count broadcast back.
+# ---------------------------------------------------------------------------
+@query("q112_quota_sample", """
+WITH q AS (
+  SELECT lang, CAST((COUNT(*) - COUNT(*) % 20) / 20 AS BIGINT) + 1 AS quota
+  FROM documents GROUP BY lang),
+ranked AS (
+  SELECT d.doc_id, d.lang, q.quota,
+         ROW_NUMBER() OVER (PARTITION BY d.lang
+                            ORDER BY MD5(d.text), d.doc_id) AS rk
+  FROM documents d JOIN q ON d.lang = q.lang)
+SELECT doc_id, lang, rk AS sample_rank
+FROM ranked WHERE rk <= quota
+""")
+def q112_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n = F.count("*")
+    quota = (d.groupBy("lang")
+             .agg(((n - n % 20) / 20).cast("bigint").alias("quota")))
+    quota = quota.select("lang", (F.col("quota") + 1).alias("quota"))
+    w = (W.partitionBy("lang")
+         .orderBy(F.md5(F.col("text").cast("binary")), "doc_id"))
+    return (d.join(F.broadcast(quota), "lang")
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= F.col("quota"))
+            .select("doc_id", "lang", F.col("rk").alias("sample_rank")))
