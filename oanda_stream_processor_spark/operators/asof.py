@@ -217,3 +217,96 @@ def q104_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("ts").alias("error_ts"),
                     F.col("next_purchase.event_id").alias("next_purchase_id"),
                     F.col("next_purchase.value").alias("next_purchase_value")))
+
+
+# ---------------------------------------------------------------------------
+# q113 — nearest as-of with tolerance (merge_asof direction='nearest',
+# tolerance=5min): for each error, the purchase minimizing |Δt| within
+# ±5 minutes; ties at equal distance resolve backward (then q28/q104's
+# per-side id tie-breaks). ONE union-merge shuffle serves both
+# directions: with sort (ts, side=purchase:0|error:1, event_id), the
+# backward carry is last(ignorenulls) over the preceding frame (equal-
+# ts purchases sort before the error, so Δt=0 lands backward) and the
+# forward carry is first(ignorenulls) over the following frame (which
+# therefore sees strictly-later purchases only) — two window passes
+# over one sorted partition, no second shuffle, no theta join.
+# ---------------------------------------------------------------------------
+ASOF_TOL_US = 5 * 60 * 1_000_000
+
+
+@query("q113_asof_nearest", """
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+cand AS (
+  SELECT e.user_id, e.event_id AS error_id, e.ts AS error_ts,
+    (SELECT p.event_id FROM ev p
+     WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+       AND p.ts <= e.ts AND p.ts >= e.ts - INTERVAL 5 MINUTE
+     ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS back_id,
+    (SELECT p.ts FROM ev p
+     WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+       AND p.ts <= e.ts AND p.ts >= e.ts - INTERVAL 5 MINUTE
+     ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS back_ts,
+    (SELECT p.event_id FROM ev p
+     WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+       AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 5 MINUTE
+     ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS fwd_id,
+    (SELECT p.ts FROM ev p
+     WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+       AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 5 MINUTE
+     ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS fwd_ts
+  FROM ev e WHERE e.event_type = 'error')
+SELECT user_id, error_id, error_ts,
+  CASE WHEN back_id IS NOT NULL AND (fwd_id IS NULL
+            OR EPOCH_US(error_ts) - EPOCH_US(back_ts)
+               <= EPOCH_US(fwd_ts) - EPOCH_US(error_ts))
+       THEN back_id ELSE fwd_id END AS nearest_purchase_id,
+  CASE WHEN back_id IS NOT NULL AND (fwd_id IS NULL
+            OR EPOCH_US(error_ts) - EPOCH_US(back_ts)
+               <= EPOCH_US(fwd_ts) - EPOCH_US(error_ts))
+       THEN EPOCH_US(back_ts) - EPOCH_US(error_ts)
+       WHEN fwd_id IS NOT NULL
+       THEN EPOCH_US(fwd_ts) - EPOCH_US(error_ts)
+       ELSE NULL END AS dt_us,
+  CASE WHEN back_id IS NOT NULL AND (fwd_id IS NULL
+            OR EPOCH_US(error_ts) - EPOCH_US(back_ts)
+               <= EPOCH_US(fwd_ts) - EPOCH_US(error_ts))
+       THEN 'back' WHEN fwd_id IS NOT NULL THEN 'fwd'
+       ELSE NULL END AS direction
+FROM cand
+""")
+def q113_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    errors = e.where(F.col("event_type") == "error")
+    purchases = e.where(F.col("event_type") == "purchase")
+    payload = F.struct(F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id"))
+    left = errors.select("user_id", "ts", "event_id",
+                         F.lit(1).alias("side"),
+                         F.lit(None).cast("struct<p_ts:timestamp,p_id:bigint>")
+                          .alias("r_payload"))
+    right = purchases.select("user_id", "ts", "event_id",
+                             F.lit(0).alias("side"),
+                             payload.alias("r_payload"))
+    merged = left.unionByName(right)
+    order = [F.col("ts"), F.col("side"), F.col("event_id")]
+    wb = (W.partitionBy("user_id").orderBy(*order)
+           .rowsBetween(W.unboundedPreceding, 0))
+    wf = (W.partitionBy("user_id").orderBy(*order)
+           .rowsBetween(0, W.unboundedFollowing))
+    carried = (merged
+               .withColumn("back", F.last("r_payload", ignorenulls=True).over(wb))
+               .withColumn("fwd", F.first("r_payload", ignorenulls=True).over(wf))
+               .where(F.col("side") == 1))
+    e_us = F.unix_micros("ts")
+    back_dt = e_us - F.unix_micros("back.p_ts")
+    fwd_dt = F.unix_micros("fwd.p_ts") - e_us
+    back_ok = F.col("back").isNotNull() & (back_dt <= ASOF_TOL_US)
+    fwd_ok = F.col("fwd").isNotNull() & (fwd_dt <= ASOF_TOL_US)
+    pick_back = back_ok & (~fwd_ok | (back_dt <= fwd_dt))
+    return carried.select(
+        "user_id", F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"),
+        F.when(pick_back, F.col("back.p_id"))
+         .when(fwd_ok, F.col("fwd.p_id")).alias("nearest_purchase_id"),
+        F.when(pick_back, -back_dt).when(fwd_ok, fwd_dt)
+         .cast("bigint").alias("dt_us"),
+        F.when(pick_back, "back").when(fwd_ok, "fwd").alias("direction"))
