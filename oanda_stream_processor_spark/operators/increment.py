@@ -247,3 +247,46 @@ def q112_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= F.col("quota"))
             .select("doc_id", "lang", F.col("rk").alias("sample_rank")))
+
+
+# ---------------------------------------------------------------------------
+# q114 — n-gram novelty scoring: data-selection primitive. For each
+# batch doc (doc_id % 10 = 0), the fraction of its DISTINCT 3-gram
+# shingles not present anywhere in the index (doc_id % 10 != 0) —
+# high-novelty docs are the ones worth ingesting; near-zero novelty is
+# another near-dup signal, complementary to q109's banding.
+#
+# Scale: the index's distinct-shingle set aggregates map-side to one
+# (uniform int64) key set; the batch joins it per-shingle with a left
+# anti/semi split — one keyed exchange each, no all-pairs, and the
+# per-doc rollup is map-side combinable. novelty_ppm uses explicit
+# floor division (engine-version-proof integer hash).
+# ---------------------------------------------------------------------------
+@query("q114_ngram_novelty", f"""
+WITH shs AS (SELECT DISTINCT doc_id, sh FROM ({SQL_SHINGLE_HASHES})),
+index_sh AS (SELECT DISTINCT sh FROM shs WHERE doc_id % 10 != 0),
+batch AS (SELECT doc_id, sh FROM shs WHERE doc_id % 10 = 0),
+flagged AS (
+  SELECT b.doc_id, b.sh,
+         CASE WHEN i.sh IS NULL THEN 1 ELSE 0 END AS novel
+  FROM batch b LEFT JOIN index_sh i ON b.sh = i.sh)
+SELECT doc_id, COUNT(*) AS n_shingles, SUM(novel) AS n_novel,
+       CAST((SUM(novel) * 1000000 - (SUM(novel) * 1000000) % COUNT(*))
+            / COUNT(*) AS BIGINT) AS novelty_ppm
+FROM flagged GROUP BY doc_id
+""")
+def q114_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    shs = _spark_shingle_hashes(d).distinct()
+    is_batch = F.col("doc_id") % 10 == 0
+    index_sh = shs.where(~is_batch).select("sh").distinct()
+    batch = shs.where(is_batch)
+    flagged = (batch.join(index_sh.withColumn("hit", F.lit(1)), "sh", "left")
+               .select("doc_id",
+                       F.when(F.col("hit").isNull(), 1).otherwise(0)
+                        .alias("novel")))
+    n, nov = F.count("*"), F.sum("novel")
+    num = nov * 1_000_000
+    return (flagged.groupBy("doc_id")
+            .agg(n.alias("n_shingles"), nov.alias("n_novel"),
+                 ((num - num % n) / n).cast("bigint").alias("novelty_ppm")))
