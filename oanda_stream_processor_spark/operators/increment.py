@@ -290,3 +290,59 @@ def q114_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (flagged.groupBy("doc_id")
             .agg(n.alias("n_shingles"), nov.alias("n_novel"),
                  ((num - num % n) / n).cast("bigint").alias("novelty_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# q115 — embedding centroid drift: monitoring op for a growing corpus.
+# Split embeddings into snapshot A (vec_id % 2 = 0) and snapshot B
+# (vec_id % 2 = 1); per label, the squared L2 distance between the two
+# snapshots' centroids — the signal that a label's embedding
+# distribution moved between ingests. Exact decimal means (q47's
+# pattern) keep the hashes engine-stable; the final distance rounds to
+# 6 places on identical double inputs.
+#
+# Scale: two map-side-combinable (label, pos) mean aggregations and a
+# (label, pos)-keyed join of two centroid tables whose size is
+# |labels| x dims — independent of corpus row count.
+# ---------------------------------------------------------------------------
+@query("q115_embedding_drift", """
+WITH flat AS (
+  SELECT label, vec_id % 2 AS snap,
+         UNNEST(RANGE(LEN(embedding))) AS pos,
+         UNNEST(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE))) AS val
+  FROM embeddings),
+cent AS (
+  SELECT label, snap, pos,
+         ROUND(CAST(SUM(CAST(val AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*), 6)
+           AS c,
+         COUNT(*) AS n
+  FROM flat GROUP BY label, snap, pos)
+SELECT a.label, a.n AS n_a, b.n AS n_b,
+       ROUND(SUM((a.c - b.c) * (a.c - b.c)), 6) AS drift_sq
+FROM (SELECT * FROM cent WHERE snap = 0) a
+JOIN (SELECT * FROM cent WHERE snap = 1) b
+  ON a.label = b.label AND a.pos = b.pos
+GROUP BY a.label, a.n, b.n
+""")
+def q115_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = (e.select("label", (F.col("vec_id") % 2).alias("snap"),
+                     F.posexplode("embedding").alias("pos", "raw"))
+            .select("label", "snap", "pos",
+                    F.col("raw").cast("double").alias("val")))
+    cent = (flat.groupBy("label", "snap", "pos")
+            .agg(F.round(F.sum(F.col("val").cast("decimal(30,12)"))
+                          .cast("double") / F.count("*"), 6).alias("c"),
+                 F.count("*").alias("n")))
+    a = cent.where(F.col("snap") == 0).select(
+        "label", "pos", F.col("c").alias("ca"), F.col("n").alias("na"))
+    b = cent.where(F.col("snap") == 1).select(
+        "label", "pos", F.col("c").alias("cb"), F.col("n").alias("nb"))
+    j = a.join(b, ["label", "pos"])
+    # na/nb (vectors per label-snap) are constant across pos within a
+    # label, so they ride the groupBy key
+    d2 = (F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))
+    return (j.groupBy("label", "na", "nb")
+            .agg(F.round(F.sum(d2), 6).alias("drift_sq"))
+            .select("label", F.col("na").alias("n_a"),
+                    F.col("nb").alias("n_b"), "drift_sq"))
