@@ -131,6 +131,42 @@ def main() -> int:
     q94 = llmprep.q94_pps_sample(spark, SF)
     check("q94 no sort-merge", q94, count_of=("SortMergeJoin", 0, 0))
 
+    # q78: vocab top-k takes the distributed TakeOrdered path, never a
+    # full-vocabulary global sort before the limit
+    q78 = llmprep.q78_vocab_topk(spark, SF)
+    check("q78 take-ordered", q78, contains=["TakeOrderedAndProject"])
+
+    # round-5 incremental family
+    from oanda_stream_processor_spark.operators import asof, increment
+
+    # q109: no cartesian/BNL anywhere — exact + band checks are keyed
+    # (semi) joins
+    q109 = increment.q109_incremental_dedup(spark, SF)
+    check("q109 no cartesian", q109, count_of=("CartesianProduct", 0, 0))
+    check("q109 no nested-loop", q109,
+          count_of=("BroadcastNestedLoopJoin", 0, 0))
+
+    # q112: quota selection windows are partitioned by lang (no
+    # unpartitioned row_number over the corpus)
+    p112 = plan_of(increment.q112_quota_sample(spark, SF))
+    if "partitionBy=[lang" not in p112.replace(" ", "").replace("'", "") \
+            and "[lang" not in p112.split("Window")[-1][:200]:
+        failures.append("q112: window not partitioned by lang")
+    print(("FAIL " if any(f.startswith('q112') for f in failures) else "ok   ")
+          + "q112 partitioned window")
+
+    # q113: nearest as-of is the union-merge window plan — one join-free
+    # sorted pass, never a theta join
+    q113 = asof.q113_asof_nearest(spark, SF)
+    check("q113 no joins", q113, count_of=("Join", 0, 0))
+
+    # q114: novelty join is keyed on the shingle hash — no cartesian,
+    # no nested loop
+    q114 = increment.q114_ngram_novelty(spark, SF)
+    check("q114 no cartesian", q114, count_of=("CartesianProduct", 0, 0))
+    check("q114 no nested-loop", q114,
+          count_of=("BroadcastNestedLoopJoin", 0, 0))
+
     if failures:
         print("\n".join("AUDIT FAIL: " + f for f in failures))
         return 1
