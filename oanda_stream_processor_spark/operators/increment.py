@@ -346,3 +346,52 @@ def q115_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(F.sum(d2), 6).alias("drift_sq"))
             .select("label", F.col("na").alias("n_a"),
                     F.col("nb").alias("n_b"), "drift_sq"))
+
+
+# ---------------------------------------------------------------------------
+# q116 — deterministic train/val/test split: assign each doc to a split
+# by content-hash bucket (md5-prefix bigint % 100: <80 train, <90 val,
+# else test) and report the per-(split, lang) counts plus each split's
+# integer ppm share. Hash-based assignment is the production pattern:
+# stable across runs, machines, and re-ingests (no RNG state), and
+# duplicate texts land in the same split so eval can't see training
+# copies. The md5-prefix-bigint is the engine-parity digest proven by
+# tests/test_cross_engine.py.
+#
+# Scale: pure projection + one map-side-combinable aggregation; the
+# share window runs over the bounded (split x lang) table.
+# ---------------------------------------------------------------------------
+@query("q116_stratified_split", """
+WITH assigned AS (
+  SELECT lang,
+         CAST('0x' || SUBSTR(MD5(text), 1, 15) AS BIGINT) % 100 AS bucket
+  FROM documents),
+labeled AS (
+  SELECT lang, CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+  FROM assigned),
+agg AS (SELECT split, lang, COUNT(*) AS n_docs FROM labeled
+        GROUP BY split, lang),
+tot AS (SELECT SUM(n_docs) AS n_total FROM agg)
+SELECT split, lang, n_docs,
+       CAST((n_docs * 1000000 - (n_docs * 1000000) % n_total) / n_total
+            AS BIGINT) AS share_ppm
+FROM agg CROSS JOIN tot
+""")
+def q116_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 15),
+                     16, 10).cast("bigint") % 100)
+    labeled = d.select(
+        "lang",
+        F.when(bucket < 80, "train").when(bucket < 90, "val")
+         .otherwise("test").alias("split"))
+    agg = (labeled.groupBy("split", "lang")
+           .agg(F.count("*").alias("n_docs")))
+    tot = agg.agg(F.sum("n_docs").alias("n_total"))
+    num = F.col("n_docs") * 1_000_000
+    return (agg.crossJoin(F.broadcast(tot))
+            .select("split", "lang", "n_docs",
+                    ((num - num % F.col("n_total")) / F.col("n_total"))
+                    .cast("bigint").alias("share_ppm")))
