@@ -165,3 +165,57 @@ def q69_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.bit_and(k).alias("key_and"),
                    F.bit_or(k).alias("key_or"),
                    F.bit_xor(k).alias("key_xor")))
+
+
+# ---------------------------------------------------------------------------
+# q117 — robust outlier detection (median/MAD): per event_type, the
+# median value, the median absolute deviation, and how many events sit
+# beyond the 3-sigma-equivalent robust fence (3 * 1.4826 * MAD) — the
+# monitoring primitive that survives heavy tails where mean/stddev
+# z-scores drown. Two grouped exact-median passes; both engines
+# interpolate quantile_cont identically (proven by q33), and the fence
+# comparison evaluates the same double expression on both sides.
+#
+# Scale: two shuffles on the same (bounded-cardinality) group key plus
+# a broadcast of the per-group medians back onto the rows; exact
+# medians per group buffer that group's values — for unbounded groups
+# at 100 TB the q108 GK-sketch pattern swaps in per-group fixed memory.
+# ---------------------------------------------------------------------------
+@query("q117_mad_outliers", """
+WITH med AS (
+  SELECT event_type, MEDIAN(value) AS med
+  FROM events GROUP BY event_type),
+dev AS (
+  SELECT e.event_type, e.value, m.med,
+         ABS(e.value - m.med) AS adev
+  FROM events e JOIN med m ON e.event_type = m.event_type),
+mad AS (
+  SELECT event_type, MEDIAN(adev) AS mad FROM dev GROUP BY event_type)
+SELECT d.event_type,
+       COUNT(*) AS n_events,
+       ROUND(d.med, 6) AS med,
+       ROUND(a.mad, 6) AS mad,
+       SUM(CASE WHEN ABS(d.value - d.med) > 3 * 1.4826 * a.mad
+                THEN 1 ELSE 0 END) AS n_outliers
+FROM dev d JOIN mad a ON d.event_type = a.event_type
+GROUP BY d.event_type, d.med, a.mad
+""")
+def q117_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    med = (e.groupBy("event_type")
+           .agg(F.expr("percentile(value, 0.5D)").alias("med")))
+    dev = (e.join(F.broadcast(med), "event_type")
+           .select("event_type", "value", "med",
+                   F.abs(F.col("value") - F.col("med")).alias("adev")))
+    mad = (dev.groupBy("event_type")
+           .agg(F.expr("percentile(adev, 0.5D)").alias("mad")))
+    fence = 3 * 1.4826 * F.col("mad")
+    return (dev.join(F.broadcast(mad), "event_type")
+            .groupBy("event_type", "med", "mad")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.when(F.abs(F.col("value") - F.col("med")) > fence,
+                              1).otherwise(0)).alias("n_outliers"))
+            .select("event_type", "n_events",
+                    F.round("med", 6).alias("med"),
+                    F.round("mad", 6).alias("mad"),
+                    "n_outliers"))
