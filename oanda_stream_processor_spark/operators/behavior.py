@@ -21,7 +21,7 @@ multiples of 7 days).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -146,3 +146,48 @@ def q84_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n_active")
                             / F.col("cohort_size").cast("double"), 4)
                      .alias("retention")))
+
+
+# ---------------------------------------------------------------------------
+# q118 — event transition matrix: per (prev_event_type, event_type)
+# bigram counts over each user's time-ordered event sequence, with the
+# row-conditional probability in integer ppm — the first-order Markov
+# view of user behavior (feeds next-event prediction and funnel
+# diagnostics). Deterministic ordering: (ts, event_id) is unique.
+#
+# Scale: one shuffle on user_id for the lag window (sequences are
+# per-user, so the sort is partition-local), then a map-side-
+# combinable count on the bounded (type x type) key space; the ppm
+# join-back broadcasts row totals sized |event types|.
+# ---------------------------------------------------------------------------
+@query("q118_transition_matrix", """
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM ev),
+pairs AS (
+  SELECT prev_type, event_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type),
+rowtot AS (SELECT prev_type, SUM(n) AS tot FROM pairs GROUP BY prev_type)
+SELECT p.prev_type, p.event_type, p.n,
+       CAST((p.n * 1000000 - (p.n * 1000000) % r.tot) / r.tot AS BIGINT)
+         AS p_ppm
+FROM pairs p JOIN rowtot r ON p.prev_type = r.prev_type
+""")
+def q118_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "event_type",
+                    F.lag("event_type").over(w).alias("prev_type"))
+    pairs = (seq.where(F.col("prev_type").isNotNull())
+             .groupBy("prev_type", "event_type")
+             .agg(F.count("*").alias("n")))
+    rowtot = pairs.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    num = F.col("n") * 1_000_000
+    return (pairs.join(F.broadcast(rowtot), "prev_type")
+            .select("prev_type", "event_type", "n",
+                    ((num - num % F.col("tot")) / F.col("tot"))
+                    .cast("bigint").alias("p_ppm")))
