@@ -259,23 +259,25 @@ def q48_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# IVF-style ANN: coarse quantizer = per-label centroids (exact decimal
-# means, deterministic in both engines), assignment = argmin L2 distance
-# to centroids, fine search = exact cosine within the query's cell.
-# Long-form (vec, pos, val) joins keep everything in hash-agg land — no
-# UDFs; at scale the centroid table is tiny and broadcast.
+# IVF-style ANN: coarse quantizer = FIXED-SIZE codebook (IVF_K cells) from
+# a deterministic k-sample of the corpus, assignment = argmin L2 distance
+# to the k seed vectors, fine search = exact cosine within the query's
+# cell. The seed sample orders vec_ids by a public LCG hash
+# ((id*1103515245 + 12345) mod 2^31 — glibc rand constants) and takes the
+# k smallest: a uniform pseudo-random sample both engines compute
+# identically with pure bigint arithmetic (no overflow for vec_id up to
+# ~8.4e9; at larger ids widen the modulus arithmetic to DECIMAL).
+# Assignment is O(rows * IVF_K * DIM) — the codebook does NOT grow with
+# corpus size or label vocabulary, so a 100 TB corpus pays a flat
+# per-row cost and the (tiny, fixed) codebook is broadcast state.
 # ---------------------------------------------------------------------------
+IVF_K = 64
+
 _SQL_FLAT = """
   SELECT vec_id, label,
          UNNEST(RANGE(LEN(embedding))) AS pos,
          UNNEST(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE))) AS val
   FROM embeddings
-"""
-_SQL_CENTROIDS = """
-  SELECT label AS c_label, pos AS c_pos,
-         ROUND(CAST(SUM(CAST(val AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*), 6)
-           AS c_val
-  FROM flat GROUP BY label, pos
 """
 # per-row distance: sequential double fold in index order — the same
 # order-fixed accumulation the Spark zip_with/aggregate performs, so the
@@ -284,22 +286,25 @@ _SQL_D2 = ("LIST_AGGREGATE(LIST_TRANSFORM(RANGE({n}), i -> "
            "(CAST(e.embedding[i+1] AS DOUBLE) - c.c_vals[i+1])"
            " * (CAST(e.embedding[i+1] AS DOUBLE) - c.c_vals[i+1])), 'sum')")
 
+_SQL_SEEDS = f"""
+  SELECT vec_id AS cell,
+         LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS c_vals
+  FROM embeddings
+  ORDER BY (vec_id * 1103515245 + 12345) % 2147483648, vec_id
+  LIMIT {IVF_K}
+"""
+_SQL_ASSIGN = f"""
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ROUND({_SQL_D2.format(n=DIM)}, 6),
+                                       c.cell) AS rn
+    FROM embeddings e CROSS JOIN seeds c) WHERE rn = 1
+"""
+
 _Q56_SQL = f"""
-WITH flat AS ({_SQL_FLAT}),
-cent_long AS ({_SQL_CENTROIDS}),
-centroids AS (
-  SELECT c_label, LIST(c_val ORDER BY c_pos) AS c_vals
-  FROM cent_long GROUP BY c_label),
-dists AS (
-  SELECT e.vec_id, c.c_label,
-         {_SQL_D2.format(n=DIM)} AS d2
-  FROM embeddings e CROSS JOIN centroids c),
-assigned AS (
-  SELECT vec_id, c_label AS cell FROM (
-    SELECT vec_id, c_label,
-           ROW_NUMBER() OVER (PARTITION BY vec_id
-                              ORDER BY ROUND(d2, 6), c_label) AS rn
-    FROM dists) WHERE rn = 1),
+WITH seeds AS ({_SQL_SEEDS}),
+assigned AS ({_SQL_ASSIGN}),
 cells AS (
   SELECT e.vec_id, e.embedding, a.cell
   FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id),
@@ -320,28 +325,28 @@ SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 
 def _ivf_cells(e: DataFrame) -> DataFrame:
     """(vec_id, embedding, cell): every vector assigned to its nearest
-    label-centroid cell. Coarse quantizer as broadcast state: centroids
-    are packed into ONE row of (label, vals) structs and
+    codebook cell. The codebook is a FIXED-SIZE (IVF_K) deterministic
+    sample of corpus vectors — the k smallest LCG-hash(vec_id) values —
+    so assignment cost is O(rows * IVF_K * DIM) regardless of corpus
+    size (round-5 label-vocabulary codebook grew with the corpus; this
+    one cannot). Coarse quantizer as broadcast state: the k seeds are
+    packed into ONE row of (cell, vals) structs and
     nested-loop-broadcast onto the embeddings; each row computes its
-    distance to every centroid with zip_with/aggregate inside codegen
+    distance to every seed with zip_with/aggregate inside codegen
     and takes the argmin with a struct array_min — no posexplode, so the
-    pre-assignment row count stays N instead of N x DIM x n_labels.
+    pre-assignment row count stays N instead of N x DIM x IVF_K.
     Returns an eagerly checkpointed frame (shared by query/cand sides)."""
-    flat = e.select("vec_id", "label",
-                    F.posexplode("embedding").alias("pos", "raw")) \
-            .withColumn("val", F.col("raw").cast("double"))
-    centroids = (flat.groupBy(F.col("label").alias("c_label"),
-                              F.col("pos").alias("c_pos"))
-                 .agg(F.round(F.sum(F.col("val").cast("decimal(30,12)"))
-                              .cast("double") / F.count("*"), 6).alias("c_val")))
-    # pack the (tiny) centroid table into one row: [(c_label, c_vals[DIM])]
-    cent_vecs = centroids.groupBy("c_label").agg(
-        F.transform(F.array_sort(F.collect_list(F.struct("c_pos", "c_val"))),
-                    lambda s: s["c_val"]).alias("c_vals"))
-    # one tiny row; checkpoint so the posexplode+groupBy centroid chain
+    seed_h = (F.col("vec_id") * F.lit(1103515245) + F.lit(12345)) \
+        % F.lit(2147483648)
+    seeds = (e.select(F.col("vec_id").alias("cell"),
+                      F.transform("embedding",
+                                  lambda x: x.cast("double")).alias("c_vals"),
+                      seed_h.alias("h"))
+             .orderBy("h", "cell").limit(IVF_K).drop("h"))
+    # one tiny row (IVF_K structs); checkpoint so the seed top-k scan
     # runs once instead of once per branch (cells, query-side broadcast)
-    cent_one = cent_vecs.agg(
-        F.array_sort(F.collect_list(F.struct("c_label", "c_vals"))).alias("cents")) \
+    cent_one = seeds.agg(
+        F.array_sort(F.collect_list(F.struct("cell", "c_vals"))).alias("cents")) \
         .localCheckpoint(eager=True)
 
     def _d2(c_vals) -> F.Column:
@@ -359,7 +364,7 @@ def _ivf_cells(e: DataFrame) -> DataFrame:
     scored_cells = F.transform(
         F.col("cents"),
         lambda c: F.struct(F.round(_d2(c["c_vals"]), 6).alias("d2r"),
-                           c["c_label"].alias("cell")))
+                           c["cell"].alias("cell")))
 
     # assignment runs ONCE (checkpointed); consumers filter/join it
     return (e.crossJoin(F.broadcast(cent_one))
@@ -490,21 +495,8 @@ def q88_ann_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # state — centroids + per-dim min/max — is broadcast.
 # ---------------------------------------------------------------------------
 @query("q92_ann_ivf_sq", f"""
-WITH flat AS ({_SQL_FLAT}),
-cent_long AS ({_SQL_CENTROIDS}),
-centroids AS (
-  SELECT c_label, LIST(c_val ORDER BY c_pos) AS c_vals
-  FROM cent_long GROUP BY c_label),
-dists AS (
-  SELECT e.vec_id, c.c_label,
-         {_SQL_D2.format(n=DIM)} AS d2
-  FROM embeddings e CROSS JOIN centroids c),
-assigned AS (
-  SELECT vec_id, c_label AS cell FROM (
-    SELECT vec_id, c_label,
-           ROW_NUMBER() OVER (PARTITION BY vec_id
-                              ORDER BY ROUND(d2, 6), c_label) AS rn
-    FROM dists) WHERE rn = 1),
+WITH seeds AS ({_SQL_SEEDS}),
+assigned AS ({_SQL_ASSIGN}),
 stats AS ({_SQL_DIMSTATS}),
 packed AS (
   SELECT LIST(lo ORDER BY pos) AS los, LIST(hi ORDER BY pos) AS his

@@ -17,7 +17,8 @@ Builds a x10 corpus derived from sf0.1 into /tmp:
   (q45/q48) sees a true 10x candidate set against the same query set
   (vec_id < 10 exists only in replica 0).
 
-Usage: python tools/scale_bench.py [runs_per_query]
+Usage: python tools/scale_bench.py [runs_per_query] [query ...]
+(optional query names restrict the run to that subset)
 Prints one JSON line with min-of-N seconds at x1 and x10 per query.
 """
 
@@ -34,6 +35,7 @@ sys.path.insert(0, "/root/repo")
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 X10_DIR = "/tmp/spark_graft_x10"
 RUNS = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+ONLY = set(sys.argv[2:])
 
 HEAVY = [
     "q41_minhash_signature", "q42_lsh_candidates", "q43_simhash",
@@ -99,6 +101,8 @@ def main() -> None:
     queries = ent.queries()
     results = {}
     for name in HEAVY:
+        if ONLY and name not in ONLY:
+            continue
         fn = queries[name]
         row = {}
         for tag, d in (("x1", SF_DIR), ("x10", X10_DIR)):
