@@ -174,7 +174,9 @@ def q69_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # monitoring primitive that survives heavy tails where mean/stddev
 # z-scores drown. Two grouped exact-median passes; both engines
 # interpolate quantile_cont identically (proven by q33), and the fence
-# comparison evaluates the same double expression on both sides.
+# comparison is made at the SAME 6-place grain the query publishes
+# (both sides rounded before comparing), so a median/MAD ulp
+# difference between engines cannot flip n_outliers.
 #
 # Scale: two shuffles on the same (bounded-cardinality) group key plus
 # a broadcast of the per-group medians back onto the rows; exact
@@ -195,7 +197,8 @@ SELECT d.event_type,
        COUNT(*) AS n_events,
        ROUND(d.med, 6) AS med,
        ROUND(a.mad, 6) AS mad,
-       SUM(CASE WHEN ABS(d.value - d.med) > 3 * 1.4826 * a.mad
+       SUM(CASE WHEN ROUND(ABS(d.value - d.med), 6)
+                     > ROUND(3 * 1.4826 * a.mad, 6)
                 THEN 1 ELSE 0 END) AS n_outliers
 FROM dev d JOIN mad a ON d.event_type = a.event_type
 GROUP BY d.event_type, d.med, a.mad
@@ -209,11 +212,46 @@ def q117_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.abs(F.col("value") - F.col("med")).alias("adev")))
     mad = (dev.groupBy("event_type")
            .agg(F.expr("percentile(adev, 0.5D)").alias("mad")))
-    fence = 3 * 1.4826 * F.col("mad")
+    fence = F.round(3 * 1.4826 * F.col("mad"), 6)
     return (dev.join(F.broadcast(mad), "event_type")
             .groupBy("event_type", "med", "mad")
             .agg(F.count("*").alias("n_events"),
-                 F.sum(F.when(F.abs(F.col("value") - F.col("med")) > fence,
+                 F.sum(F.when(F.round(F.abs(F.col("value") - F.col("med")), 6)
+                              > fence,
+                              1).otherwise(0)).alias("n_outliers"))
+            .select("event_type", "n_events",
+                    F.round("med", 6).alias("med"),
+                    F.round("mad", 6).alias("mad"),
+                    "n_outliers"))
+
+
+# ---------------------------------------------------------------------------
+# q120 — sketch-based MAD outliers: q117's 100 TB twin. Both median
+# passes use Spark's GK sketch (approx_percentile, accuracy 10_000 ->
+# rank error <= 0.01% per group) instead of exact percentile(), so each
+# group costs FIXED memory and the partial sketches are map-side
+# combinable — no per-group buffer+sort at any group size. Same robust
+# fence at the published 6-place grain. No DuckDB oracle: DuckDB's
+# approx_quantile is a t-digest and cannot reproduce GK outputs
+# bit-for-bit (rows-only driver check, q108 precedent);
+# tests/test_cross_engine.py asserts agreement with exact q117 instead.
+# ---------------------------------------------------------------------------
+@query("q120_mad_outliers_approx")
+def q120_mad_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    med = (e.groupBy("event_type")
+           .agg(F.expr("approx_percentile(value, 0.5D, 10000)").alias("med")))
+    dev = (e.join(F.broadcast(med), "event_type")
+           .select("event_type", "value", "med",
+                   F.abs(F.col("value") - F.col("med")).alias("adev")))
+    mad = (dev.groupBy("event_type")
+           .agg(F.expr("approx_percentile(adev, 0.5D, 10000)").alias("mad")))
+    fence = F.round(3 * 1.4826 * F.col("mad"), 6)
+    return (dev.join(F.broadcast(mad), "event_type")
+            .groupBy("event_type", "med", "mad")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.when(F.round(F.abs(F.col("value") - F.col("med")), 6)
+                              > fence,
                               1).otherwise(0)).alias("n_outliers"))
             .select("event_type", "n_events",
                     F.round("med", 6).alias("med"),

@@ -124,3 +124,33 @@ def test_approx_percentiles_within_gk_bound(spark):
             assert b.lo - 1e-6 <= got <= b.hi + 1e-6, (
                 f"{col} flag={b.l_returnflag}: {got} not in "
                 f"[{b.lo}, {b.hi}]")
+
+
+def test_approx_mad_agrees_with_exact(spark):
+    """q120 (GK-sketch MAD) must agree with exact q117 on the same
+    events fixture: med/mad within the GK rank-error-implied value
+    bracket, and n_outliers within the count of events whose deviation
+    sits inside that bracket slack (the only rows whose fence verdict
+    can differ between the exact and sketch medians)."""
+    from oanda_stream_processor_spark.operators.stats import (
+        q117_mad_outliers, q120_mad_outliers_approx)
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r.event_type: r for r in q117_mad_outliers(spark, sf).collect()}
+    approx = {r.event_type: r for r in
+              q120_mad_outliers_approx(spark, sf).collect()}
+    assert set(exact) == set(approx)
+    for et, ex in exact.items():
+        ap = approx[et]
+        assert ap.n_events == ex.n_events
+        # GK at accuracy 10_000 on these group sizes returns a data
+        # point within a few ranks of the exact median; the value gap
+        # is bounded by the local spread — assert a generous relative
+        # bracket rather than a rank walk (q108's test does the strict
+        # rank-bound version on a bigger table)
+        scale = max(abs(ex.med), ex.mad, 1e-9)
+        assert abs(ap.med - ex.med) <= 0.05 * scale + 1e-6, (et, ap.med, ex.med)
+        assert abs(ap.mad - ex.mad) <= 0.05 * scale + 1e-6, (et, ap.mad, ex.mad)
+        # outlier counts may differ only for rows near the fence
+        assert abs(ap.n_outliers - ex.n_outliers) <= max(
+            2, int(0.01 * ex.n_events)), (et, ap.n_outliers, ex.n_outliers)
