@@ -139,15 +139,17 @@ WITH agg AS (
   SELECT source, lang, COUNT(*) AS n_docs,
          SUM(n_chars) AS total_chars
   FROM documents GROUP BY source, lang),
-tot AS (SELECT SUM(total_chars) AS corpus_chars FROM agg)
+tot AS (SELECT SUM(total_chars) AS corpus_chars FROM agg),
+j AS (
+  SELECT source, lang, n_docs, total_chars, corpus_chars,
+         CAST(total_chars AS DECIMAL(38,0)) * 1000000 AS num
+  FROM agg CROSS JOIN tot)
 SELECT source, lang, n_docs, total_chars,
-       CAST((total_chars * 1000000 - (total_chars * 1000000) % corpus_chars)
-            / corpus_chars AS BIGINT) AS share_ppm,
-       CAST(SUM(total_chars * 1000000
-                - (total_chars * 1000000) % corpus_chars)
+       CAST((num - num % corpus_chars) / corpus_chars AS BIGINT) AS share_ppm,
+       CAST(SUM(num - num % corpus_chars)
               OVER (ORDER BY total_chars DESC, source, lang)
             / corpus_chars AS BIGINT) AS cum_ppm
-FROM agg CROSS JOIN tot
+FROM j
 """)
 def q110_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -157,8 +159,12 @@ def q110_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = agg.agg(F.sum("total_chars").alias("corpus_chars"))
     j = agg.crossJoin(F.broadcast(tot))
     # integer ppm via explicit floor division (hash-stable across
-    # engines; see dedup._idiv rationale)
-    num = F.col("total_chars") * 1_000_000
+    # engines; see dedup._idiv rationale). The numerator is widened to
+    # DECIMAL(38,0) so chars*1e6 cannot overflow BIGINT (the bare
+    # bigint product wraps silently in Spark / errors in DuckDB once
+    # the corpus passes ~9.2e12 chars ≈ 9 TB of text); decimal
+    # floor-division of an exact multiple is exact in both engines.
+    num = F.col("total_chars").cast("decimal(38,0)") * 1_000_000
     ppm_num = num - num % F.col("corpus_chars")
     w = (W.orderBy(F.desc("total_chars"), "source", "lang")
          .rowsBetween(W.unboundedPreceding, W.currentRow))
@@ -187,8 +193,10 @@ SELECT s.source,
        COUNT(*) AS n_docs,
        SUM(CASE WHEN f.n_total > 1 THEN 1 ELSE 0 END) AS n_dup_docs,
        SUM(CASE WHEN f.n_sources > 1 THEN 1 ELSE 0 END) AS n_cross_source,
-       CAST((SUM(CASE WHEN f.n_total > 1 THEN 1 ELSE 0 END) * 1000000
-             - (SUM(CASE WHEN f.n_total > 1 THEN 1 ELSE 0 END) * 1000000)
+       CAST((CAST(SUM(CASE WHEN f.n_total > 1 THEN 1 ELSE 0 END)
+                  AS DECIMAL(38,0)) * 1000000
+             - (CAST(SUM(CASE WHEN f.n_total > 1 THEN 1 ELSE 0 END)
+                     AS DECIMAL(38,0)) * 1000000)
                % COUNT(*)) / COUNT(*) AS BIGINT) AS dup_ppm
 FROM h s JOIN freq f ON s.h = f.h
 GROUP BY s.source
@@ -202,7 +210,8 @@ def q111_source_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("source").alias("n_sources")))
     j = h.join(freq, "h")
     n_dup = F.sum(F.when(F.col("n_total") > 1, 1).otherwise(0))
-    num = n_dup * 1_000_000
+    # DECIMAL(38,0) numerator: overflow-proof at any corpus size (q110)
+    num = n_dup.cast("decimal(38,0)") * 1_000_000
     return (j.groupBy("source")
             .agg(F.count("*").alias("n_docs"),
                  n_dup.alias("n_dup_docs"),
@@ -271,7 +280,8 @@ flagged AS (
          CASE WHEN i.sh IS NULL THEN 1 ELSE 0 END AS novel
   FROM batch b LEFT JOIN index_sh i ON b.sh = i.sh)
 SELECT doc_id, COUNT(*) AS n_shingles, SUM(novel) AS n_novel,
-       CAST((SUM(novel) * 1000000 - (SUM(novel) * 1000000) % COUNT(*))
+       CAST((CAST(SUM(novel) AS DECIMAL(38,0)) * 1000000
+             - (CAST(SUM(novel) AS DECIMAL(38,0)) * 1000000) % COUNT(*))
             / COUNT(*) AS BIGINT) AS novelty_ppm
 FROM flagged GROUP BY doc_id
 """)
@@ -286,7 +296,8 @@ def q114_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.when(F.col("hit").isNull(), 1).otherwise(0)
                         .alias("novel")))
     n, nov = F.count("*"), F.sum("novel")
-    num = nov * 1_000_000
+    # DECIMAL(38,0) numerator: overflow-proof at any corpus size (q110)
+    num = nov.cast("decimal(38,0)") * 1_000_000
     return (flagged.groupBy("doc_id")
             .agg(n.alias("n_shingles"), nov.alias("n_novel"),
                  ((num - num % n) / n).cast("bigint").alias("novelty_ppm")))
@@ -375,7 +386,8 @@ agg AS (SELECT split, lang, COUNT(*) AS n_docs FROM labeled
         GROUP BY split, lang),
 tot AS (SELECT SUM(n_docs) AS n_total FROM agg)
 SELECT split, lang, n_docs,
-       CAST((n_docs * 1000000 - (n_docs * 1000000) % n_total) / n_total
+       CAST((CAST(n_docs AS DECIMAL(38,0)) * 1000000
+             - (CAST(n_docs AS DECIMAL(38,0)) * 1000000) % n_total) / n_total
             AS BIGINT) AS share_ppm
 FROM agg CROSS JOIN tot
 """)
@@ -390,7 +402,8 @@ def q116_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (labeled.groupBy("split", "lang")
            .agg(F.count("*").alias("n_docs")))
     tot = agg.agg(F.sum("n_docs").alias("n_total"))
-    num = F.col("n_docs") * 1_000_000
+    # DECIMAL(38,0) numerator: overflow-proof at any corpus size (q110)
+    num = F.col("n_docs").cast("decimal(38,0)") * 1_000_000
     return (agg.crossJoin(F.broadcast(tot))
             .select("split", "lang", "n_docs",
                     ((num - num % F.col("n_total")) / F.col("n_total"))

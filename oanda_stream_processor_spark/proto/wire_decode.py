@@ -26,7 +26,14 @@ _WT_I32 = 5
 
 
 def read_varint(buf: bytes, pos: int) -> tuple[int, int]:
-    """Return (value, next_pos); raises ValueError on truncation."""
+    """Return (value, next_pos); raises ValueError on truncation.
+
+    The result is masked to 64 bits (protoc semantics: a 10-byte
+    sign-extended varint carries exactly 64 payload bits; bits above
+    that are discarded), so the unsigned value always lies in
+    [0, 2^64). Signed int32/int64 fields additionally need
+    :func:`fold_signed` — protoc encodes negatives as 64-bit two's
+    complement."""
     result = 0
     shift = 0
     while True:
@@ -36,10 +43,17 @@ def read_varint(buf: bytes, pos: int) -> tuple[int, int]:
         pos += 1
         result |= (b & 0x7F) << shift
         if not b & 0x80:
-            return result, pos
+            return result & 0xFFFF_FFFF_FFFF_FFFF, pos
         shift += 7
         if shift >= 70:
             raise ValueError("varint too long")
+
+
+def fold_signed(value: int) -> int:
+    """Two's-complement fold of a 64-bit unsigned varint payload into a
+    signed int — what protoc-generated classes return for int32/int64
+    fields (negative values arrive as 10-byte sign-extended varints)."""
+    return value - (1 << 64) if value >= (1 << 63) else value
 
 
 def iter_fields(buf: bytes):
@@ -78,12 +92,14 @@ def iter_fields(buf: bytes):
 
 
 def decode_timestamp(buf: bytes) -> tuple[int, int]:
+    # Timestamp.seconds is int64, .nanos is int32 — both signed, so a
+    # pre-epoch timestamp's 10-byte varint folds back to a negative int
     seconds = nanos = 0
     for field, _wt, val in iter_fields(buf):
         if field == 1:
-            seconds = val
+            seconds = fold_signed(val)
         elif field == 2:
-            nanos = val
+            nanos = fold_signed(val)
     return seconds, nanos
 
 

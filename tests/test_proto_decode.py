@@ -20,8 +20,11 @@ prices = st.text(
 liqs = st.integers(min_value=0, max_value=2**63 - 1)
 levels = st.lists(st.tuples(prices, liqs), max_size=4)
 texts = st.text(max_size=20)
-secs = st.integers(min_value=0, max_value=2**33)
-nanos = st.integers(min_value=0, max_value=999_999_999)
+# full signed ranges: Timestamp.seconds is int64, .nanos int32 — protoc
+# encodes negatives as 10-byte sign-extended varints, which the decoder
+# must mask to 64 bits and two's-complement-fold back
+secs = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+nanos = st.integers(min_value=-999_999_999, max_value=999_999_999)
 
 
 @given(asks=levels, bids=levels, ca=texts, cb=texts, inst=texts,
@@ -103,3 +106,18 @@ def test_replay_source_closes_publish_loop(spark, tick_capture, tmp_path):
     assert all(r.asks and r.asks[0].price for r in ticks)
     hb = next(r for r in out if r.message_type == "heartbeat")
     assert hb.heartbeat_type == "HEARTBEAT"
+
+
+def test_negative_varint_sign_fold():
+    """Explicit protoc-parity check: a negative int64/int32 arrives as a
+    10-byte sign-extended varint and must decode back to the negative
+    value (not a huge positive one)."""
+    for s_, n_ in ((-1, -1), (-(2**62), -999_999_999), (2**63 - 1, 0)):
+        enc = wire.encode_stream_message(
+            "heartbeat", wire.encode_heartbeat(s_, n_, "hb"))
+        _, p = wd.decode_stream_message(enc)
+        assert (p["ts_seconds"], p["ts_nanos"]) == (s_, n_)
+    # raw layer: the unsigned payload is masked to [0, 2^64)
+    val, _ = wd.read_varint(wire._varint(-1), 0)
+    assert val == 2**64 - 1
+    assert wd.fold_signed(val) == -1

@@ -147,11 +147,31 @@ def main() -> int:
           count_of=("BroadcastNestedLoopJoin", 0, 0))
 
     # q112: quota selection windows are partitioned by lang (no
-    # unpartitioned row_number over the corpus)
-    p112 = plan_of(increment.q112_quota_sample(spark, SF))
-    if "partitionBy=[lang" not in p112.replace(" ", "").replace("'", "") \
-            and "[lang" not in p112.split("Window")[-1][:200]:
-        failures.append("q112: window not partitioned by lang")
+    # unpartitioned row_number over the corpus). Checked on the JVM
+    # logical-plan TREE (node walk + partitionSpec expressions), not on
+    # explain-string fragments — formatting changes can't flip it.
+    def _window_partitions(df):
+        """[(node, [partition expr sql, ...])] for every Window node in
+        the optimized logical plan."""
+        out = []
+        stack = [df._jdf.queryExecution().optimizedPlan()]
+        while stack:
+            node = stack.pop()
+            if node.nodeName() == "Window":
+                spec = node.partitionSpec()
+                out.append([spec.apply(i).sql() for i in range(spec.size())])
+            ch = node.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+        return out
+
+    wins = _window_partitions(increment.q112_quota_sample(spark, SF))
+    if not wins:
+        failures.append("q112: no Window node in optimized plan")
+    for cols in wins:
+        if not any("lang" in c for c in cols):
+            failures.append(
+                f"q112: window partitioned by {cols or 'NOTHING'}, not lang")
     print(("FAIL " if any(f.startswith('q112') for f in failures) else "ok   ")
           + "q112 partitioned window")
 
