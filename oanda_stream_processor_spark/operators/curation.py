@@ -238,6 +238,12 @@ FROM walk GROUP BY depth
 def q82_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     c.createOrReplaceTempView("customer_rec_src")
+    # Spark's recursive-CTE safety valve defaults to 1M total rows; this
+    # walk legitimately produces n_customers x depth rows (depth <=
+    # digits(custkey) <= 19), which passes 1M at ~150k customers — a
+    # real output size, not runaway recursion. Raise the valve; the
+    # level limit (default 100) still guards non-termination.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", 2_000_000_000)
     return spark.sql(
         _RECURSIVE_SQL.format(src="customer_rec_src", idiv="div"))
 

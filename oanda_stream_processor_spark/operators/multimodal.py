@@ -185,6 +185,69 @@ def q85_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 MAX_FRAMES = 8
 MIN_STEP_MS = 1000
 
+# ---------------------------------------------------------------------------
+# q119 — image-text pair manifest (the CLIP-style training-pair build):
+# join the image lake (q53's synthetic media + geometry riding on
+# documents) with the caption/text side and the per-item embedding
+# (doc_id <-> vec_id across modality tables), gate on caption token
+# count and minimum pixel area, and emit the pair manifest a contrastive
+# trainer consumes. Token counting uses the corpus-canonical
+# split-and-drop-empties (textops q51); embedding norm is the
+# order-fixed sequential fold (similarity._sqnorm).
+#
+# Scale: the pairing equi-join on the shared id is THE shuffle of a
+# multimodal lake build — both sides hash-partition on the id (at 100 TB
+# you bucket both lake tables by this id so the join is Exchange-free,
+# plans/layout.py pattern); everything else is per-row projection that
+# pushes down to the scans.
+# ---------------------------------------------------------------------------
+MIN_CAPTION_TOKENS = 3
+MAX_CAPTION_TOKENS = 64
+MIN_PIXELS = 1024
+
+@query("q119_image_text_pairs", f"""
+WITH cap AS (
+  SELECT doc_id, lang,
+         LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS n_tokens,
+         OCTET_LENGTH(UNHEX(MD5(text))) AS n_bytes,
+         CAST(n_chars % 640 + 1 AS INTEGER) AS width,
+         CAST(doc_id % 480 + 1 AS INTEGER) AS height
+  FROM documents),
+emb AS (
+  SELECT vec_id,
+         ROUND(SQRT(LIST_AGGREGATE(LIST_TRANSFORM(embedding,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6) AS emb_norm
+  FROM embeddings)
+SELECT c.doc_id AS pair_id, c.lang, c.n_tokens, c.n_bytes,
+       c.width, c.height, e.emb_norm,
+       (c.n_tokens BETWEEN {MIN_CAPTION_TOKENS} AND {MAX_CAPTION_TOKENS})
+         AND c.width * c.height >= {MIN_PIXELS} AS keep
+FROM cap c JOIN emb e ON c.doc_id = e.vec_id
+""")
+def q119_image_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    cap = d.select(
+        "doc_id", "lang",
+        F.size(toks).alias("n_tokens"),
+        F.octet_length(F.unhex(F.md5(F.col("text").cast("binary"))))
+         .alias("n_bytes"),
+        (F.col("n_chars") % 640 + 1).cast("int").alias("width"),
+        (F.col("doc_id") % 480 + 1).cast("int").alias("height"))
+    sqnorm = F.aggregate(
+        F.col("embedding"), F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    emb = e.select(F.col("vec_id").alias("pair_id"),
+                   F.round(F.sqrt(sqnorm), 6).alias("emb_norm"))
+    keep = (F.col("n_tokens").between(MIN_CAPTION_TOKENS, MAX_CAPTION_TOKENS)
+            & (F.col("width") * F.col("height") >= MIN_PIXELS))
+    return (cap.withColumnRenamed("doc_id", "pair_id")
+               .join(emb, "pair_id")
+               .select("pair_id", "lang", "n_tokens", "n_bytes",
+                       "width", "height", "emb_norm", keep.alias("keep")))
+
+
 @query("q86_frame_sample", f"""
 WITH v AS (
   SELECT doc_id,

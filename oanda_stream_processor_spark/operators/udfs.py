@@ -176,3 +176,48 @@ def q100_udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM docs_q100 d,
         LATERAL head_tokens(d.text, {HEAD_K}) h
     """)
+
+
+# ---------------------------------------------------------------------------
+# q121: grouped-map applyInPandas — the fourth pandas-API mode (scalar
+# q70, UDTF q71/q100, grouped-agg q72, and now grouped-MAP): each group
+# arrives as ONE pandas DataFrame and returns a transformed DataFrame —
+# the mode for per-group logic that needs the whole group in memory
+# (fit-transform, per-group models). Here: per-priority min-max
+# normalization of order totals. min/max are selections (exact,
+# order-insensitive), the per-row arithmetic is the same IEEE doubles
+# DuckDB's window twin computes, so the oracle hashes match.
+#
+# Scale: one hash-partition shuffle on the group key; each group must
+# fit in one executor's memory (the applyInPandas contract) — fine for
+# bounded-cardinality keys like priority; for unbounded keys use the
+# q70 shape (JVM aggs + broadcast join-back) instead.
+# ---------------------------------------------------------------------------
+def _minmax_norm(pdf: pd.DataFrame) -> pd.DataFrame:
+    mn = float(pdf["o_totalprice"].min())
+    mx = float(pdf["o_totalprice"].max())
+    rng = mx - mn
+    norm = ((pdf["o_totalprice"] - mn) / rng).round(6) if rng else 0.0
+    return pd.DataFrame({
+        "o_orderkey": pdf["o_orderkey"],
+        "o_orderpriority": pdf["o_orderpriority"],
+        "norm": norm,
+    })
+
+
+@query("q121_grouped_map_norm", """
+SELECT o_orderkey, o_orderpriority,
+       CASE WHEN mx = mn THEN 0.0
+            ELSE ROUND((o_totalprice - mn) / (mx - mn), 6) END AS norm
+FROM (SELECT o_orderkey, o_orderpriority, o_totalprice,
+             MIN(o_totalprice) OVER (PARTITION BY o_orderpriority) AS mn,
+             MAX(o_totalprice) OVER (PARTITION BY o_orderpriority) AS mx
+      FROM orders)
+""")
+def q121_grouped_map_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (o.select("o_orderkey", "o_orderpriority", "o_totalprice")
+             .groupBy("o_orderpriority")
+             .applyInPandas(_minmax_norm,
+                            schema="o_orderkey bigint, o_orderpriority string, "
+                                   "norm double"))

@@ -1,8 +1,10 @@
-"""10x scale-up measurement for the heavy operator families
-(dedup / similarity / fingerprint) — replaces extrapolation in SCALE.md
-with numbers.
+"""10x scale-up measurement for EVERY query — replaces extrapolation in
+SCALE.md with numbers (round 6: extended from the 24-query heavy family
+to the whole suite).
 
-Builds a x10 corpus derived from sf0.1 into /tmp:
+Builds a x10 dataset derived from sf0.1 into /tmp — facts replicated
+10x with per-replica key offsets, dimensions kept fixed (the honest
+shape of a corpus/warehouse that grew 10x):
 
 * documents — 10 replicas with offset doc_ids; every token after the
   first gains a per-replica tag (regexp: each space becomes " {k}x"),
@@ -16,6 +18,18 @@ Builds a x10 corpus derived from sf0.1 into /tmp:
   while total work scales 10x. Vectors are unchanged, so unblocked ANN
   (q45/q48) sees a true 10x candidate set against the same query set
   (vec_id < 10 exists only in replica 0).
+* lineitem/orders/customer/part/supplier — 10 replicas with all
+  fact-to-fact join keys (orderkey, custkey, partkey, suppkey) offset
+  by k*10M so joins stay replica-local and per-key densities are
+  preserved; nationkey is NOT offset (dims fixed).
+* events — 10 replicas with offset event_id/user_id (per-user
+  sequences keep their length; 10x users) over the same time range.
+* nation/region — copied unchanged: a 10x warehouse does not grow its
+  dimension tables, so broadcast-dim plans should scale ~flat.
+
+Caveats: q82's synthetic custkey-arithmetic hierarchy gains roots at
+replica boundaries (parent ids point into absent key ranges) — still a
+valid 10x-rows measurement of the per-level iterative join.
 
 Usage: python tools/scale_bench.py [runs_per_query] [query ...]
 (optional query names restrict the run to that subset)
@@ -37,21 +51,8 @@ X10_DIR = "/tmp/spark_graft_x10"
 RUNS = int(sys.argv[1]) if len(sys.argv) > 1 else 3
 ONLY = set(sys.argv[2:])
 
-HEAVY = [
-    "q41_minhash_signature", "q42_lsh_candidates", "q43_simhash",
-    "q44_jaccard_pairs", "q52_fingerprint",
-    "q55_dedup_components", "q57_lsh_verified_pairs",
-    "q45_cosine_topk", "q46_embedding_neardup", "q47_label_centroids",
-    "q48_ann_lsh", "q56_ann_ivf",
-    # curation batch (documents-based; q82 walks customer -> not replicated)
-    "q79_repetition_filter", "q80_contamination", "q81_sequence_packing",
-    # round-2 additions: skew-cut jaccard, quantized ANN, passage dedup,
-    # graph rank, LM quality gate, PPS sampling, simhash search,
-    # quality canonicals
-    "q87_jaccard_dfcut", "q88_ann_sq", "q89_passage_dedup",
-    "q90_pagerank", "q92_ann_ivf_sq", "q93_unigram_nll",
-    "q94_pps_sample", "q95_simhash_pairs", "q97_canonical_by_quality",
-]
+# round 6: the default set is EVERY queries() entry (sorted); pass
+# names on the CLI to restrict
 
 
 def build_x10(spark) -> None:
@@ -88,6 +89,35 @@ def build_x10(spark) -> None:
         out = out.unionByName(r)
     out.coalesce(8).write.mode("overwrite").parquet(
         os.path.join(X10_DIR, "embeddings.parquet"))
+
+    # relational facts: replicate with replica-local join keys
+    OFF = 10_000_000
+    fact_offsets = {
+        "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "customer": ["c_custkey"],
+        "part": ["p_partkey"],
+        "supplier": ["s_suppkey"],
+        "events": ["event_id", "user_id"],
+    }
+    for table, keys in fact_offsets.items():
+        t = load_table(spark, SF_DIR, table)
+        reps = []
+        for k in range(10):
+            r = t
+            for col in keys:
+                r = r.withColumn(col, F.col(col) + F.lit(k * OFF))
+            reps.append(r)
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionByName(r)
+        out.coalesce(8).write.mode("overwrite").parquet(
+            os.path.join(X10_DIR, f"{table}.parquet"))
+
+    # dimensions: fixed — a 10x warehouse keeps its dims
+    for table in ("nation", "region"):
+        load_table(spark, SF_DIR, table).coalesce(1).write \
+            .mode("overwrite").parquet(os.path.join(X10_DIR, f"{table}.parquet"))
     open(os.path.join(X10_DIR, "_DONE"), "w").close()
 
 
@@ -100,23 +130,29 @@ def main() -> None:
     build_x10(spark)
     queries = ent.queries()
     results = {}
-    for name in HEAVY:
+    for name in sorted(queries):
         if ONLY and name not in ONLY:
             continue
         fn = queries[name]
         row = {}
-        for tag, d in (("x1", SF_DIR), ("x10", X10_DIR)):
-            times = []
-            for _ in range(RUNS):
-                t0 = time.perf_counter()
-                fn(spark, d).write.format("noop").mode("overwrite").save()
-                times.append(time.perf_counter() - t0)
-            row[tag] = round(min(times), 3)
+        try:
+            for tag, d in (("x1", SF_DIR), ("x10", X10_DIR)):
+                times = []
+                for _ in range(RUNS):
+                    t0 = time.perf_counter()
+                    fn(spark, d).write.format("noop").mode("overwrite").save()
+                    times.append(time.perf_counter() - t0)
+                row[tag] = round(min(times), 3)
+        except Exception as exc:   # keep sweeping; a broken query is a row
+            row["error"] = f"{type(exc).__name__}: {exc}"[:200]
+            results[name] = row
+            print(f"# {name}: ERROR {row['error']}", file=sys.stderr, flush=True)
+            continue
         row["factor"] = round(row["x10"] / row["x1"], 2) if row["x1"] else None
         results[name] = row
         print(f"# {name}: x1={row['x1']}s x10={row['x10']}s "
               f"factor={row['factor']}", file=sys.stderr, flush=True)
-    print(json.dumps({"metric": "heavy_family_scaleup", "runs": RUNS,
+    print(json.dumps({"metric": "full_suite_scaleup", "runs": RUNS,
                       "sf_dir": SF_DIR, "queries": results}))
     spark.stop()
 
