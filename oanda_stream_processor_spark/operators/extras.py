@@ -707,3 +707,45 @@ def q107_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "min_len", "max_len")
         rows = r if rows is None else rows.unionByName(r)
     return rows
+
+
+# ---------------------------------------------------------------------------
+# q123 — salted two-phase aggregation: THE skew lever for hot keys. The
+# events table has 5 event_type values over 600k rows — a groupBy would
+# hash 5 keys onto 5 tasks (27 cores idle, one straggler per hot key at
+# 100 TB). Phase 1 salts the key with hash(event_id) % N_SALTS and
+# aggregates (key, salt) — 5 x 32 cells, every core busy; phase 2
+# combines the per-salt partials on the bare key — 160 tiny rows. Sums
+# are exact fixed-point bigints (helpers.py pattern), so the two-phase
+# result is bit-identical to the one-phase oracle regardless of how
+# rows split across salts; min/max/count combine trivially.
+#
+# Scale: the wide shuffle carries keys x salts cells (map-side
+# combined), never row volume; raise N_SALTS to ~2-4x cores for bigger
+# clusters. The oracle is the PLAIN one-phase aggregate — salting is a
+# physical rewrite with identical semantics, and the gate proves it.
+# ---------------------------------------------------------------------------
+N_SALTS = 32
+
+@query("q123_salted_skew_agg", """
+SELECT event_type, COUNT(*) AS n,
+       ROUND(SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT)) / 1000000.0, 4)
+         AS value_sum,
+       ROUND(MIN(value), 6) AS value_min,
+       ROUND(MAX(value), 6) AS value_max
+FROM events GROUP BY event_type
+""")
+def q123_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 1_000_000, 0).cast("bigint")
+    salted = e.select("event_type", "value", cents.alias("cents"),
+                      F.pmod(F.xxhash64("event_id"), F.lit(N_SALTS))
+                       .alias("salt"))
+    partial = (salted.groupBy("event_type", "salt")
+               .agg(F.count("*").alias("pn"), F.sum("cents").alias("psum"),
+                    F.min("value").alias("pmin"), F.max("value").alias("pmax")))
+    return (partial.groupBy("event_type")
+            .agg(F.sum("pn").alias("n"),
+                 F.round(F.sum("psum") / 1_000_000.0, 4).alias("value_sum"),
+                 F.round(F.min("pmin"), 6).alias("value_min"),
+                 F.round(F.max("pmax"), 6).alias("value_max")))

@@ -408,3 +408,70 @@ def q116_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("split", "lang", "n_docs",
                     ((num - num % F.col("n_total")) / F.col("n_total"))
                     .cast("bigint").alias("share_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# q122 — per-source token-distribution drift: KL(P_source || P_corpus)
+# over the unigram distribution — the monitoring primitive that tells a
+# corpus curator WHICH ingest source moved away from the blend (q115 is
+# the embedding-space analog; this is the token-space one).
+#
+# Cross-engine determinism (q93 pattern): each term's ln(p/q) is frozen
+# to fixed-point bigint (round(ln * 1e6)) BEFORE the weighted sum, and
+# the weighted sum accumulates CAST(c_st AS DECIMAL(38,0)) * ln_fp —
+# exact integer arithmetic that neither wraps (q110 lesson: bigint
+# would overflow once source-token-count * ln_fp passes ~9.2e18, i.e.
+# corpus scale) nor depends on summation order.
+#
+# Scale: token explode is corpus-linear; the corpus vocab aggregate is
+# map-side combinable and vocab grows ~log(corpus) -> broadcast join
+# onto the per-source counts; per-source totals are a tiny broadcast.
+# One wide shuffle (the per-(source, token) groupBy) total.
+# ---------------------------------------------------------------------------
+@query("q122_token_kl_drift", """
+WITH tok AS (
+  SELECT source, UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> ''))
+           AS token
+  FROM documents),
+st AS (SELECT source, token, COUNT(*) AS c_st FROM tok GROUP BY source, token),
+ct AS (SELECT token, COUNT(*) AS c_t FROM tok GROUP BY token),
+ns AS (SELECT source, SUM(c_st) AS n_s FROM st GROUP BY source),
+tot AS (SELECT SUM(c_t) AS n FROM ct),
+terms AS (
+  SELECT s.source, x.n_s, s.c_st,
+         CAST(ROUND(LN((CAST(s.c_st AS DOUBLE) * t.n)
+                       / (CAST(x.n_s AS DOUBLE) * c.c_t)) * 1000000)
+              AS BIGINT) AS ln_fp
+  FROM st s
+  JOIN ct c USING (token)
+  JOIN ns x USING (source)
+  CROSS JOIN tot t)
+SELECT source, n_s AS n_tokens, COUNT(*) AS n_distinct,
+       ROUND(SUM(CAST(c_st AS DECIMAL(38,0)) * ln_fp)
+             / (n_s * 1000000.0), 6) AS kl_nats
+FROM terms GROUP BY source, n_s
+""")
+def q122_token_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    tok = d.select("source", F.explode(toks).alias("token"))
+    st = tok.groupBy("source", "token").agg(F.count("*").alias("c_st"))
+    ct = tok.groupBy("token").agg(F.count("*").alias("c_t"))
+    ns = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    tot = ct.agg(F.sum("c_t").alias("n"))
+    # identical operand order to the oracle: (c_st * n) / (n_s * c_t)
+    ln_fp = F.round(
+        F.log((F.col("c_st").cast("double") * F.col("n"))
+              / (F.col("n_s").cast("double") * F.col("c_t"))) * 1_000_000
+    ).cast("bigint")
+    terms = (st.join(F.broadcast(ct), "token")
+               .join(F.broadcast(ns), "source")
+               .crossJoin(F.broadcast(tot))
+               .select("source", "n_s", "c_st", ln_fp.alias("ln_fp")))
+    kl = (F.sum(F.col("c_st").cast("decimal(38,0)") * F.col("ln_fp"))
+          / (F.col("n_s") * 1_000_000.0))
+    return (terms.groupBy("source", "n_s")
+            .agg(F.count("*").alias("n_distinct"),
+                 F.round(kl, 6).alias("kl_nats"))
+            .select(F.col("source"), F.col("n_s").alias("n_tokens"),
+                    "n_distinct", "kl_nats"))

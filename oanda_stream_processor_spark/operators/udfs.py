@@ -221,3 +221,59 @@ def q121_grouped_map_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
              .applyInPandas(_minmax_norm,
                             schema="o_orderkey bigint, o_orderpriority string, "
                                    "norm double"))
+
+
+# ---------------------------------------------------------------------------
+# q124: mapInArrow — the zero-copy Arrow-native map mode (the fifth
+# Python-boundary mode after scalar/UDTF/grouped-agg/grouped-map): the
+# function receives pyarrow.RecordBatch objects directly, no pandas
+# conversion at all — the mode for columnar byte-level work (codecs,
+# tensors) where even the pandas layer is overhead. Here: lineitem
+# charge computation in exact integer cents via pyarrow.compute kernels.
+# All arithmetic is int64 (prices/discounts/tax have 2 decimals ->
+# *100 is integer-exact in both engines), so the DuckDB oracle twin
+# hashes identically — no float rounding-mode hazards at the boundary.
+#
+# Scale: Arrow batches stream executor-side (maxRecordsPerBatch bound);
+# the plan is a pure map — no shuffle, partition-preserving, and the
+# projection pushes the 3-column ReadSchema down to the scan.
+# ---------------------------------------------------------------------------
+def _arrow_charges(batches):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    for batch in batches:
+        ext = pc.cast(pc.round(pc.multiply(batch.column("l_extendedprice"),
+                                           pa.scalar(100.0))), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(batch.column("l_discount"),
+                                            pa.scalar(100.0))), pa.int64())
+        tax = pc.cast(pc.round(pc.multiply(batch.column("l_tax"),
+                                           pa.scalar(100.0))), pa.int64())
+        # charge in 10^-6 units: cents * (100-disc) * (100+tax) is exact
+        charge = pc.multiply(pc.multiply(ext, pc.subtract(pa.scalar(100),
+                                                          disc)),
+                             pc.add(pa.scalar(100), tax))
+        yield pa.RecordBatch.from_arrays(
+            [batch.column("l_orderkey"), batch.column("l_linenumber"),
+             ext, disc, tax, charge],
+            ["l_orderkey", "l_linenumber", "price_c", "disc_pct", "tax_pct",
+             "charge_micros"])
+
+
+@query("q124_arrow_native_charges", """
+SELECT l_orderkey, l_linenumber,
+       CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+       CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_pct,
+       CAST(ROUND(l_tax * 100) AS BIGINT) AS tax_pct,
+       CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+         * (100 + CAST(ROUND(l_tax * 100) AS BIGINT)) AS charge_micros
+FROM lineitem
+""")
+def q124_arrow_native_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.select("l_orderkey", "l_linenumber", "l_extendedprice",
+                      "l_discount", "l_tax")
+              .mapInArrow(_arrow_charges,
+                          schema="l_orderkey bigint, l_linenumber int, "
+                                 "price_c bigint, disc_pct bigint, "
+                                 "tax_pct bigint, charge_micros bigint"))
