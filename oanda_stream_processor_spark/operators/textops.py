@@ -283,3 +283,127 @@ def q101_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (vocab.join(F.broadcast(probes), band)
             .where(dist <= FUZZY_MAX_DIST)
             .select("probe", "token", dist.alias("dist")))
+
+
+# ---------------------------------------------------------------------------
+# q125 — word-concentration metrics: top-word fraction (Gopher's "fraction
+# of tokens in the most frequent word" filter, Rae et al. 2021 §A1.1) and
+# within-document Shannon word entropy in bits, plus the argmax word
+# itself. Complements q79 (which covers duplicate-token/bigram ratios):
+# entropy catches low-diversity documents that dup ratios miss (a doc
+# cycling 3 words has dup ratio ~1 AND entropy ~1.58; a doc that is 90%
+# one word + 10% unique words has LOW dup-bigram but entropy ~0.6).
+#
+# All inside ONE per-row projection: counts-per-distinct-word as a
+# struct array, argmax via array_max (struct ordering — ties break to
+# the larger word in BOTH engines), entropy folded over the SORTED count
+# array so float summation order is engine-identical. No explode, no
+# shuffle. keep-fence compares the ROUNDED value (q117 discipline).
+#
+# Scale: O(n_words x vocab) per row — bounded for web-scale documents;
+# a GB-sized single document would want the exploded groupBy form.
+# ---------------------------------------------------------------------------
+REP_TOP_WORD_MAX = 0.20      # keep if top word <= 20% of tokens
+
+@query("q125_word_concentration", f"""
+WITH w AS (
+  SELECT doc_id, source,
+         LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS ws
+  FROM documents),
+m AS (
+  SELECT doc_id, source, LEN(ws) AS n_words,
+         LIST_SORT(LIST_TRANSFORM(LIST_DISTINCT(ws),
+           x -> {{'c': LEN(LIST_FILTER(ws, y -> y = x)), 'w': x}})) AS cnts
+  FROM w WHERE LEN(ws) >= 1)
+SELECT doc_id, source, n_words,
+       (LIST_MAX(cnts)).w AS top_word,
+       ROUND(CAST((LIST_MAX(cnts)).c AS DOUBLE) / n_words, 6)
+         AS top_word_frac,
+       ROUND(LIST_SUM(LIST_TRANSFORM(cnts,
+           s -> -(CAST(s.c AS DOUBLE) / n_words)
+                * LOG2(CAST(s.c AS DOUBLE) / n_words))), 6) AS word_entropy,
+       (ROUND(CAST((LIST_MAX(cnts)).c AS DOUBLE) / n_words, 6)
+          <= {REP_TOP_WORD_MAX}) AS keep
+FROM m
+""")
+def q125_word_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.expr("filter(split(text, ' '), x -> x != '')")
+    d = d.select("doc_id", "source", ws.alias("ws")).where(F.size("ws") >= 1)
+    d = d.withColumn("cnts", F.expr(
+        "array_sort(transform(array_distinct(ws), "
+        "x -> struct(size(filter(ws, y -> y = x)) AS c, x AS w)))"))
+    n_words = F.size("ws").cast("long")
+    top = F.array_max("cnts")
+    entropy = F.expr(
+        "aggregate(cnts, cast(0 as double), (acc, s) -> acc "
+        "- (cast(s.c as double) / size(ws)) "
+        "* log2(cast(s.c as double) / size(ws)))")
+    frac = F.round(top["c"].cast("double") / n_words, 6)
+    return d.select(
+        "doc_id", "source", n_words.alias("n_words"),
+        top["w"].alias("top_word"),
+        frac.alias("top_word_frac"),
+        F.round(entropy, 6).alias("word_entropy"),
+        (frac <= REP_TOP_WORD_MAX).alias("keep"))
+
+
+# ---------------------------------------------------------------------------
+# q126 — cross-document boilerplate detection: a word 3-gram shingle that
+# appears in >= 1% of all documents is "boilerplate" (header/footer/nav
+# template text); each document reports what fraction of its distinct
+# shingles are boilerplate. The threshold is CORPUS-RELATIVE
+# (dfc * 100 >= n_docs, pure integer compare — version-proof), so the
+# same query is meaningful at sf0.001 and at 100 TB.
+#
+# Scale: per-doc shingle sets are built in-array (no duplicate-position
+# blowup), exploded once -> groupBy shingle (map-side-combinable count,
+# one shuffle on the shingle key), then the SAME exchange feeds the
+# annotate join back to (doc, shingle) and a final doc_id agg. No
+# all-pairs anything; the df frame is the only corpus-wide state and it
+# is bounded by the distinct-shingle count, never collected.
+# ---------------------------------------------------------------------------
+BOILER_SH = 3              # shingle width (words)
+BOILER_DF_PCT = 1          # boilerplate if df >= this % of all docs
+
+@query("q126_boilerplate_shingles", f"""
+WITH w AS (
+  SELECT doc_id,
+         LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS ws
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+           GENERATE_SERIES(1, LEN(ws) - {BOILER_SH - 1}),
+           i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))) AS s
+  FROM w WHERE LEN(ws) >= {BOILER_SH}),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+dfreq AS (SELECT s, COUNT(*) AS dfc FROM sh GROUP BY s)
+SELECT sh.doc_id,
+       COUNT(*) AS n_shingles,
+       COUNT(*) FILTER (dfreq.dfc * {100 // BOILER_DF_PCT} >= nd.n_docs)
+         AS n_boiler,
+       ROUND(CAST(COUNT(*) FILTER (dfreq.dfc * {100 // BOILER_DF_PCT}
+                                   >= nd.n_docs) AS DOUBLE)
+             / COUNT(*), 6) AS boiler_ratio
+FROM sh JOIN dfreq USING (s) CROSS JOIN nd
+GROUP BY sh.doc_id
+""")
+def q126_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.expr("filter(split(text, ' '), x -> x != '')")
+    w = d.select("doc_id", ws.alias("ws")).where(F.size("ws") >= BOILER_SH)
+    sh = w.select("doc_id", F.explode(F.expr(
+        f"array_distinct(transform(sequence(1, size(ws) - {BOILER_SH - 1}), "
+        f"i -> concat_ws(' ', slice(ws, i, {BOILER_SH}))))")).alias("s"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("dfc"))
+    annotated = (sh.join(dfreq, "s")
+                   .join(F.broadcast(n_docs)))
+    is_boiler = F.col("dfc") * (100 // BOILER_DF_PCT) >= F.col("n_docs")
+    return (annotated.groupBy("doc_id")
+            .agg(F.count("*").alias("n_shingles"),
+                 F.count(F.when(is_boiler, 1)).alias("n_boiler"))
+            .select("doc_id", "n_shingles", "n_boiler",
+                    F.round(F.col("n_boiler").cast("double")
+                            / F.col("n_shingles"), 6).alias("boiler_ratio")))

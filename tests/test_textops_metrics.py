@@ -1,0 +1,79 @@
+"""Semantic invariants for the round-6 text metrics (q125 word
+concentration/entropy, q126 cross-doc boilerplate) that the value-hash
+oracle can't express: entropy bounds, ratio consistency, and the
+corpus-relative boilerplate threshold, on the sf0.001 fixture."""
+
+from __future__ import annotations
+
+import math
+
+from oanda_stream_processor_spark.operators import textops
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_word_concentration_bounds(spark):
+    rows = textops.q125_word_concentration(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.top_word_frac <= 1.0
+        # Shannon entropy of a distribution over n_words outcomes
+        assert -1e-9 <= r.word_entropy <= math.log2(r.n_words) + 1e-6
+        assert r.top_word  # argmax word is always present
+        near_edge = abs(r.top_word_frac - textops.REP_TOP_WORD_MAX) < 1e-6
+        if not near_edge:
+            assert r.keep == (r.top_word_frac <= textops.REP_TOP_WORD_MAX)
+
+
+def test_entropy_extremes(spark):
+    # a single repeated word has zero entropy and top_word_frac 1;
+    # all-distinct words have entropy log2(n) and top_word_frac 1/n
+    import pandas as pd
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2],
+        "source": ["t", "t"],
+        "text": ["a a a a", "a b c d"],
+        "lang": ["en", "en"],
+        "n_chars": [7, 7],
+    }))
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {r.doc_id: r for r in
+               textops.q125_word_concentration(spark, td).collect()}
+    assert out[1].word_entropy == 0.0 and out[1].top_word_frac == 1.0
+    assert abs(out[2].word_entropy - 2.0) < 1e-9
+    assert out[2].top_word_frac == 0.25
+    # tie on count: argmax breaks to the LARGER word in both engines
+    assert out[2].top_word == "d"
+
+
+def test_boilerplate_ratio_consistency(spark):
+    rows = textops.q126_boilerplate_shingles(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_boiler <= r.n_shingles
+        assert abs(r.boiler_ratio
+                   - round(r.n_boiler / r.n_shingles, 6)) < 1e-9
+
+
+def test_boilerplate_threshold_is_corpus_relative(spark):
+    # every shingle flagged boilerplate must appear in >= 1% of docs:
+    # recompute the df of the single most-boilerplated doc's shingles
+    from pyspark.sql import functions as F
+    from oanda_stream_processor_spark.io import load_table
+    d = load_table(spark, SF, "documents")
+    n_docs = d.count()
+    sh = (d.select("doc_id", F.expr(
+        "array_distinct(transform(sequence(1, size(filter(split(text, ' '), "
+        f"x -> x != '')) - {textops.BOILER_SH - 1}), i -> concat_ws(' ', "
+        f"slice(filter(split(text, ' '), x -> x != ''), i, "
+        f"{textops.BOILER_SH}))))").alias("shs"))
+        .select("doc_id", F.explode("shs").alias("s")))
+    df_counts = {r.s: r.c for r in
+                 sh.groupBy("s").agg(F.count("*").alias("c")).collect()}
+    out = textops.q126_boilerplate_shingles(spark, SF)
+    total_boiler = out.agg(F.sum("n_boiler")).first()[0]
+    expect = sum(c for s, c in df_counts.items()
+                 if c * (100 // textops.BOILER_DF_PCT) >= n_docs)
+    assert total_boiler == expect
