@@ -556,3 +556,70 @@ def q92_ann_ivf_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     wr = W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cand_id"))
     return (scored.withColumn("rank", F.row_number().over(wr))
                   .where(F.col("rank") <= TOP_K))
+
+
+# ---------------------------------------------------------------------------
+# q127 — hard-negative mining for contrastive training pairs: for every
+# anchor vector, the HN_K most-similar candidates with a DIFFERENT label
+# (the "hard" negatives — high cosine, wrong class) drawn from a
+# deterministic candidate pool, candidates restricted to the anchor's
+# LSH bucket.
+#
+# Scale: the join key is the bucket alone (labels must differ), so the
+# per-bucket pair count is what must stay bounded — two controls do
+# that: (1) the negative POOL is a fixed-rate deterministic sample
+# (vec_id % HN_POOL_MOD == 0), cutting the candidate side by
+# HN_POOL_MOD x, and (2) N_PLANES grows with log(corpus) exactly as in
+# q48, keeping per-bucket occupancy flat. Per-anchor ranking is a
+# window partitioned by anchor — millions of independent partitions,
+# no global sort. Rank is computed on the ROUNDED cosine with a
+# vec_id tiebreak (q45 discipline) so ordering is ulp-robust.
+# ---------------------------------------------------------------------------
+HN_K = 3            # negatives kept per anchor
+HN_POOL_MOD = 4     # candidate pool = 1/4 of the corpus, deterministic
+
+@query("q127_hard_negatives", f"""
+WITH b AS (
+  SELECT vec_id, label, embedding, {_sql_bucket('embedding')} AS bucket,
+         SQRT({SQL_SQNORM.format(a='embedding')}) AS nrm
+  FROM embeddings),
+pool AS (SELECT * FROM b WHERE vec_id % {HN_POOL_MOD} = 0),
+scored AS (
+  SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+         p.vec_id AS neg_id, p.label AS neg_label,
+         ROUND({SQL_DOT.format(n=DIM, a='a.embedding', b='p.embedding')}
+               / (a.nrm * p.nrm), 6) AS cosine
+  FROM b a JOIN pool p
+    ON a.bucket = p.bucket AND a.label <> p.label),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                               ORDER BY cosine DESC, neg_id) AS rank
+  FROM scored)
+SELECT anchor_id, anchor_label, neg_id, neg_label, cosine, rank
+FROM ranked WHERE rank <= {HN_K}
+""")
+def q127_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    b = e.select(
+        "vec_id", "label", "embedding",
+        _bucket(F.col("embedding")).alias("bucket"),
+        F.sqrt(_sqnorm(F.col("embedding"))).alias("nrm"))
+    a = b.select(F.col("vec_id").alias("anchor_id"),
+                 F.col("label").alias("anchor_label"),
+                 F.col("embedding").alias("a_emb"),
+                 F.col("nrm").alias("a_nrm"), "bucket")
+    pool = (b.where(F.col("vec_id") % HN_POOL_MOD == 0)
+             .select(F.col("vec_id").alias("neg_id"),
+                     F.col("label").alias("neg_label"),
+                     F.col("embedding").alias("p_emb"),
+                     F.col("nrm").alias("p_nrm"),
+                     F.col("bucket").alias("p_bucket")))
+    scored = (a.join(pool, (F.col("bucket") == F.col("p_bucket"))
+                     & (F.col("anchor_label") != F.col("neg_label")))
+              .select("anchor_id", "anchor_label", "neg_id", "neg_label",
+                      F.round(_dot(F.col("a_emb"), F.col("p_emb"))
+                              / (F.col("a_nrm") * F.col("p_nrm")), 6)
+                       .alias("cosine")))
+    w = W.partitionBy("anchor_id").orderBy(F.desc("cosine"), F.asc("neg_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= HN_K))

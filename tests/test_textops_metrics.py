@@ -77,3 +77,20 @@ def test_boilerplate_threshold_is_corpus_relative(spark):
     expect = sum(c for s, c in df_counts.items()
                  if c * (100 // textops.BOILER_DF_PCT) >= n_docs)
     assert total_boiler == expect
+
+
+def test_hard_negatives_invariants(spark):
+    from oanda_stream_processor_spark.operators import similarity
+    rows = similarity.q127_hard_negatives(spark, SF).collect()
+    assert rows
+    by_anchor: dict = {}
+    for r in rows:
+        assert r.anchor_label != r.neg_label       # negatives only
+        assert r.neg_id % similarity.HN_POOL_MOD == 0   # from the pool
+        assert 1 <= r.rank <= similarity.HN_K
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    for rs in by_anchor.values():
+        rs.sort(key=lambda r: r.rank)
+        # rank order agrees with (cosine desc, neg_id asc)
+        keys = [(-r.cosine, r.neg_id) for r in rs]
+        assert keys == sorted(keys)
