@@ -57,3 +57,56 @@ class PipelineListener(StreamingQueryListener):
             self._log.error("query terminated with error: %s", event.exception)
         else:
             self._log.info("query terminated cleanly: %s", event.id)
+
+
+# ---------------------------------------------------------------------------
+# Observed metrics (df.observe): zero-cost quality telemetry computed
+# inside the existing job — no second pass over the data, no extra
+# action. On a stream the metrics surface per micro-batch through
+# QueryProgressEvent.observedMetrics (captured below and logged through
+# the same C3 structured logger); on a batch frame the caller wraps the
+# same helper with pyspark.sql.Observation and reads .get after the
+# action. At cluster scale this replaces a separate count()/agg() audit
+# job — the accumulator-style merge is map-side and free.
+# ---------------------------------------------------------------------------
+
+def observe_ticks(df, name: str = "tick_metrics"):
+    """Attach routing/quality metrics to a routed+derived tick frame
+    (message_type/spread/event_ts columns): row count, per-type counts,
+    zero-default spreads (P1 unwrap_or(0.0) firing), and null event
+    timestamps (P2 both-format parse failures)."""
+    from pyspark.sql import functions as F
+    return df.observe(
+        name,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("message_type") == "price_tick", 1))
+            .alias("n_ticks"),
+        F.count(F.when(F.col("message_type") == "heartbeat", 1))
+            .alias("n_heartbeats"),
+        F.count(F.when(F.col("message_type") == "unknown", 1))
+            .alias("n_unknown"),
+        F.count(F.when((F.col("message_type") == "price_tick")
+                       & (F.col("spread") == 0.0), 1))
+            .alias("n_zero_spread"),
+        F.count(F.when((F.col("message_type") == "price_tick")
+                       & F.col("event_ts").isNull(), 1))
+            .alias("n_null_event_ts"))
+
+
+class MetricsListener(PipelineListener):
+    """PipelineListener that additionally captures observedMetrics from
+    each progress event: ``.metrics[name]`` holds the latest Row per
+    observation name, ``.history[name]`` every batch's Row."""
+
+    def __init__(self):
+        super().__init__()
+        self.metrics: dict = {}
+        self.history: dict = {}
+
+    def onQueryProgress(self, event):
+        super().onQueryProgress(event)
+        observed = getattr(event.progress, "observedMetrics", None) or {}
+        for name, row in observed.items():
+            self.metrics[name] = row
+            self.history.setdefault(name, []).append(row)
+            self._log.info("observed %s: %s", name, row.asDict())
