@@ -623,3 +623,188 @@ def q127_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("anchor_id").orderBy(F.desc("cosine"), F.asc("neg_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
                   .where(F.col("rank") <= HN_K))
+
+
+# ---------------------------------------------------------------------------
+# q128 — product-quantized ANN (FAISS PQ-shaped, the roadmap's "true PQ"
+# item): DIM=64 split into PQ_M=8 subspaces of 8 dims; each subspace has
+# its own PQ_KS=16-codeword codebook, trained DETERMINISTICALLY — init
+# from the LCG k-sample (q56's seed trick, j = row_number over the hash
+# order) followed by ONE exact Lloyd iteration (per-cluster mean via
+# DECIMAL(30,12) accumulation — order-independent, so both engines
+# produce bit-identical codewords; empty clusters keep their init
+# codeword). Search is asymmetric-distance with the real ADC structure:
+# per query a 8x16 lookup table of subspace distances, per candidate a
+# fold over its 8 codes — the candidate scan reads CODES ONLY
+# (8 small ints/vector, vs 256 bytes of floats = 32x less), which is
+# the whole point of PQ at 100 TB: the compressed corpus scan is
+# memory-bandwidth-bound and the codebook + query LUTs are broadcast
+# state. Composes with q56's IVF coarse cells the same way IVF-PQ does.
+#
+# Rounding discipline: assignment/encode argmins order by ROUND(d2, 6)
+# with codeword tiebreak (q56), refined codewords round to 6dp, LUT
+# entries round to 6dp, final ADC sum rounds to 6dp — every cross-
+# engine comparison happens on identical doubles folded in fixed order.
+# ---------------------------------------------------------------------------
+PQ_M = 8
+PQ_SUB = DIM // PQ_M
+PQ_KS = 16
+
+_SQL_SUBD2 = ("LIST_AGGREGATE(LIST_TRANSFORM(RANGE({n}), i -> "
+              "({a}[i+1] - {b}[i+1]) * ({a}[i+1] - {b}[i+1])), 'sum')")
+
+_Q128_SQL = f"""
+WITH m8 AS (SELECT UNNEST(RANGE({PQ_M})) AS m),
+d8 AS (SELECT UNNEST(RANGE({PQ_SUB})) AS d),
+seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY (vec_id * 1103515245 + 12345)
+                            % 2147483648, vec_id) - 1 AS j,
+         LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS vals
+  FROM embeddings
+  ORDER BY (vec_id * 1103515245 + 12345) % 2147483648, vec_id
+  LIMIT {PQ_KS}),
+initcb AS (
+  SELECT m.m, s.j, (s.vals)[m.m * {PQ_SUB} + 1 : m.m * {PQ_SUB} + {PQ_SUB}]
+           AS cw
+  FROM seeds s CROSS JOIN m8 m),
+sub AS (
+  SELECT e.vec_id, m.m,
+         (LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE)))
+           [m.m * {PQ_SUB} + 1 : m.m * {PQ_SUB} + {PQ_SUB}] AS sv
+  FROM embeddings e CROSS JOIN m8 m),
+assigned AS (
+  SELECT vec_id, m, j, sv FROM (
+    SELECT s.vec_id, s.m, c.j, s.sv,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+             ORDER BY ROUND({_SQL_SUBD2.format(n=PQ_SUB, a='s.sv', b='c.cw')}, 6),
+                      c.j) AS rn
+    FROM sub s JOIN initcb c ON c.m = s.m) WHERE rn = 1),
+upd AS (
+  SELECT a.m, a.j, d.d,
+         ROUND(CAST(SUM(CAST((a.sv)[d.d + 1] AS DECIMAL(30,12))) / COUNT(*)
+                    AS DOUBLE), 6) AS cwv
+  FROM assigned a CROSS JOIN d8 d GROUP BY a.m, a.j, d.d),
+refined AS (
+  SELECT i.m, i.j, COALESCE(u.cw, i.cw) AS cw
+  FROM initcb i LEFT JOIN
+    (SELECT m, j, LIST(cwv ORDER BY d) AS cw FROM upd GROUP BY m, j) u
+    ON u.m = i.m AND u.j = i.j),
+codes AS (
+  SELECT vec_id, LIST(j ORDER BY m) AS code FROM (
+    SELECT s.vec_id, s.m, r.j,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+             ORDER BY ROUND({_SQL_SUBD2.format(n=PQ_SUB, a='s.sv', b='r.cw')}, 6),
+                      r.j) AS rn
+    FROM sub s JOIN refined r ON r.m = s.m) WHERE rn = 1
+  GROUP BY vec_id),
+luts AS (
+  SELECT q.vec_id AS query_id, q.m, r.j,
+         ROUND({_SQL_SUBD2.format(n=PQ_SUB, a='q.sv', b='r.cw')}, 6) AS dd
+  FROM sub q JOIN refined r ON r.m = q.m WHERE q.vec_id < {N_QUERIES}),
+lutp AS (
+  SELECT query_id, LIST(dl ORDER BY m) AS lut FROM
+    (SELECT query_id, m, LIST(dd ORDER BY j) AS dl FROM luts
+     GROUP BY query_id, m) GROUP BY query_id),
+scored AS (
+  SELECT l.query_id, c.vec_id AS cand_id,
+         ROUND(LIST_AGGREGATE(LIST_TRANSFORM(RANGE({PQ_M}),
+           m -> (l.lut)[m + 1][(c.code)[m + 1] + 1]), 'sum'), 6) AS d2
+  FROM lutp l CROSS JOIN codes c WHERE c.vec_id <> l.query_id),
+ranked AS (
+  SELECT query_id, cand_id, d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY d2, cand_id) AS rank
+  FROM scored)
+SELECT query_id, cand_id, d2, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def _pq_subd2(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _pq_refined_codebook(e: DataFrame):
+    """One row: array<struct<m,j,cw>> of the 8x16 refined codewords,
+    eagerly checkpointed (trained once, broadcast to every consumer)."""
+    seed_h = (F.col("vec_id") * F.lit(1103515245) + F.lit(12345)) \
+        % F.lit(2147483648)
+    seeds = (e.select("vec_id",
+                      F.transform("embedding",
+                                  lambda x: x.cast("double")).alias("vals"),
+                      seed_h.alias("h"))
+             .orderBy("h", "vec_id").limit(PQ_KS)
+             .select((F.row_number().over(W.orderBy("h", "vec_id")) - 1)
+                     .alias("j"), "vals"))
+    initcb = seeds.select(
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+        "j", F.expr(f"slice(vals, m * {PQ_SUB} + 1, {PQ_SUB})").alias("cw"))
+    init_one = initcb.agg(
+        F.array_sort(F.collect_list(F.struct("m", "j", "cw"))).alias("cb")) \
+        .localCheckpoint(eager=True)
+
+    # assignment vs init codebook: explode to (vec, m) rows — this N*M
+    # frame exists only during training (one Lloyd iteration)
+    sub = e.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+        F.expr(f"transform(slice(embedding, m * {PQ_SUB} + 1, {PQ_SUB}), "
+               "x -> cast(x as double))").alias("sv"))
+    best = F.expr(
+        "array_min(transform(filter(cb, c -> c.m = m), c -> struct("
+        "round(aggregate(zip_with(sv, c.cw, (x, y) -> (x - y) * (x - y)), "
+        "cast(0 as double), (acc, x) -> acc + x), 6) AS d2r, c.j AS j))).j")
+    assigned = (sub.crossJoin(F.broadcast(init_one))
+                .select("vec_id", "m", "sv", best.alias("j")))
+    flat = assigned.select("m", "j", F.posexplode("sv").alias("d", "val"))
+    means = (flat.groupBy("m", "j", "d")
+             .agg(F.round(F.sum(F.col("val").cast("decimal(30,12)"))
+                          .cast("double") / F.count("*"), 6).alias("cwv")))
+    refined_rows = (means.groupBy("m", "j")
+                    .agg(F.expr("transform(array_sort(collect_list("
+                                "struct(d, cwv))), s -> s.cwv)").alias("cw")))
+    grid = (initcb.alias("i")
+            .join(refined_rows.alias("u"), ["m", "j"], "left")
+            .select("m", "j",
+                    F.coalesce(F.col("u.cw"), F.col("i.cw")).alias("cw")))
+    return grid.agg(
+        F.array_sort(F.collect_list(F.struct("m", "j", "cw"))).alias("cb")) \
+        .localCheckpoint(eager=True)
+
+
+@query("q128_ann_pq", _Q128_SQL)
+def q128_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cb_one = _pq_refined_codebook(e)
+    # encode: per-row fold over the broadcast codebook — candidates
+    # carry ONLY their 8 codes into the scan
+    code = F.expr(
+        f"transform(sequence(0, {PQ_M - 1}), m -> array_min(transform("
+        "filter(cb, c -> c.m = m), c -> struct(round(aggregate(zip_with("
+        f"transform(slice(embedding, m * {PQ_SUB} + 1, {PQ_SUB}), "
+        "x -> cast(x as double)), c.cw, (x, y) -> (x - y) * (x - y)), "
+        "cast(0 as double), (acc, x) -> acc + x), 6) AS d2r, c.j AS j))).j)")
+    codes = (e.crossJoin(F.broadcast(cb_one))
+             .select("vec_id", code.alias("code")))
+    # per-query 8x16 LUT of subspace distances (broadcast)
+    lut = F.expr(
+        f"transform(sequence(0, {PQ_M - 1}), m -> transform("
+        "filter(cb, c -> c.m = m), c -> round(aggregate(zip_with("
+        f"transform(slice(embedding, m * {PQ_SUB} + 1, {PQ_SUB}), "
+        "x -> cast(x as double)), c.cw, (x, y) -> (x - y) * (x - y)), "
+        "cast(0 as double), (acc, x) -> acc + x), 6)))")
+    q = (e.where(F.col("vec_id") < N_QUERIES)
+         .crossJoin(F.broadcast(cb_one))
+         .select(F.col("vec_id").alias("query_id"), lut.alias("lut")))
+    adc = F.expr(
+        f"round(aggregate(sequence(0, {PQ_M - 1}), cast(0 as double), "
+        "(acc, m) -> acc + element_at(element_at(lut, m + 1), "
+        "element_at(code, m + 1) + 1)), 6)")
+    scored = (codes.crossJoin(F.broadcast(q))
+              .where(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", F.col("vec_id").alias("cand_id"),
+                      adc.alias("d2")))
+    wr = W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cand_id"))
+    return (scored.withColumn("rank", F.row_number().over(wr))
+                  .where(F.col("rank") <= TOP_K))

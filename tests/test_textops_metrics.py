@@ -94,3 +94,38 @@ def test_hard_negatives_invariants(spark):
         # rank order agrees with (cosine desc, neg_id asc)
         keys = [(-r.cosine, r.neg_id) for r in rs]
         assert keys == sorted(keys)
+
+
+def test_pq_codes_and_recall(spark):
+    from pyspark.sql import functions as F
+    from oanda_stream_processor_spark.operators import similarity
+    e = similarity.load_table(spark, SF, "embeddings")
+    cb = similarity._pq_refined_codebook(e).first()["cb"]
+    # full 8x16 grid of codewords, each PQ_SUB wide
+    assert len(cb) == similarity.PQ_M * similarity.PQ_KS
+    assert {(c["m"], c["j"]) for c in cb} == {
+        (m, j) for m in range(similarity.PQ_M)
+        for j in range(similarity.PQ_KS)}
+    assert all(len(c["cw"]) == similarity.PQ_SUB for c in cb)
+    out = similarity.q128_ann_pq(spark, SF)
+    rows = out.collect()
+    assert rows and all(1 <= r.rank <= similarity.TOP_K for r in rows)
+    assert all(r.d2 >= 0 for r in rows)
+    # PQ is approximate, and the fixture embeddings are isotropic noise
+    # (distance concentration: same-label and cross-label mean d2 differ
+    # by <3%) — the worst case for any quantizer. The meaningful sanity
+    # bar is "far above chance": random top-5 would overlap the exact
+    # top-5 at ~5/N = 1%; PQ lands ~20x above that.
+    exact = similarity.q45_cosine_topk(spark, SF).collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r.query_id, set()).add(r.cand_id)
+    got = {}
+    for r in rows:
+        got.setdefault(r.query_id, set()).add(r.cand_id)
+    hits = sum(len(ex[q] & got[q]) for q in ex)
+    total = sum(len(v) for v in ex.values())
+    n_cand = similarity.load_table(spark, SF, "embeddings").count() - 1
+    chance = similarity.TOP_K / n_cand
+    assert hits / total >= 5 * chance, \
+        f"PQ recall {hits}/{total} not above chance {chance:.3f}"
