@@ -767,3 +767,86 @@ def q97_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q97_canonical_by_quality"] = \
     ORACLES["q97_canonical_by_quality"].replace(
         "{Q55}", ORACLES["q55_dedup_components"])
+
+
+# ---------------------------------------------------------------------------
+# q129 — cross-source corpus overlap: estimated Jaccard similarity
+# between every pair of ingest sources' SHINGLE SETS, from per-source
+# K-minhash signatures — the curator's answer to "which feeds are
+# re-crawling each other?" without ever joining documents pairwise.
+#
+# Per-source signature = elementwise MIN over all the source's shingle
+# hashes under OV_HASHES affine hashes (same universal-hash family as
+# q41, longer K for resolution 1/24); estimated Jaccard = matching
+# signature positions / K. The estimate is DETERMINISTIC (no RNG), so
+# the DuckDB twin computes the identical integers and the value-hash
+# gate applies; match counts are exact integers — no float hazards
+# except the final ratio, rounded at 6dp.
+#
+# Scale: the signature aggregation is ONE map-side-combinable groupBy
+# over the shingle stream (a 24-column MIN — partials collapse to one
+# row per source per partition before the shuffle); the pairwise stage
+# is |sources|^2 rows over a frame with ONE row per source — broadcast
+# trivially at any corpus size. Compare: exact pairwise source overlap
+# would be a shingle-level self-join over the corpus.
+# ---------------------------------------------------------------------------
+OV_HASHES = 24
+_OV_AFFINE = [(2 * ((s * 40_503_341 + 9_619_387) % (HM // 2)) + 1,
+               (s * 83_476_211 + 4_257_433) % HM)
+              for s in range(OV_HASHES)]
+
+_OV_AGGS_SQL = ",\n       ".join(
+    f"MIN((sh * {a} + {b}) % {HM}) AS h{s}"
+    for s, (a, b) in enumerate(_OV_AFFINE))
+
+_OV_SRC_SH_SQL = f"""
+SELECT source, UNNEST(LIST_TRANSFORM(RANGE(LEN(th) - 2),
+       i -> ((th[i+1] * {SB} + th[i+2]) % {HM} * {SB} + th[i+3]) % {HM})) AS sh
+FROM (SELECT source, {_SQL_TOKH} AS th
+      FROM (SELECT source, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')
+              AS toks FROM documents)
+      WHERE LEN(toks) >= 3)
+"""
+
+_OV_MATCHES_SQL = " + ".join(
+    f"(CASE WHEN a.h{s} = b.h{s} THEN 1 ELSE 0 END)"
+    for s in range(OV_HASHES))
+
+@query("q129_source_overlap", f"""
+WITH sig AS (
+  SELECT source, {_OV_AGGS_SQL}
+  FROM ({_OV_SRC_SH_SQL}) GROUP BY source)
+SELECT a.source AS source_a, b.source AS source_b,
+       {_OV_MATCHES_SQL} AS n_match,
+       ROUND(({_OV_MATCHES_SQL}) / {OV_HASHES}.0, 6) AS jaccard_est
+FROM sig a JOIN sig b ON a.source < b.source
+""")
+def q129_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    t = d.select("source", toks.alias("toks")).where(F.size("toks") >= 3)
+    tok_h = F.expr(
+        f"transform(toks, t -> aggregate(transform(split(t, ''), "
+        f"c -> cast(ascii(c) as bigint)), 0L, "
+        f"(acc, x) -> (acc * {HB} + x) % {HM}))")
+    t = t.select("source", tok_h.alias("th"))
+    sh = F.expr(
+        f"transform(sequence(1, size(th) - 2), i -> "
+        f"((element_at(th, i) * {SB} + element_at(th, i + 1)) % {HM} "
+        f"* {SB} + element_at(th, i + 2)) % {HM})")
+    shf = t.select("source", F.explode(sh).alias("sh"))
+    aggs = [F.min((F.col("sh") * a + b) % HM).alias(f"h{s}")
+            for s, (a, b) in enumerate(_OV_AFFINE)]
+    sig = shf.groupBy("source").agg(*aggs)
+    a = sig.select([F.col("source").alias("source_a")]
+                   + [F.col(f"h{s}").alias(f"a{s}") for s in range(OV_HASHES)])
+    b = sig.select([F.col("source").alias("source_b")]
+                   + [F.col(f"h{s}").alias(f"b{s}") for s in range(OV_HASHES)])
+    n_match = sum(F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+                  for s in range(OV_HASHES))
+    return (a.join(F.broadcast(b),
+                   F.col("source_a") < F.col("source_b"))
+            .select("source_a", "source_b",
+                    n_match.alias("n_match"),
+                    F.round(n_match.cast("double") / OV_HASHES, 6)
+                     .alias("jaccard_est")))

@@ -129,3 +129,27 @@ def test_pq_codes_and_recall(spark):
     chance = similarity.TOP_K / n_cand
     assert hits / total >= 5 * chance, \
         f"PQ recall {hits}/{total} not above chance {chance:.3f}"
+
+
+def test_source_overlap_estimates_exact_jaccard(spark):
+    from pyspark.sql import functions as F
+    from oanda_stream_processor_spark.operators import dedup
+    est = {(r.source_a, r.source_b): r.jaccard_est
+           for r in dedup.q129_source_overlap(spark, SF).collect()}
+    assert est and all(0.0 <= v <= 1.0 for v in est.values())
+    # exact Jaccard between the per-source shingle sets (small fixture)
+    d = dedup.load_table(spark, SF, "documents")
+    sh = dedup._spark_shingle_hashes(d).join(
+        d.select("doc_id", "source"), "doc_id")
+    sets: dict = {}
+    for r in sh.select("source", "sh").distinct().collect():
+        sets.setdefault(r.source, set()).add(r.sh)
+    errs = []
+    for (a, b), v in est.items():
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        errs.append(abs(v - inter / union))
+    # K=24 minhash: expected |err| ~ sqrt(j(1-j)/24) <= 0.10; allow
+    # generous slack per pair, tighter on the mean
+    assert max(errs) <= 0.35
+    assert sum(errs) / len(errs) <= 0.15
