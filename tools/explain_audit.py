@@ -187,6 +187,39 @@ def main() -> int:
     check("q114 no nested-loop", q114,
           count_of=("BroadcastNestedLoopJoin", 0, 0))
 
+    # round-6 additions ----------------------------------------------------
+    from oanda_stream_processor_spark.operators import (dedup, similarity,
+                                                        textops)
+
+    # q125: per-row projection only — no exchange, no join at all
+    q125 = textops.q125_word_concentration(spark, SF)
+    check("q125 shuffle-free", q125, count_of=("Exchange", 0, 0))
+    check("q125 no join", q125, count_of=("Join", 0, 0))
+
+    # q126: inverted-index shape — keyed joins only, never cartesian
+    q126 = textops.q126_boilerplate_shingles(spark, SF)
+    check("q126 no cartesian", q126, count_of=("CartesianProduct", 0, 0))
+
+    # q127: bucket equi-join (hash join), per-anchor window — the label
+    # inequality must ride the join as a condition, not force a
+    # nested-loop over all pairs
+    q127 = similarity.q127_hard_negatives(spark, SF)
+    check("q127 hash join on bucket", q127, contains=["HashJoin"])
+    check("q127 no cartesian", q127, count_of=("CartesianProduct", 0, 0))
+
+    # q128: ADC scan joins only broadcast state (codebook + query LUTs);
+    # no sort-merge anywhere
+    q128 = similarity.q128_ann_pq(spark, SF)
+    check("q128 no sort-merge", q128, count_of=("SortMergeJoin", 0, 0))
+    check("q128 broadcast state", q128, contains=["BroadcastNestedLoopJoin"])
+
+    # q129: signature agg is partial (map-side combine) and the pairwise
+    # stage broadcasts the one-row-per-source frame
+    q129 = dedup.q129_source_overlap(spark, SF)
+    check("q129 partial agg", q129, contains=["partial_min"])
+    check("q129 broadcast pairs", q129, contains=["BroadcastNestedLoopJoin"])
+    check("q129 no sort-merge", q129, count_of=("SortMergeJoin", 0, 0))
+
     if failures:
         print("\n".join("AUDIT FAIL: " + f for f in failures))
         return 1
