@@ -191,3 +191,55 @@ def q118_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("prev_type", "event_type", "n",
                     ((num - num % F.col("tot")) / F.col("tot"))
                     .cast("bigint").alias("p_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# q131 — event dedup within a time window: keep an event only if the
+# PREVIOUS event of the same (user_id, event_type) is more than
+# DEDUP_GAP_S seconds older (or absent) — the batch twin of streaming
+# dropDuplicatesWithinWatermark (streaming/candles.py:77), expressed as
+# one LAG over the (user, type) sequence. Reports per-type kept/dropped
+# so the result is a compact audit, not a re-emitted event log.
+#
+# Note the semantic: the fence is against the previous RAW event (a
+# sliding window), not the previous KEPT one — the iterative "reset on
+# keep" variant is inherently sequential; this formulation is the one
+# that parallelizes (pure window function, no cross-row recursion) and
+# matches what dropDuplicatesWithinWatermark does with state TTL.
+#
+# Scale: one shuffle on (user_id, event_type) for the lag window —
+# uniform keys; the final per-type agg is map-side combinable over a
+# bounded key space.
+# ---------------------------------------------------------------------------
+DEDUP_GAP_S = 300
+
+@query("q131_event_dedup_window", f"""
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+seq AS (
+  SELECT event_type, ts,
+         LAG(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM ev),
+flagged AS (
+  SELECT event_type,
+         CASE WHEN prev_ts IS NULL
+                   OR date_diff('second', prev_ts, ts) > {DEDUP_GAP_S}
+              THEN 1 ELSE 0 END AS keep
+  FROM seq)
+SELECT event_type, COUNT(*) AS n_events,
+       SUM(keep) AS n_kept, COUNT(*) - SUM(keep) AS n_dropped
+FROM flagged GROUP BY event_type
+""")
+def q131_event_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = ev.select("event_type", "ts", F.lag("ts").over(w).alias("prev_ts"))
+    keep = F.when(
+        F.col("prev_ts").isNull()
+        | (F.col("ts").cast("long") - F.col("prev_ts").cast("long")
+           > DEDUP_GAP_S), 1).otherwise(0)
+    return (seq.select("event_type", keep.alias("keep"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("keep").alias("n_kept"),
+                 (F.count("*") - F.sum("keep")).alias("n_dropped")))

@@ -475,3 +475,64 @@ def q122_token_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(kl, 6).alias("kl_nats"))
             .select(F.col("source"), F.col("n_s").alias("n_tokens"),
                     "n_distinct", "kl_nats"))
+
+
+# ---------------------------------------------------------------------------
+# q130 — effective training-token budget per source: how many tokens
+# each source contributes BEFORE and AFTER exact dedup, with duplicate
+# tokens attributed to the canonical copy's source (corpus-wide
+# min-doc_id per content digest — q40's canonical rule). This is the
+# number a data-mixture planner actually budgets with: q110 reports raw
+# char shares, q111 reports dup RATES; this reports surviving TOKENS.
+#
+# Scale: one md5-keyed groupBy (uniform key, no skew) for canonicals,
+# one semi-join back (digest equi-join), two map-side-combinable
+# per-source aggs. effective_ppm uses the DECIMAL(38,0) numerator +
+# explicit floor-divide (q110's overflow-proof, version-proof pattern).
+# ---------------------------------------------------------------------------
+@query("q130_effective_tokens", """
+WITH d AS (
+  SELECT doc_id, source, MD5(text) AS dig,
+         LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS n_tok
+  FROM documents),
+canon AS (SELECT dig, MIN(doc_id) AS keep_id FROM d GROUP BY dig),
+kept AS (
+  SELECT d.source, COUNT(*) AS kept_docs, SUM(d.n_tok) AS kept_tokens
+  FROM d JOIN canon c ON d.doc_id = c.keep_id
+  GROUP BY d.source),
+tot AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens
+  FROM d GROUP BY source)
+SELECT t.source, t.n_docs, t.total_tokens,
+       COALESCE(k.kept_docs, 0) AS kept_docs,
+       COALESCE(k.kept_tokens, 0) AS kept_tokens,
+       CAST((CAST(COALESCE(k.kept_tokens, 0) AS DECIMAL(38,0)) * 1000000
+             - (CAST(COALESCE(k.kept_tokens, 0) AS DECIMAL(38,0)) * 1000000)
+               % t.total_tokens) / t.total_tokens AS BIGINT)
+         AS effective_ppm
+FROM tot t LEFT JOIN kept k ON t.source = k.source
+""")
+def q130_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents")
+    d = doc.select(
+        "doc_id", "source",
+        F.md5(F.col("text").cast("binary")).alias("dig"),
+        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+            .cast("long").alias("n_tok"))
+    canon = d.groupBy("dig").agg(F.min("doc_id").alias("keep_id"))
+    kept = (d.join(canon, d["doc_id"] == canon["keep_id"], "left_semi")
+            .groupBy("source")
+            .agg(F.count("*").alias("kept_docs"),
+                 F.sum("n_tok").alias("kept_tokens")))
+    tot = (d.groupBy("source")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("n_tok").alias("total_tokens")))
+    j = (tot.join(kept, "source", "left")
+         .select("source", "n_docs", "total_tokens",
+                 F.coalesce("kept_docs", F.lit(0)).alias("kept_docs"),
+                 F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens")))
+    num = F.col("kept_tokens").cast("decimal(38,0)") * 1_000_000
+    return j.select(
+        "source", "n_docs", "total_tokens", "kept_docs", "kept_tokens",
+        ((num - num % F.col("total_tokens")) / F.col("total_tokens"))
+            .cast("bigint").alias("effective_ppm"))

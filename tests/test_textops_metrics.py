@@ -153,3 +153,27 @@ def test_source_overlap_estimates_exact_jaccard(spark):
     # generous slack per pair, tighter on the mean
     assert max(errs) <= 0.35
     assert sum(errs) / len(errs) <= 0.15
+
+
+def test_effective_tokens_conservation(spark):
+    from pyspark.sql import functions as F
+    from oanda_stream_processor_spark.operators import increment
+    rows = increment.q130_effective_tokens(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.kept_docs <= r.n_docs
+        assert 0 <= r.kept_tokens <= r.total_tokens
+        assert 0 <= r.effective_ppm <= 1_000_000
+    # corpus-wide: kept docs == number of distinct digests
+    d = increment.load_table(spark, SF, "documents")
+    n_digests = d.select(F.md5(F.col("text").cast("binary"))).distinct().count()
+    assert sum(r.kept_docs for r in rows) == n_digests
+
+
+def test_event_dedup_window_bounds(spark):
+    from oanda_stream_processor_spark.operators import behavior
+    rows = behavior.q131_event_dedup_window(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_kept + r.n_dropped == r.n_events
+        assert r.n_kept >= 1  # first event of any (user, type) always kept
