@@ -407,3 +407,80 @@ def q126_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_shingles", "n_boiler",
                     F.round(F.col("n_boiler").cast("double")
                             / F.col("n_shingles"), 6).alias("boiler_ratio")))
+
+
+# ---------------------------------------------------------------------------
+# q132 — count-min-sketch heavy hitters over the token stream: the
+# fixed-memory answer to "top vocabulary right now" on an unbounded
+# stream. D=4 hash rows x W=512 buckets of pure bigint counts; a
+# token's estimate is the MIN over its 4 bucket sums (CMS guarantee:
+# est >= true count, overestimate only). Deterministic hashes (the
+# parity-proven char fold + affine rows), integer-only arithmetic —
+# the value-hash gate needs no rounding discipline at all.
+#
+# Scale: the sketch is 4x512 bigints REGARDLESS of corpus size — the
+# point of CMS; per-token counts are one map-side-combinable groupBy,
+# the bucket sums a second over <=2048 keys, and the probe join
+# broadcasts the sketch. Top-K goes through TakeOrderedAndProject
+# first, THEN ranks the K survivors (q78 discipline — no global
+# window over the vocabulary).
+# ---------------------------------------------------------------------------
+CMS_D = 4
+CMS_W = 512
+CMS_TOPK = 15
+_CMS_AFFINE = [(2 * ((d * 57_885_161 + 19_937) % (HASH_MOD // 2)) + 1,
+                (d * 43_112_609 + 11_213) % HASH_MOD)
+               for d in range(CMS_D)]
+
+_SQL_CMS_TOKH = ("LIST_REDUCE(LIST_TRANSFORM(RANGE(LENGTH(token)), "
+                 "i -> CAST(ASCII(SUBSTR(token, CAST(i+1 AS INTEGER), 1)) "
+                 f"AS BIGINT)), (acc, x) -> (acc * {HASH_BASE} + x) "
+                 f"% {HASH_MOD})")
+
+_SQL_CMS_BUCKETS = " UNION ALL ".join(
+    f"SELECT token, c, th, {d} AS d, "
+    f"((th * {a} + {b}) % {HASH_MOD}) % {CMS_W} AS bucket FROM tc"
+    for d, (a, b) in enumerate(_CMS_AFFINE))
+
+@query("q132_cms_heavy_hitters", f"""
+WITH tok AS (
+  SELECT UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS token
+  FROM documents),
+tc AS (
+  SELECT token, COUNT(*) AS c, {_SQL_CMS_TOKH} AS th
+  FROM tok GROUP BY token),
+probes AS ({_SQL_CMS_BUCKETS}),
+cms AS (SELECT d, bucket, SUM(c) AS cell FROM probes GROUP BY d, bucket),
+est AS (
+  SELECT p.token, MIN(p.c) AS exact_n, MIN(m.cell) AS est_n
+  FROM probes p JOIN cms m ON m.d = p.d AND m.bucket = p.bucket
+  GROUP BY p.token),
+topk AS (
+  SELECT token, exact_n, est_n FROM est
+  ORDER BY est_n DESC, token LIMIT {CMS_TOPK})
+SELECT token, exact_n, est_n,
+       ROW_NUMBER() OVER (ORDER BY est_n DESC, token) AS rank
+FROM topk
+""")
+def q132_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(
+        F.filter(F.split("text", " "), lambda x: x != "")).alias("token"))
+    th = F.expr(
+        "aggregate(transform(split(token, ''), "
+        "c -> cast(ascii(c) as bigint)), 0L, "
+        f"(acc, x) -> (acc * {HASH_BASE} + x) % {HASH_MOD})")
+    tc = (tok.groupBy("token").agg(F.count("*").alias("c"))
+          .withColumn("th", th))
+    stack = ", ".join(
+        f"{di}, ((th * {a} + {b}) % {HASH_MOD}) % {CMS_W}"
+        for di, (a, b) in enumerate(_CMS_AFFINE))
+    probes = tc.selectExpr(
+        "token", "c", f"stack({CMS_D}, {stack}) AS (d, bucket)")
+    cms = probes.groupBy("d", "bucket").agg(F.sum("c").alias("cell"))
+    est = (probes.join(F.broadcast(cms), ["d", "bucket"])
+           .groupBy("token")
+           .agg(F.min("c").alias("exact_n"), F.min("cell").alias("est_n")))
+    topk = est.orderBy(F.desc("est_n"), F.asc("token")).limit(CMS_TOPK)
+    wr = W.orderBy(F.desc("est_n"), F.asc("token"))
+    return topk.withColumn("rank", F.row_number().over(wr))

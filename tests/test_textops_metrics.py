@@ -177,3 +177,20 @@ def test_event_dedup_window_bounds(spark):
     for r in rows:
         assert r.n_kept + r.n_dropped == r.n_events
         assert r.n_kept >= 1  # first event of any (user, type) always kept
+
+
+def test_cms_overestimate_guarantee(spark):
+    from oanda_stream_processor_spark.operators import textops
+    rows = textops.q132_cms_heavy_hitters(spark, SF).collect()
+    assert len(rows) == textops.CMS_TOPK
+    for r in rows:
+        # count-min NEVER underestimates
+        assert r.est_n >= r.exact_n > 0
+        assert 1 <= r.rank <= textops.CMS_TOPK
+    # ranks follow (est desc, token asc)
+    keys = [(-r.est_n, r.token) for r in sorted(rows, key=lambda r: r.rank)]
+    assert keys == sorted(keys)
+    # with a 31-word vocabulary, collisions are rare: the top hitter by
+    # estimate should be a genuinely frequent token (est within 2x exact)
+    top = min(rows, key=lambda r: r.rank)
+    assert top.est_n <= 2 * top.exact_n
