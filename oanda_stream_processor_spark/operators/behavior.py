@@ -243,3 +243,64 @@ def q131_event_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_events"),
                  F.sum("keep").alias("n_kept"),
                  (F.count("*") - F.sum("keep")).alias("n_dropped")))
+
+
+# ---------------------------------------------------------------------------
+# q133 — k-anonymity audit over event quasi-identifiers: bucket every
+# event into its QI class (event_type, hour-of-day, coarse value
+# bucket) and report, per event_type, how many QI classes and events
+# fall below the k=5 anonymity floor — the release-gate number for
+# exporting behavioral data into a training corpus. Integer-only
+# (counts + a ppm via the q110 DECIMAL pattern) — no rounding hazards.
+#
+# Scale: one map-side-combinable groupBy on the bounded QI space
+# (types x 24 hours x value buckets), then a per-type rollup over that
+# tiny frame. No joins against the raw log; no per-user state.
+# ---------------------------------------------------------------------------
+K_ANON = 5
+
+@query("q133_k_anonymity", f"""
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+qi AS (
+  SELECT event_type,
+         EXTRACT(hour FROM ts) AS hour_of_day,
+         CAST(FLOOR(value / 50) AS BIGINT) AS value_bucket,
+         COUNT(*) AS class_size
+  FROM ev GROUP BY 1, 2, 3),
+per_type AS (
+  SELECT event_type,
+         COUNT(*) AS n_classes,
+         SUM(CASE WHEN class_size < {K_ANON} THEN 1 ELSE 0 END)
+           AS n_small_classes,
+         SUM(class_size) AS n_events,
+         SUM(CASE WHEN class_size < {K_ANON} THEN class_size ELSE 0 END)
+           AS n_risky_events
+  FROM qi GROUP BY event_type)
+SELECT event_type, n_classes, n_small_classes, n_events, n_risky_events,
+       CAST((CAST(n_risky_events AS DECIMAL(38,0)) * 1000000
+             - (CAST(n_risky_events AS DECIMAL(38,0)) * 1000000) % n_events)
+            / n_events AS BIGINT) AS risky_ppm
+FROM per_type
+""")
+def q133_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    qi = (ev.select("event_type",
+                    F.hour("ts").alias("hour_of_day"),
+                    F.floor(F.col("value") / 50).cast("bigint")
+                        .alias("value_bucket"))
+          .groupBy("event_type", "hour_of_day", "value_bucket")
+          .agg(F.count("*").alias("class_size")))
+    small = F.when(F.col("class_size") < K_ANON, 1).otherwise(0)
+    risky = F.when(F.col("class_size") < K_ANON,
+                   F.col("class_size")).otherwise(0)
+    per_type = (qi.groupBy("event_type")
+                .agg(F.count("*").alias("n_classes"),
+                     F.sum(small).alias("n_small_classes"),
+                     F.sum("class_size").alias("n_events"),
+                     F.sum(risky).alias("n_risky_events")))
+    num = F.col("n_risky_events").cast("decimal(38,0)") * 1_000_000
+    return per_type.select(
+        "event_type", "n_classes", "n_small_classes", "n_events",
+        "n_risky_events",
+        ((num - num % F.col("n_events")) / F.col("n_events"))
+            .cast("bigint").alias("risky_ppm"))

@@ -194,3 +194,18 @@ def test_cms_overestimate_guarantee(spark):
     # estimate should be a genuinely frequent token (est within 2x exact)
     top = min(rows, key=lambda r: r.rank)
     assert top.est_n <= 2 * top.exact_n
+
+
+def test_k_anonymity_consistency(spark):
+    from oanda_stream_processor_spark.operators import behavior
+    rows = behavior.q133_k_anonymity(spark, SF).collect()
+    assert rows
+    ev_total = behavior.load_table(spark, SF, "events").count()
+    assert sum(r.n_events for r in rows) == ev_total
+    for r in rows:
+        assert 0 <= r.n_small_classes <= r.n_classes
+        assert 0 <= r.n_risky_events <= r.n_events
+        # every small class holds < K events
+        assert r.n_risky_events < behavior.K_ANON * max(r.n_small_classes, 1) \
+            or r.n_small_classes == 0
+        assert 0 <= r.risky_ppm <= 1_000_000
