@@ -311,3 +311,74 @@ def q102_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("w.start").alias("window_start"),
                     F.col("w.end").alias("window_end"),
                     "event_type", "n_events", "total_value"))
+
+
+# ---------------------------------------------------------------------------
+# q134 — gap-filled OHLC: the hourly candle series per event_type made
+# DENSE — silent hours appear with n_events=0 and the last known close
+# carried forward (what every charting/feature pipeline consumes; the
+# reference emits ticks only when the stream produces them,
+# /root/reference/src/main.rs:65-135 — downstream gap handling is
+# implicit there, explicit here).
+#
+# Shape: q30's single-shuffle candles, a per-type sequence() hour grid
+# (generated from each type's own [min, max] — no global scan of time),
+# a left join onto the grid, and ONE last-ignorenulls carry window per
+# type. Values pass through untouched (struct-min/max picks) — no
+# float arithmetic, so cross-engine parity needs no rounding.
+#
+# Scale: the grid is O(types x hours) — tiny relative to the event log;
+# the only corpus-sized shuffle is q30's candle groupBy. The carry
+# window partitions by event_type — bounded cardinality, each
+# partition a few thousand hours even for years of data.
+# ---------------------------------------------------------------------------
+@query("q134_ohlc_gap_fill", """
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+candles AS (
+  SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS bucket, event_type,
+         (MAX({'ts': ts, 'id': event_id, 'v': value})).v AS close,
+         COUNT(*) AS n_events
+  FROM ev GROUP BY 1, 2),
+bounds AS (
+  SELECT event_type, MIN(bucket) AS b0, MAX(bucket) AS b1
+  FROM candles GROUP BY event_type),
+grid AS (
+  SELECT event_type,
+         UNNEST(GENERATE_SERIES(b0, b1, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds)
+SELECT g.event_type, g.bucket,
+       c.close AS close,
+       LAST_VALUE(c.close IGNORE NULLS)
+         OVER (PARTITION BY g.event_type ORDER BY g.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS filled_close,
+       COALESCE(c.n_events, 0) AS n_events,
+       (c.bucket IS NULL) AS is_gap
+FROM grid g LEFT JOIN candles c
+  ON c.event_type = g.event_type AND c.bucket = g.bucket
+""")
+def q134_ohlc_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").withColumn(
+        "bucket", F.date_trunc("hour", "ts"))
+    key = F.struct(F.col("ts"), F.col("event_id").alias("id"),
+                   F.col("value").alias("v"))
+    candles = (e.groupBy("bucket", "event_type")
+               .agg(F.max(key)["v"].alias("close"),
+                    F.count("*").alias("n_events")))
+    grid = (candles.groupBy("event_type")
+            .agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
+            .select("event_type",
+                    F.explode(F.expr(
+                        "sequence(b0, b1, interval 1 hour)")).alias("bucket")))
+    j = (grid.join(candles.select(F.col("event_type").alias("ct"),
+                                  F.col("bucket").alias("cb"),
+                                  "close", "n_events"),
+                   (F.col("event_type") == F.col("ct"))
+                   & (F.col("bucket") == F.col("cb")), "left"))
+    w = (W.partitionBy("event_type").orderBy("bucket")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return j.select(
+        "event_type", "bucket", "close",
+        F.last("close", ignorenulls=True).over(w).alias("filled_close"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.col("cb").isNull().alias("is_gap"))

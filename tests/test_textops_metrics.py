@@ -209,3 +209,27 @@ def test_k_anonymity_consistency(spark):
         assert r.n_risky_events < behavior.K_ANON * max(r.n_small_classes, 1) \
             or r.n_small_classes == 0
         assert 0 <= r.risky_ppm <= 1_000_000
+
+
+def test_ohlc_gap_fill_density(spark):
+    from oanda_stream_processor_spark.operators import scalar
+    rows = scalar.q134_ohlc_gap_fill(spark, SF).collect()
+    assert rows
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for rs in by_type.values():
+        rs.sort(key=lambda r: r.bucket)
+        # dense hourly grid: consecutive buckets 1h apart
+        for a, b in zip(rs, rs[1:]):
+            assert (b.bucket - a.bucket).total_seconds() == 3600
+        # first bucket always has data (grid starts at min)
+        assert not rs[0].is_gap
+        carried = None
+        for r in rs:
+            if r.is_gap:
+                assert r.n_events == 0 and r.close is None
+                assert r.filled_close == carried  # carry-forward
+            else:
+                assert r.n_events > 0 and r.filled_close == r.close
+                carried = r.close
