@@ -536,3 +536,72 @@ def q130_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "n_docs", "total_tokens", "kept_docs", "kept_tokens",
         ((num - num % F.col("total_tokens")) / F.col("total_tokens"))
             .cast("bigint").alias("effective_ppm"))
+
+
+# ---------------------------------------------------------------------------
+# q135 — temporal split with leakage audit: the time-based counterpart
+# of q116's hash split (train = events before the cutoff, test = at or
+# after), plus the number that decides whether the split is USABLE:
+# how many users appear on BOTH sides (cross-boundary users leak
+# user-level signal into eval). The cutoff is data-derived (the 80th
+# percentile event, taken as an exact ordered offset, not an
+# interpolated percentile — integer row arithmetic both engines agree
+# on). Integer-only output.
+#
+# Scale: one pass for the cutoff (a count + an ordered LIMIT/OFFSET
+# over ts — at cluster scale swap in the q108 GK sketch for the
+# offset scan, same trade documented for q33), one map-side-combinable
+# per-side user distinct, one semi-join for the leak set. No windows
+# over the raw log.
+# ---------------------------------------------------------------------------
+SPLIT_PCT = 80
+
+@query("q135_temporal_split", f"""
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+n AS (SELECT COUNT(*) AS n_total FROM ev),
+cut AS (
+  SELECT ts AS cutoff FROM ev CROSS JOIN n
+  ORDER BY ts, event_id
+  LIMIT 1 OFFSET (SELECT CAST((n_total * {SPLIT_PCT}
+                               - (n_total * {SPLIT_PCT}) % 100) / 100
+                              AS BIGINT) FROM n)),
+sides AS (
+  SELECT CASE WHEN e.ts < c.cutoff THEN 'train' ELSE 'test' END AS split,
+         e.user_id, e.event_id
+  FROM ev e CROSS JOIN cut c),
+leak AS (
+  SELECT COUNT(DISTINCT a.user_id) AS n_leaked FROM
+    (SELECT DISTINCT user_id FROM sides WHERE split = 'train') a
+    JOIN (SELECT DISTINCT user_id FROM sides WHERE split = 'test') b
+      ON a.user_id = b.user_id)
+SELECT split, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       (SELECT n_leaked FROM leak) AS n_leaked_users
+FROM sides GROUP BY split
+""")
+def q135_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    n_total = ev.count()
+    offset = (n_total * SPLIT_PCT) // 100
+    # exact ordered-offset cutoff: TakeOrdered(offset+1) then last —
+    # at cluster scale the q108 GK sketch replaces this scan (q33 trade)
+    cutoff = (ev.select("ts", "event_id")
+              .orderBy("ts", "event_id").limit(offset + 1)
+              .orderBy(F.desc("ts"), F.desc("event_id")).limit(1)
+              .select("ts"))
+    sides = (ev.crossJoin(F.broadcast(cutoff.withColumnRenamed("ts", "cutoff")))
+             .select(F.when(F.col("ts") < F.col("cutoff"), "train")
+                     .otherwise("test").alias("split"),
+                     "user_id"))
+    train_u = (sides.where(F.col("split") == "train")
+               .select("user_id").distinct())
+    test_u = (sides.where(F.col("split") == "test")
+              .select("user_id").distinct())
+    # leak count stays in-plan: a 1-row aggregate broadcast onto the
+    # 2-row result (no second driver action)
+    leak = (train_u.join(test_u, "user_id", "left_semi")
+            .agg(F.count("*").alias("n_leaked_users")))
+    return (sides.groupBy("split")
+            .agg(F.count("*").alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users"))
+            .crossJoin(F.broadcast(leak)))

@@ -233,3 +233,19 @@ def test_ohlc_gap_fill_density(spark):
             else:
                 assert r.n_events > 0 and r.filled_close == r.close
                 carried = r.close
+
+
+def test_temporal_split_shares_and_leakage(spark):
+    from oanda_stream_processor_spark.operators import increment
+    rows = {r.split: r for r in
+            increment.q135_temporal_split(spark, SF).collect()}
+    assert set(rows) == {"train", "test"}
+    total = sum(r.n_events for r in rows.values())
+    ev = increment.load_table(spark, SF, "events")
+    assert total == ev.count()
+    # cutoff at the 80th-percentile event: train holds <= 80% of events
+    # (ties at the cutoff timestamp go to test)
+    assert rows["train"].n_events <= total * increment.SPLIT_PCT / 100 + 1
+    leaked = rows["train"].n_leaked_users
+    assert leaked == rows["test"].n_leaked_users  # same scalar both rows
+    assert 0 <= leaked <= min(rows["train"].n_users, rows["test"].n_users)
