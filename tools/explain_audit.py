@@ -220,6 +220,37 @@ def main() -> int:
     check("q129 broadcast pairs", q129, contains=["BroadcastNestedLoopJoin"])
     check("q129 no sort-merge", q129, count_of=("SortMergeJoin", 0, 0))
 
+    from oanda_stream_processor_spark.operators import behavior, scalar as sc
+
+    # q130: digest semi-join + keyed aggs — no cartesian anywhere
+    q130 = increment.q130_effective_tokens(spark, SF)
+    check("q130 no cartesian", q130, count_of=("CartesianProduct", 0, 0))
+
+    # q131: ONE window sort (the lag), then a partial agg
+    q131 = behavior.q131_event_dedup_window(spark, SF)
+    check("q131 single window", q131, count_of=("Window", 2, 2))
+    check("q131 partial agg", q131, contains=["partial_"])
+
+    # q132: sketch probe joins the broadcast <=2048-cell frame
+    q132 = textops.q132_cms_heavy_hitters(spark, SF)
+    check("q132 broadcast sketch", q132, contains=["BroadcastHashJoin"])
+    check("q132 take-ordered", q132, contains=["TakeOrderedAndProject"])
+
+    # q133: one bounded-key agg chain, zero joins
+    q133 = behavior.q133_k_anonymity(spark, SF)
+    check("q133 no joins", q133, count_of=("Join", 0, 0))
+    check("q133 partial agg", q133, contains=["partial_"])
+
+    # q134: candle agg is the only corpus shuffle; grid join is keyed
+    q134 = sc.q134_ohlc_gap_fill(spark, SF)
+    check("q134 no cartesian", q134, count_of=("CartesianProduct", 0, 0))
+
+    # q135: cutoff and leak scalars ride broadcast nested loops over
+    # 1-row frames; the event log itself never cartesians
+    q135 = increment.q135_temporal_split(spark, SF)
+    check("q135 no cartesian", q135, count_of=("CartesianProduct", 0, 0))
+    check("q135 take-ordered cutoff", q135, contains=["TakeOrderedAndProject"])
+
     if failures:
         print("\n".join("AUDIT FAIL: " + f for f in failures))
         return 1
