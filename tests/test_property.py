@@ -84,3 +84,62 @@ def test_routing_partition_invariant(spark, tmp_path_factory, lines):
         else:
             want["unknown"] += 1
     assert got == {k: v for k, v in want.items() if v}
+
+
+# --- count-min sketch arithmetic (q132 / streaming.sketch) ----------------
+# Pure-python mirror of the engine's integer hash/bucket math; the Spark
+# plan itself is covered by the oracle + streaming tests. Properties:
+# estimates never underestimate, and sketches merge linearly (the basis
+# of the streaming partial-state design).
+
+from collections import Counter
+
+from oanda_stream_processor_spark.operators.textops import (
+    CMS_D, CMS_W, _CMS_AFFINE, HASH_BASE, HASH_MOD)
+
+ascii_tokens = st.lists(
+    st.text(alphabet="abcdefghij", min_size=1, max_size=6),
+    min_size=1, max_size=60)
+
+
+def _tok_hash(t: str) -> int:
+    acc = 0
+    for ch in t:
+        acc = (acc * HASH_BASE + ord(ch)) % HASH_MOD
+    return acc
+
+
+def _cms(tokens) -> Counter:
+    cells: Counter = Counter()
+    for t, c in Counter(tokens).items():
+        th = _tok_hash(t)
+        for d, (a, b) in enumerate(_CMS_AFFINE):
+            cells[(d, ((th * a + b) % HASH_MOD) % CMS_W)] += c
+    return cells
+
+
+def _estimate(cells: Counter, token: str) -> int:
+    th = _tok_hash(token)
+    return min(cells[(d, ((th * a + b) % HASH_MOD) % CMS_W)]
+               for d, (a, b) in enumerate(_CMS_AFFINE))
+
+
+@settings(max_examples=100)
+@given(ascii_tokens)
+def test_cms_never_underestimates(tokens):
+    cells = _cms(tokens)
+    truth = Counter(tokens)
+    for t, c in truth.items():
+        assert _estimate(cells, t) >= c
+
+
+@settings(max_examples=100)
+@given(ascii_tokens, ascii_tokens)
+def test_cms_merges_linearly(a, b):
+    merged = _cms(a) + _cms(b)
+    oneshot = _cms(a + b)
+    assert merged == oneshot
+    # estimates from the merged sketch still dominate the true counts
+    truth = Counter(a + b)
+    for t, c in truth.items():
+        assert _estimate(merged, t) >= c
