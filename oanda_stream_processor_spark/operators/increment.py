@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from .dedup import (
+    HM,
     _BAND_KEYS_SQL,
     _MINHASH_AGGS_SQL,
     _minhash_signature_from_sh,
@@ -605,3 +606,140 @@ def q135_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_events"),
                  F.countDistinct("user_id").alias("n_users"))
             .crossJoin(F.broadcast(leak)))
+
+
+# ---------------------------------------------------------------------------
+# q136 — Bloom pre-filter for incremental dedup: compress the INDEX
+# side's shingle set (q114's split: doc_id % 10 != 0 = ingested corpus,
+# % 10 == 0 = today's batch) into a BLOOM_BITS-bit filter materialized
+# as <=8192 (word, bits) bigint rows via BIT_OR aggregation, probe every
+# batch shingle against it, and report what the filter would save:
+# probes, Bloom-positives, true hits (exact semi-join ground truth),
+# and the false-positive ppm.
+#
+# Why it matters at 100 TB: streaming/incremental.py joins every batch
+# against the full shingle index — a shuffle whose index side is
+# corpus-sized. A Bloom filter is ~KB of broadcast state that discards
+# most novel shingles BEFORE that shuffle (only Bloom-positives join);
+# this query measures the discard rate and FP tax on real data.
+# Deterministic affine hashes (q132's family) -> integer-only output,
+# no rounding discipline needed.
+#
+# Scale: filter build = one map-side-combinable BIT_OR groupBy over
+# <=8192 word keys; probe = broadcast join of the 8192-row bitset onto the
+# batch shingle stream; ground truth = one hash equi-join (the thing
+# the filter exists to shrink).
+# ---------------------------------------------------------------------------
+# The filter is sized FROM THE DATA: bits = max(10 * |index shingles|,
+# 4096) — ~1% FP at k=3 regardless of corpus size (a fixed width
+# saturates the moment the index outgrows it; the 10x scale sweep
+# showed exactly that failure before this sizing). 32-bit words keep
+# 1<<bit <= 1<<31 — no 1<<63 sign-bit overflow in either engine.
+BLOOM_BITS_PER_KEY = 10
+BLOOM_MIN_BITS = 4096
+BLOOM_K = 3
+_BLOOM_AFFINE = [(2 * ((k * 32_452_843 + 15_485_863) % (HM // 2)) + 1,
+                  (k * 49_979_687 + 24_036_583) % HM)
+                 for k in range(BLOOM_K)]
+
+
+def _bloom_pos_sql(k: int) -> str:
+    a, b = _BLOOM_AFFINE[k]
+    return f"((sh * {a} + {b}) % {HM}) % m.bits"
+
+
+@query("q136_bloom_prefilter", f"""
+WITH sh_all AS ({SQL_SHINGLE_HASHES}),
+index_sh AS (SELECT DISTINCT sh FROM sh_all WHERE doc_id % 10 != 0),
+batch_sh AS (SELECT DISTINCT sh FROM sh_all WHERE doc_id % 10 = 0),
+m AS (SELECT GREATEST(COUNT(*) * {BLOOM_BITS_PER_KEY}, {BLOOM_MIN_BITS})
+        AS bits FROM index_sh),
+positions AS (
+  {' UNION ALL '.join(f'SELECT sh, {_bloom_pos_sql(k)} AS pos FROM index_sh CROSS JOIN m'
+                      for k in range(BLOOM_K))}),
+bitset AS (
+  SELECT CAST((pos - pos % 32) / 32 AS BIGINT) AS word,
+         BIT_OR(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS bits
+  FROM positions GROUP BY 1),
+probe AS (
+  {' UNION ALL '.join(f'SELECT sh, {k} AS k, {_bloom_pos_sql(k)} AS pos FROM batch_sh CROSS JOIN m'
+                      for k in range(BLOOM_K))}),
+hits AS (
+  SELECT p.sh,
+         MIN(CASE WHEN (b.bits >> CAST(p.pos % 32 AS INTEGER)) & 1 = 1
+                  THEN 1 ELSE 0 END) AS bloom_hit
+  FROM probe p LEFT JOIN bitset b
+    ON b.word = CAST((p.pos - p.pos % 32) / 32 AS BIGINT)
+  GROUP BY p.sh),
+truth AS (
+  SELECT h.sh, h.bloom_hit,
+         CASE WHEN i.sh IS NOT NULL THEN 1 ELSE 0 END AS true_hit
+  FROM hits h LEFT JOIN index_sh i ON h.sh = i.sh)
+SELECT COUNT(*) AS n_probes,
+       SUM(bloom_hit) AS n_bloom_pos,
+       SUM(true_hit) AS n_true_hits,
+       SUM(CASE WHEN bloom_hit = 1 AND true_hit = 0 THEN 1 ELSE 0 END)
+         AS n_false_pos,
+       SUM(CASE WHEN bloom_hit = 0 THEN 1 ELSE 0 END) AS n_filtered,
+       CAST((SUM(CASE WHEN bloom_hit = 1 AND true_hit = 0 THEN 1 ELSE 0 END)
+             * 1000000
+             - (SUM(CASE WHEN bloom_hit = 1 AND true_hit = 0
+                         THEN 1 ELSE 0 END) * 1000000) % COUNT(*))
+            / COUNT(*) AS BIGINT) AS fp_ppm
+FROM truth
+""")
+def q136_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _spark_shingle_hashes
+    d = load_table(spark, sf_dir, "documents")
+    sh_all = _spark_shingle_hashes(d)
+    index_sh = (sh_all.where(F.col("doc_id") % 10 != 0)
+                .select("sh").distinct())
+    batch_sh = (sh_all.where(F.col("doc_id") % 10 == 0)
+                .select("sh").distinct())
+
+    nbits = index_sh.agg(
+        F.greatest(F.count("*") * BLOOM_BITS_PER_KEY,
+                   F.lit(BLOOM_MIN_BITS)).alias("bits"))
+
+    def pos(k: int) -> F.Column:
+        a, b = _BLOOM_AFFINE[k]
+        return ((F.col("sh") * a + b) % HM) % F.col("bits")
+
+    positions = None
+    for k in range(BLOOM_K):
+        p = (index_sh.crossJoin(F.broadcast(nbits))
+             .select("sh", pos(k).alias("pos")))
+        positions = p if positions is None else positions.unionAll(p)
+    bitset = (positions
+              .select((F.col("pos") / 32).cast("bigint").alias("word"),
+                      F.expr("shiftleft(cast(1 as bigint), "
+                             "cast(pos % 32 as int))").alias("bit"))
+              .groupBy("word").agg(F.bit_or("bit").alias("bits")))
+    probe = None
+    for k in range(BLOOM_K):
+        p = (batch_sh.crossJoin(F.broadcast(nbits))
+             .select("sh", F.lit(k).alias("k"), pos(k).alias("pos")))
+        probe = p if probe is None else probe.unionAll(p)
+    hit = F.when(
+        F.expr("shiftright(bits, cast(pos % 32 as int)) & 1") == 1,
+        1).otherwise(0)
+    hits = (probe.join(F.broadcast(bitset),
+                       (F.col("pos") / 32).cast("bigint") == F.col("word"),
+                       "left")
+            .groupBy("sh").agg(F.min(hit).alias("bloom_hit")))
+    truth = (hits.join(index_sh.withColumn("true_hit", F.lit(1)),
+                       "sh", "left")
+             .select("bloom_hit",
+                     F.coalesce("true_hit", F.lit(0)).alias("true_hit")))
+    fp = F.sum(F.when((F.col("bloom_hit") == 1)
+                      & (F.col("true_hit") == 0), 1).otherwise(0))
+    n = F.count("*")
+    num = fp * 1_000_000
+    return truth.agg(
+        n.alias("n_probes"),
+        F.sum("bloom_hit").alias("n_bloom_pos"),
+        F.sum("true_hit").alias("n_true_hits"),
+        fp.alias("n_false_pos"),
+        F.sum(F.when(F.col("bloom_hit") == 0, 1).otherwise(0))
+            .alias("n_filtered"),
+        ((num - num % n) / n).cast("bigint").alias("fp_ppm"))

@@ -249,3 +249,14 @@ def test_temporal_split_shares_and_leakage(spark):
     leaked = rows["train"].n_leaked_users
     assert leaked == rows["test"].n_leaked_users  # same scalar both rows
     assert 0 <= leaked <= min(rows["train"].n_users, rows["test"].n_users)
+
+
+def test_bloom_prefilter_soundness(spark):
+    from oanda_stream_processor_spark.operators import increment
+    r = increment.q136_bloom_prefilter(spark, SF).first()
+    assert r.n_probes == r.n_bloom_pos + r.n_filtered
+    # soundness: a Bloom filter has NO false negatives — every true hit
+    # is Bloom-positive
+    assert r.n_bloom_pos >= r.n_true_hits
+    assert r.n_false_pos == r.n_bloom_pos - r.n_true_hits
+    assert 0 <= r.fp_ppm <= 1_000_000
