@@ -251,6 +251,12 @@ def main() -> int:
     check("q135 no cartesian", q135, count_of=("CartesianProduct", 0, 0))
     check("q135 take-ordered cutoff", q135, contains=["TakeOrderedAndProject"])
 
+    # q136: the bitset probe join is broadcast; ground truth is the only
+    # shingle-keyed exchange besides the build
+    q136 = increment.q136_bloom_prefilter(spark, SF)
+    check("q136 no cartesian", q136, count_of=("CartesianProduct", 0, 0))
+    check("q136 partial bit_or", q136, contains=["partial_bit_or"])
+
     if failures:
         print("\n".join("AUDIT FAIL: " + f for f in failures))
         return 1
