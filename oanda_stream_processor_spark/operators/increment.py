@@ -560,12 +560,12 @@ SPLIT_PCT = 80
 @query("q135_temporal_split", f"""
 WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
 n AS (SELECT COUNT(*) AS n_total FROM ev),
+ordered AS (
+  SELECT ts, ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn FROM ev),
 cut AS (
-  SELECT ts AS cutoff FROM ev CROSS JOIN n
-  ORDER BY ts, event_id
-  LIMIT 1 OFFSET (SELECT CAST((n_total * {SPLIT_PCT}
-                               - (n_total * {SPLIT_PCT}) % 100) / 100
-                              AS BIGINT) FROM n)),
+  SELECT ts AS cutoff FROM ordered CROSS JOIN n
+  WHERE rn = CAST((n_total * {SPLIT_PCT}
+                   - (n_total * {SPLIT_PCT}) % 100) / 100 AS BIGINT) + 1),
 sides AS (
   SELECT CASE WHEN e.ts < c.cutoff THEN 'train' ELSE 'test' END AS split,
          e.user_id, e.event_id
