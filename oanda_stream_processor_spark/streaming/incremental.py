@@ -58,17 +58,25 @@ def build_hash_index(docs: DataFrame) -> DataFrame:
 
 
 def incremental_verdicts(batch_docs: DataFrame, hash_index: DataFrame,
-                         band_index: DataFrame) -> DataFrame:
+                         band_index: DataFrame,
+                         band_bloom=None) -> DataFrame:
     """exact/near/new verdict per doc for one (micro-)batch of
     documents (columns: doc_id, text) against the static indexes —
     identical semantics to q109's batch split, reused by the streaming
-    foreachBatch body below."""
+    foreachBatch body below.
+
+    ``band_bloom``: optional ``build_band_bloom(band_index)`` state;
+    when given, Bloom-negative band rows are dropped before the index
+    join (no false negatives -> identical verdicts, smaller shuffle)."""
     exact = (batch_docs
              .select("doc_id",
                      F.md5(F.col("text").cast("binary")).alias("h"))
              .join(hash_index, "h", "left_semi")
              .select("doc_id", F.lit(True).alias("is_exact")))
-    near = (_band_flat(batch_docs)
+    bands = _band_flat(batch_docs)
+    if band_bloom is not None:
+        bands = bloom_filter_bands(bands, *band_bloom)
+    near = (bands
             .join(band_index, ["band_id", "band_key"], "left_semi")
             .select("doc_id").distinct()
             .select("doc_id", F.lit(True).alias("is_near")))
@@ -97,3 +105,66 @@ def start_incremental_dedup(stream_docs: DataFrame, hash_index: DataFrame,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+# ---------------------------------------------------------------------------
+# Bloom pre-filter for the band join (q136's audited design, wired into
+# the live path): the static band index compresses to a data-sized
+# bitset (~10 bits per band key, 32-bit words) that broadcasts with the
+# job; each micro-batch discards Bloom-negative band rows BEFORE the
+# index join. Bloom filters have no false negatives, so verdicts are
+# IDENTICAL with or without the filter — only the join's probe volume
+# changes (at corpus scale, most of a novel batch never reaches the
+# shuffle). Hashes are Spark-side xxhash64 with a literal salt per
+# probe — no cross-engine contract here (the oracle-parity variant
+# lives in operators/increment.q136).
+# ---------------------------------------------------------------------------
+BLOOM_K = 3
+BLOOM_BITS_PER_KEY = 10
+BLOOM_MIN_BITS = 1024
+
+
+def build_band_bloom(band_index: DataFrame):
+    """(bitset, nbits): broadcastable Bloom state for a (band_id,
+    band_key) index — <= bits/32 rows of (word, bits) bigints."""
+    nbits = band_index.agg(
+        F.greatest(F.count("*") * BLOOM_BITS_PER_KEY,
+                   F.lit(BLOOM_MIN_BITS)).alias("bloom_bits"))
+    base = band_index.crossJoin(F.broadcast(nbits))
+    positions = None
+    for i in range(BLOOM_K):
+        p = base.select(F.pmod(F.xxhash64(F.lit(i), "band_id", "band_key"),
+                               F.col("bloom_bits")).alias("pos"))
+        positions = p if positions is None else positions.unionAll(p)
+    bitset = (positions
+              .select((F.col("pos") / 32).cast("bigint").alias("word"),
+                      F.expr("shiftleft(cast(1 as bigint), "
+                             "cast(pos % 32 as int))").alias("bit"))
+              .groupBy("word").agg(F.bit_or("bit").alias("bits")))
+    return bitset, nbits
+
+
+def bloom_filter_bands(band_rows: DataFrame, bitset: DataFrame,
+                       nbits: DataFrame) -> DataFrame:
+    """Drop (doc_id, band_id, band_key) rows that the Bloom filter
+    proves absent from the index (no false negatives — survivors are a
+    superset of true matches)."""
+    salted = band_rows.crossJoin(F.broadcast(nbits))
+    probes = None
+    for i in range(BLOOM_K):
+        p = salted.select(
+            "doc_id", "band_id", "band_key",
+            F.pmod(F.xxhash64(F.lit(i), "band_id", "band_key"),
+                   F.col("bloom_bits")).alias("pos"))
+        probes = p if probes is None else probes.unionAll(p)
+    hit = F.when(
+        F.expr("shiftright(bits, cast(pos % 32 as int)) & 1") == 1,
+        1).otherwise(0)
+    kept = (probes.join(F.broadcast(bitset),
+                        (F.col("pos") / 32).cast("bigint") == F.col("word"),
+                        "left")
+            .groupBy("doc_id", "band_id", "band_key")
+            .agg(F.min(hit).alias("bloom_hit"))
+            .where(F.col("bloom_hit") == 1)
+            .drop("bloom_hit"))
+    return kept

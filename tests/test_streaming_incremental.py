@@ -69,3 +69,27 @@ def test_streaming_matches_batch(spark, indexes, tmp_path):
     # exactly-once: one verdict row per doc even across micro-batches
     assert got.count() == 4
     assert got.select("batch_id").distinct().count() >= 2  # really streamed
+
+
+def test_bloom_prefilter_preserves_verdicts(spark, indexes):
+    from oanda_stream_processor_spark.streaming.incremental import (
+        build_band_bloom, bloom_filter_bands, _band_flat)
+    hash_idx, band_idx = indexes
+    batch = spark.createDataFrame(STREAM_ROWS, SCHEMA)
+    bloom = build_band_bloom(band_idx)
+    plain = {r.doc_id: r.verdict for r in
+             incremental_verdicts(batch, hash_idx, band_idx).collect()}
+    filtered = {r.doc_id: r.verdict for r in
+                incremental_verdicts(batch, hash_idx, band_idx,
+                                     band_bloom=bloom).collect()}
+    assert filtered == plain  # no false negatives -> identical verdicts
+    # and the filter really is a filter: survivors are a subset of the
+    # batch band rows, and every true index match survives
+    bands = _band_flat(batch)
+    kept = bloom_filter_bands(bands, *bloom)
+    assert kept.count() <= bands.count()
+    cols = ["doc_id", "band_id", "band_key"]
+    true_matches = bands.join(band_idx, ["band_id", "band_key"],
+                              "left_semi").select(*cols)
+    missed = true_matches.exceptAll(kept.select(*cols))
+    assert missed.count() == 0
