@@ -304,3 +304,71 @@ def q133_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_risky_events",
         ((num - num % F.col("n_events")) / F.col("n_events"))
             .cast("bigint").alias("risky_ppm"))
+
+
+# ---------------------------------------------------------------------------
+# q137 — event-time lateness audit: how out-of-order does each event
+# stream actually arrive? Arrival order = event_id (the ingest
+# sequence); an event is LATE by (running-max event time seen before
+# it) - (its own event time). Reports, per type, the late count at the
+# 5-minute threshold and the max/avg observed lateness — exactly the
+# numbers that size `withWatermark` for the streaming candle/session
+# queries (too small drops data, too large bloats state).
+#
+# Integer seconds end-to-end: Spark's timestamp->long cast TRUNCATES
+# while DuckDB's double->bigint cast ROUNDS, so the oracle wraps
+# EPOCH in an explicit FLOOR — sub-second timestamps would otherwise
+# skew lateness by +-1 s between engines. The avg uses integer
+# ppm-style floor division.
+#
+# Scale: one window per type ordered by arrival (uniform bounded key),
+# then a map-side-combinable rollup. No joins.
+# ---------------------------------------------------------------------------
+LATE_THRESHOLD_S = 300
+
+@query("q137_lateness_audit", f"""
+WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+seq AS (
+  SELECT event_type,
+         CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t,
+         MAX(CAST(FLOOR(EPOCH(ts)) AS BIGINT))
+           OVER (PARTITION BY event_type ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS seen_max
+  FROM ev),
+lat AS (
+  SELECT event_type,
+         CASE WHEN seen_max IS NULL OR seen_max <= t THEN 0
+              ELSE seen_max - t END AS late_s
+  FROM seq)
+SELECT event_type, COUNT(*) AS n_events,
+       SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS n_out_of_order,
+       SUM(CASE WHEN late_s > {LATE_THRESHOLD_S} THEN 1 ELSE 0 END)
+         AS n_beyond_watermark,
+       MAX(late_s) AS max_late_s,
+       CAST((SUM(late_s) - SUM(late_s) % COUNT(*)) / COUNT(*) AS BIGINT)
+         AS avg_late_s_floor
+FROM lat GROUP BY event_type
+""")
+def q137_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (W.partitionBy("event_type").orderBy("event_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    t = F.col("ts").cast("long")
+    seq = ev.select("event_type", t.alias("t"),
+                    F.max(t).over(w).alias("seen_max"))
+    late = F.when(F.col("seen_max").isNull()
+                  | (F.col("seen_max") <= F.col("t")), 0) \
+            .otherwise(F.col("seen_max") - F.col("t"))
+    lat = seq.select("event_type", late.alias("late_s"))
+    n = F.count("*")
+    tot = F.sum("late_s")
+    return (lat.groupBy("event_type")
+            .agg(n.alias("n_events"),
+                 F.sum(F.when(F.col("late_s") > 0, 1).otherwise(0))
+                    .alias("n_out_of_order"),
+                 F.sum(F.when(F.col("late_s") > LATE_THRESHOLD_S, 1)
+                       .otherwise(0)).alias("n_beyond_watermark"),
+                 F.max("late_s").alias("max_late_s"),
+                 ((tot - tot % n) / n).cast("bigint")
+                    .alias("avg_late_s_floor")))

@@ -260,3 +260,15 @@ def test_bloom_prefilter_soundness(spark):
     assert r.n_bloom_pos >= r.n_true_hits
     assert r.n_false_pos == r.n_bloom_pos - r.n_true_hits
     assert 0 <= r.fp_ppm <= 1_000_000
+
+
+def test_lateness_audit_bounds(spark):
+    from oanda_stream_processor_spark.operators import behavior
+    rows = behavior.q137_lateness_audit(spark, SF).collect()
+    assert rows
+    ev_total = behavior.load_table(spark, SF, "events").count()
+    assert sum(r.n_events for r in rows) == ev_total
+    for r in rows:
+        assert 0 <= r.n_beyond_watermark <= r.n_out_of_order <= r.n_events
+        assert r.max_late_s >= 0
+        assert 0 <= r.avg_late_s_floor <= r.max_late_s
