@@ -484,3 +484,79 @@ def q132_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = est.orderBy(F.desc("est_n"), F.asc("token")).limit(CMS_TOPK)
     wr = W.orderBy(F.desc("est_n"), F.asc("token"))
     return topk.withColumn("rank", F.row_number().over(wr))
+
+
+# ---------------------------------------------------------------------------
+# q138 — Zipf slope of the token frequency distribution: fit
+# log(freq) ~ a + b*log(rank) over the top-K vocabulary by ordinary
+# least squares. Natural corpora sit near b = -1; a flat slope flags
+# synthetic/templated text, a cliff flags boilerplate dominance — a
+# one-number corpus-health probe next to q122's drift KL.
+#
+# Version-proof regression: built-in regr_slope would accumulate
+# doubles in partition order (hash-unstable), so both engines instead
+# freeze each ln() to fixed-point bigint microunits (q122's pattern),
+# take exact integer sums over the K rows, and only then do ONE double
+# division of two exactly-representable int64s — bit-identical across
+# engines, rounded at 6dp.
+#
+# Scale: the token count is the one corpus-sized aggregation (map-side
+# combinable); ranking the top K goes through TakeOrderedAndProject
+# (q78 discipline); the regression runs over K=50 rows.
+# ---------------------------------------------------------------------------
+ZIPF_TOPK = 50
+
+@query("q138_zipf_slope", f"""
+WITH tok AS (
+  SELECT UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS token
+  FROM documents),
+tc AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+ranked AS (
+  SELECT token, c,
+         ROW_NUMBER() OVER (ORDER BY c DESC, token) AS rank
+  FROM tc),
+topk AS (SELECT * FROM ranked WHERE rank <= {ZIPF_TOPK}),
+fp AS (
+  SELECT CAST(ROUND(LN(rank) * 1000000) AS BIGINT) AS x,
+         CAST(ROUND(LN(c) * 1000000) AS BIGINT) AS y
+  FROM topk),
+s AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM fp)
+SELECT n AS n_ranks,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+       ROUND((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / n / 1000000.0, 6) AS intercept_ln
+FROM s
+""")
+def q138_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(
+        F.filter(F.split("text", " "), lambda x: x != "")).alias("token"))
+    tc = tok.groupBy("token").agg(F.count("*").alias("c"))
+    ranked = (tc.orderBy(F.desc("c"), F.asc("token")).limit(ZIPF_TOPK)
+              .withColumn("rank", F.row_number().over(
+                  W.orderBy(F.desc("c"), F.asc("token")))))
+    fp = ranked.select(
+        F.round(F.log(F.col("rank").cast("double")) * 1_000_000)
+            .cast("bigint").alias("x"),
+        F.round(F.log(F.col("c").cast("double")) * 1_000_000)
+            .cast("bigint").alias("y"))
+    s = fp.agg(F.count("*").alias("n"), F.sum("x").alias("sx"),
+               F.sum("y").alias("sy"),
+               F.sum(F.col("x") * F.col("y")).alias("sxy"),
+               F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        .cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) \
+        .cast("double")
+    slope = num / den
+    return s.select(
+        F.col("n").alias("n_ranks"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy").cast("double") - slope
+                 * F.col("sx").cast("double"))
+                / F.col("n") / 1_000_000.0, 6).alias("intercept_ln"))

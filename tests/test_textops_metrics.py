@@ -272,3 +272,14 @@ def test_lateness_audit_bounds(spark):
         assert 0 <= r.n_beyond_watermark <= r.n_out_of_order <= r.n_events
         assert r.max_late_s >= 0
         assert 0 <= r.avg_late_s_floor <= r.max_late_s
+
+
+def test_zipf_slope_negative_on_fixture(spark):
+    from oanda_stream_processor_spark.operators import textops
+    r = textops.q138_zipf_slope(spark, SF).first()
+    assert 0 < r.n_ranks <= textops.ZIPF_TOPK
+    # frequencies are non-increasing in rank, so the OLS slope of
+    # ln(freq) on ln(rank) cannot be positive
+    assert r.zipf_slope <= 0
+    # intercept ~ ln(top frequency): sanity bound
+    assert r.intercept_ln > 0
