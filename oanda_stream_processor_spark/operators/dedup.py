@@ -850,3 +850,102 @@ def q129_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                     n_match.alias("n_match"),
                     F.round(n_match.cast("double") / OV_HASHES, 6)
                      .alias("jaccard_est")))
+
+# ---------------------------------------------------------------------------
+# q142 — minhash estimator calibration: for every LSH candidate pair,
+# compare the signature-based Jaccard estimate (matching minima / K)
+# with the exact shingle-set Jaccard, grouped into a per-match-count
+# calibration table. This is the QA sweep a production dedup pipeline
+# runs before trusting the K=8 estimator at full corpus scale: it
+# quantifies the estimator's bias/spread on exactly the pairs the
+# banding stage surfaces (matches >= BAND_ROWS by construction).
+#
+# Scale (100 TB): every stage is candidate-bounded — signatures and
+# set sizes join onto the (small) candidate-pair frame by doc_id, the
+# exact intersection joins postings by doc_id then (doc_id, sh), and
+# the calibration table is a <= K+1-row keyed agg with map-side
+# combine. All ratios are integer ppm via explicit floor division
+# (_idiv pattern) with DECIMAL(38,0) numerators, so the table hashes
+# identically on both engines at any corpus size.
+# ---------------------------------------------------------------------------
+_Q142_MATCHES_SQL = " + ".join(
+    f"CASE WHEN sa.h{s} = sb.h{s} THEN 1 ELSE 0 END" for s in range(N_HASHES))
+
+@query("q142_minhash_calibration", f"""
+WITH {_CANDIDATES_SQL},
+shs AS (SELECT DISTINCT doc_id, sh FROM ({SQL_SHINGLE_HASHES})),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shs GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+  FROM pairs p
+  JOIN shs a ON a.doc_id = p.doc_a
+  JOIN shs b ON b.doc_id = p.doc_b AND b.sh = a.sh
+  GROUP BY p.doc_a, p.doc_b),
+per AS (
+  SELECT ({_Q142_MATCHES_SQL}) AS matches,
+         {_idiv(f'({_Q142_MATCHES_SQL}) * 1000000', str(N_HASHES))} AS est_ppm,
+         {_idiv('CAST(COALESCE(i.i, 0) AS DECIMAL(38,0)) * 1000000',
+                '(sza.n + szb.n - COALESCE(i.i, 0))')} AS exact_ppm
+  FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.doc_a
+  JOIN sig sb ON sb.doc_id = p.doc_b
+  JOIN sizes sza ON sza.doc_id = p.doc_a
+  JOIN sizes szb ON szb.doc_id = p.doc_b
+  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b)
+SELECT matches, est_ppm, COUNT(*) AS n_pairs,
+       {_idiv('SUM(CAST(exact_ppm AS DECIMAL(38,0)))', 'COUNT(*)')}
+         AS avg_exact_ppm,
+       {_idiv('SUM(CAST(ABS(est_ppm - exact_ppm) AS DECIMAL(38,0)))',
+              'COUNT(*)')} AS avg_abs_err_ppm,
+       MIN(exact_ppm) AS min_exact_ppm,
+       MAX(exact_ppm) AS max_exact_ppm
+FROM per GROUP BY matches, est_ppm
+""")
+def q142_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = (_spark_shingle_hashes(load_table(spark, sf_dir, "documents"))
+          .distinct().localCheckpoint(eager=True))  # postings reused 4x
+    sig = _minhash_signature_from_sh(sh)
+    pairs = _lsh_candidate_pairs(spark, sf_dir, sh=sh)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (pairs.join(a, "doc_a").join(b, ["doc_b", "sh"])
+                  .groupBy("doc_a", "doc_b").agg(F.count("*").alias("i")))
+    siga = sig.select([F.col("doc_id").alias("doc_a")]
+                      + [F.col(f"h{s}").alias(f"a{s}")
+                         for s in range(N_HASHES)])
+    sigb = sig.select([F.col("doc_id").alias("doc_b")]
+                      + [F.col(f"h{s}").alias(f"b{s}")
+                         for s in range(N_HASHES)])
+    sza = sizes.select(F.col("doc_id").alias("doc_a"),
+                       F.col("n").alias("na"))
+    szb = sizes.select(F.col("doc_id").alias("doc_b"),
+                       F.col("n").alias("nb"))
+    joined = (pairs.join(siga, "doc_a").join(sigb, "doc_b")
+                   .join(sza, "doc_a").join(szb, "doc_b")
+                   .join(inter, ["doc_a", "doc_b"], "left"))
+    matches = sum(F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+                  for s in range(N_HASHES))
+    ii = F.coalesce(F.col("i"), F.lit(0))
+    est_num = (matches.cast("bigint") * 1_000_000)
+    est_ppm = ((est_num - est_num % N_HASHES) / N_HASHES).cast("bigint")
+    ex_num = ii.cast("decimal(38,0)") * 1_000_000
+    den = F.col("na") + F.col("nb") - ii
+    exact_ppm = ((ex_num - ex_num % den) / den).cast("bigint")
+    per = joined.select(matches.alias("matches"),
+                        est_ppm.alias("est_ppm"),
+                        exact_ppm.alias("exact_ppm"))
+    g = (per.groupBy("matches", "est_ppm")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.sum(F.col("exact_ppm").cast("decimal(38,0)")).alias("s_ex"),
+                 F.sum(F.abs(F.col("est_ppm") - F.col("exact_ppm"))
+                        .cast("decimal(38,0)")).alias("s_err"),
+                 F.min("exact_ppm").alias("min_exact_ppm"),
+                 F.max("exact_ppm").alias("max_exact_ppm")))
+    return g.select(
+        "matches", "est_ppm", "n_pairs",
+        ((F.col("s_ex") - F.col("s_ex") % F.col("n_pairs"))
+         / F.col("n_pairs")).cast("bigint").alias("avg_exact_ppm"),
+        ((F.col("s_err") - F.col("s_err") % F.col("n_pairs"))
+         / F.col("n_pairs")).cast("bigint").alias("avg_abs_err_ppm"),
+        "min_exact_ppm", "max_exact_ppm")

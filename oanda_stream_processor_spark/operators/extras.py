@@ -749,3 +749,63 @@ def q123_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("psum") / 1_000_000.0, 4).alias("value_sum"),
                  F.round(F.min("pmin"), 6).alias("value_min"),
                  F.round(F.max("pmax"), 6).alias("value_max")))
+
+
+# ---------------------------------------------------------------------------
+# q140 — small-file compaction planner: given the table's fragment
+# manifest (here modeled as per-(event_type, day) byte totals of the
+# events table), assign time-ordered fragments to target-size output
+# files with the streaming first-fit rule file_id = floor(cumulative
+# bytes before this fragment / TARGET). The output is the compaction
+# PLAN — per planned output file: fragment count, byte total, covered
+# time range — which a maintenance job executes as one read-shuffle-
+# write per file.
+#
+# Scale (100 TB): this is a metadata-only query — at scale the input is
+# the table manifest (one row per parquet fragment, ~1e6 rows for 100 TB
+# at 128 MB files), not the data; building the manifest from raw rows
+# here stands in for reading it. The plan itself is one window
+# (cumulative sum per event_type, ordered by day — short, independent
+# partitions) + one keyed agg. Oversized fragments (> TARGET) take a
+# file_id range of their own and never block neighbors; ordering within
+# a partition key is preserved so compacted files keep time locality
+# (the property Z-order/skipping audits q91/q98 measure).
+# ---------------------------------------------------------------------------
+COMPACT_TARGET = 8192   # target output-file bytes (toy scale; 128 MB real)
+
+@query("q140_compaction_plan", f"""
+WITH frags AS (
+  SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+         SUM(LENGTH(props) + 32) AS frag_bytes
+  FROM events GROUP BY 1, 2),
+placed AS (
+  SELECT event_type, day, frag_bytes,
+         COALESCE(SUM(frag_bytes) OVER (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM frags)
+SELECT event_type,
+       {{idiv}} AS file_id,
+       COUNT(*) AS n_frags,
+       SUM(frag_bytes) AS file_bytes,
+       MIN(day) AS min_day, MAX(day) AS max_day
+FROM placed
+GROUP BY event_type, {{idiv}}
+""".format(idiv=f"CAST((cum_before - cum_before % {COMPACT_TARGET})"
+                 f" / {COMPACT_TARGET} AS BIGINT)"))
+def q140_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    frags = (ev.groupBy("event_type",
+                        F.to_date(F.date_trunc("day", "ts")).alias("day"))
+               .agg(F.sum(F.length("props") + 32).alias("frag_bytes")))
+    w = (W.partitionBy("event_type").orderBy("day")
+          .rowsBetween(W.unboundedPreceding, -1))
+    placed = frags.withColumn(
+        "cum_before", F.coalesce(F.sum("frag_bytes").over(w), F.lit(0)))
+    file_id = ((F.col("cum_before") - F.col("cum_before") % COMPACT_TARGET)
+               / COMPACT_TARGET).cast("bigint")
+    return (placed.groupBy("event_type", file_id.alias("file_id"))
+                  .agg(F.count("*").alias("n_frags"),
+                       F.sum("frag_bytes").alias("file_bytes"),
+                       F.min("day").alias("min_day"),
+                       F.max("day").alias("max_day")))

@@ -743,3 +743,67 @@ def q136_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("bloom_hit") == 0, 1).otherwise(0))
             .alias("n_filtered"),
         ((num - num % n) / n).cast("bigint").alias("fp_ppm"))
+
+
+# ---------------------------------------------------------------------------
+# q143 — source-mix reweighting plan: compute, per source, the sampling
+# rate that downsamples every source to the SMALLEST source's volume
+# (uniform mix without upsampling) and the epoch multiplier that
+# upsamples every source to the LARGEST (uniform mix with repetition) —
+# the two endpoints a training-mix designer interpolates between.
+# rate_ppm / kept_chars / epochs_fp2 are integer fixed-point via the
+# q110 floor-division pattern (DECIMAL(38,0) numerators), so the plan
+# hashes identically on both engines at any corpus size.
+#
+# Scale (100 TB): one map-side-combinable groupBy(source) over the
+# corpus, then a 1-row global agg broadcast back onto the per-source
+# rows — no shuffle of the big side beyond the first keyed agg, and
+# the per-source frame is tiny (sources number in the hundreds).
+# ---------------------------------------------------------------------------
+@query("q143_mix_reweight", """
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+  FROM documents GROUP BY source),
+bounds AS (
+  SELECT MIN(total_chars) AS floor_chars, MAX(total_chars) AS cap_chars
+  FROM per_src)
+SELECT source, n_docs, total_chars,
+       CAST((CAST(floor_chars AS DECIMAL(38,0)) * 1000000
+             - (CAST(floor_chars AS DECIMAL(38,0)) * 1000000) % total_chars)
+            / total_chars AS BIGINT) AS rate_ppm,
+       CAST((CAST(total_chars AS DECIMAL(38,0))
+               * CAST((CAST(floor_chars AS DECIMAL(38,0)) * 1000000
+                       - (CAST(floor_chars AS DECIMAL(38,0)) * 1000000)
+                         % total_chars) / total_chars AS BIGINT)
+             - (CAST(total_chars AS DECIMAL(38,0))
+               * CAST((CAST(floor_chars AS DECIMAL(38,0)) * 1000000
+                       - (CAST(floor_chars AS DECIMAL(38,0)) * 1000000)
+                         % total_chars) / total_chars AS BIGINT)) % 1000000)
+            / 1000000 AS BIGINT) AS kept_chars,
+       CAST((CAST(cap_chars AS DECIMAL(38,0)) * 100
+             - (CAST(cap_chars AS DECIMAL(38,0)) * 100) % total_chars)
+            / total_chars AS BIGINT) AS epochs_fp2
+FROM per_src CROSS JOIN bounds
+""")
+def q143_mix_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    per_src = (d.groupBy("source")
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum("n_chars").alias("total_chars")))
+    bounds = per_src.agg(F.min("total_chars").alias("floor_chars"),
+                         F.max("total_chars").alias("cap_chars"))
+    j = per_src.crossJoin(F.broadcast(bounds))
+
+    def _fdiv(num, den):
+        return ((num - num % den) / den).cast("bigint")
+
+    rate_num = F.col("floor_chars").cast("decimal(38,0)") * 1_000_000
+    rate_ppm = _fdiv(rate_num, F.col("total_chars"))
+    kept_num = F.col("total_chars").cast("decimal(38,0)") * rate_ppm
+    kept_chars = _fdiv(kept_num, F.lit(1_000_000))
+    ep_num = F.col("cap_chars").cast("decimal(38,0)") * 100
+    epochs_fp2 = _fdiv(ep_num, F.col("total_chars"))
+    return j.select("source", "n_docs", "total_chars",
+                    rate_ppm.alias("rate_ppm"),
+                    kept_chars.alias("kept_chars"),
+                    epochs_fp2.alias("epochs_fp2"))

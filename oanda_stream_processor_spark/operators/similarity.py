@@ -808,3 +808,120 @@ def q128_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     wr = W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cand_id"))
     return (scored.withColumn("rank", F.row_number().over(wr))
                   .where(F.col("rank") <= TOP_K))
+
+
+# ---------------------------------------------------------------------------
+# q139 — SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
+# 2303.09540): cluster the corpus with the fixed IVF codebook (q56's
+# coarse quantizer), then mark a vector as a semantic duplicate when a
+# LOWER-id vector in the SAME cell has cosine >= SEM_TH. The keep-rule
+# (smallest vec_id per duplicate group) is the deterministic analog of
+# SemDeDup's keep-one-per-epsilon-ball.
+#
+# Scale (100 TB): the pairwise cosine is confined to one cell — never
+# all-pairs. Cell occupancy is corpus_size / IVF_K on average, and IVF_K
+# grows with the corpus (like q56's codebook) to keep the per-cell
+# quadratic term bounded; the cells frame itself is built by the same
+# broadcast-codebook assignment as q56 (one scan, no shuffle until the
+# per-cell self-join keyed on the cell id). The left join back onto the
+# corpus is on vec_id — one co-partitioned shuffle.
+# ---------------------------------------------------------------------------
+SEM_TH = 0.35
+
+@query("q139_semantic_dedup", f"""
+WITH seeds AS ({_SQL_SEEDS}),
+assigned AS ({_SQL_ASSIGN}),
+cells AS (
+  SELECT e.vec_id, e.embedding, a.cell
+  FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id),
+dups AS (
+  SELECT b.vec_id AS vid, MIN(a.vec_id) AS dup_of
+  FROM cells a JOIN cells b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ROUND({sql_cosine('a.embedding', 'b.embedding')}, 6) >= {SEM_TH}
+  GROUP BY b.vec_id)
+SELECT c.vec_id, c.cell, d.dup_of,
+       (d.dup_of IS NOT NULL) AS is_dup
+FROM cells c LEFT JOIN dups d ON d.vid = c.vec_id
+""")
+def q139_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = _ivf_cells(load_table(spark, sf_dir, "embeddings"))
+    a = cells.select(F.col("vec_id").alias("a_id"),
+                     F.col("embedding").alias("a_emb"), "cell")
+    b = cells.select(F.col("vec_id").alias("vid"),
+                     F.col("embedding").alias("b_emb"), "cell")
+    dups = (a.join(b, "cell")
+             .where(F.col("a_id") < F.col("vid"))
+             .where(F.round(_cosine(F.col("a_emb"), F.col("b_emb")), 6)
+                    >= SEM_TH)
+             .groupBy("vid").agg(F.min("a_id").alias("dup_of")))
+    return (cells.join(dups, cells.vec_id == dups.vid, "left")
+                 .select("vec_id", "cell", "dup_of",
+                         F.col("dup_of").isNotNull().alias("is_dup")))
+
+
+# ---------------------------------------------------------------------------
+# q141 — k-NN label propagation: every vector is classified by the
+# majority label of its K_NN nearest neighbors inside its LSH bucket
+# (semi-supervised labeling / label-QA sweep: `correct` flags where the
+# stored label disagrees with the neighborhood vote).
+#
+# Scale (100 TB): candidate generation is the q48 bucket equi-join —
+# per-bucket occupancy stays flat as N_PLANES grows with log(corpus);
+# ranking is a window partitioned by vec_id (millions of independent
+# partitions, no global sort); the vote is a keyed agg on (vec_id,
+# n_label) followed by a per-vector argmax window. In production the
+# "query" side would be the unlabeled increment — here every vector is
+# classified, the worst case.
+# ---------------------------------------------------------------------------
+K_NN = 5
+
+@query("q141_knn_label_prop", f"""
+WITH b AS (
+  SELECT vec_id, label, embedding, {_sql_bucket('embedding')} AS bucket
+  FROM embeddings),
+sc AS (
+  SELECT t.vec_id, t.label AS true_label, n.label AS n_label,
+         ROW_NUMBER() OVER (PARTITION BY t.vec_id
+           ORDER BY ROUND({sql_cosine('t.embedding', 'n.embedding')}, 6) DESC,
+                    n.vec_id) AS rn
+  FROM b t JOIN b n ON n.bucket = t.bucket AND n.vec_id <> t.vec_id),
+votes AS (
+  SELECT vec_id, true_label, n_label, COUNT(*) AS votes
+  FROM sc WHERE rn <= {K_NN} GROUP BY vec_id, true_label, n_label),
+best AS (
+  SELECT vec_id, true_label, n_label AS pred_label, votes,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY votes DESC, n_label) AS r
+  FROM votes)
+SELECT vec_id, true_label, pred_label, votes,
+       (pred_label = true_label) AS correct
+FROM best WHERE r = 1
+""")
+def q141_knn_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    b = e.select("vec_id", "label", "embedding",
+                 _bucket(F.col("embedding")).alias("bucket"))
+    t = b.select(F.col("vec_id").alias("t_id"),
+                 F.col("label").alias("true_label"),
+                 F.col("embedding").alias("t_emb"), "bucket")
+    n = b.select(F.col("vec_id").alias("n_id"),
+                 F.col("label").alias("n_label"),
+                 F.col("embedding").alias("n_emb"), "bucket")
+    w_rank = W.partitionBy("t_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    sc = (t.join(n, "bucket")
+           .where(F.col("n_id") != F.col("t_id"))
+           .select("t_id", "true_label", "n_id", "n_label",
+                   F.round(_cosine(F.col("t_emb"), F.col("n_emb")), 6)
+                    .alias("cos"))
+           .withColumn("rn", F.row_number().over(w_rank))
+           .where(F.col("rn") <= K_NN))
+    votes = (sc.groupBy("t_id", "true_label", "n_label")
+               .agg(F.count("*").alias("votes")))
+    w_best = W.partitionBy("t_id").orderBy(F.desc("votes"), F.asc("n_label"))
+    return (votes.withColumn("r", F.row_number().over(w_best))
+                 .where(F.col("r") == 1)
+                 .select(F.col("t_id").alias("vec_id"), "true_label",
+                         F.col("n_label").alias("pred_label"), "votes",
+                         (F.col("n_label") == F.col("true_label"))
+                         .alias("correct")))
