@@ -257,6 +257,41 @@ def main() -> int:
     check("q136 no cartesian", q136, count_of=("CartesianProduct", 0, 0))
     check("q136 partial bit_or", q136, contains=["partial_bit_or"])
 
+    # q139: in-cell pairwise only — the pair join is an equi-join on the
+    # cell id (no cartesian of the corpus); codebook rides a broadcast
+    from oanda_stream_processor_spark.operators import similarity
+    q139 = similarity.q139_semantic_dedup(spark, SF)
+    check("q139 no cartesian", q139, count_of=("CartesianProduct", 0, 0))
+
+    # q140: manifest-level plan — one window + one partial agg, no joins
+    q140 = extras.q140_compaction_plan(spark, SF)
+    check("q140 no joins", q140, count_of=("Join", 0, 0))
+    check("q140 partial agg", q140, contains=["partial_"])
+
+    # q141: neighbor generation is the bucket equi-join, never a
+    # cartesian; both window ranks partition by the anchor vector
+    q141 = similarity.q141_knn_label_prop(spark, SF)
+    check("q141 no cartesian", q141, count_of=("CartesianProduct", 0, 0))
+    wins141 = _window_partitions(q141)
+    if len(wins141) != 2 or any(
+            not any("t_id" in c for c in cols) for cols in wins141):
+        failures.append(f"q141: windows partitioned by {wins141}, not t_id")
+    print(("FAIL " if any(f.startswith('q141:') for f in failures) else "ok   ")
+          + "q141 partitioned windows")
+
+    # q142: everything candidate-bounded — keyed joins only, final table
+    # is a partial-agg groupBy
+    q142 = dedup.q142_minhash_calibration(spark, SF)
+    check("q142 no cartesian", q142, count_of=("CartesianProduct", 0, 0))
+    check("q142 partial agg", q142, contains=["partial_"])
+
+    # q143: corpus shuffles once (groupBy source); bounds ride a
+    # 1-row broadcast nested loop
+    q143 = increment.q143_mix_reweight(spark, SF)
+    check("q143 partial agg", q143, contains=["partial_"])
+    check("q143 broadcast bounds", q143,
+          contains=["BroadcastNestedLoopJoin"])
+
     if failures:
         print("\n".join("AUDIT FAIL: " + f for f in failures))
         return 1
