@@ -925,3 +925,99 @@ def q141_knn_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("n_label").alias("pred_label"), "votes",
                          (F.col("n_label") == F.col("true_label"))
                          .alias("correct")))
+
+
+# ---------------------------------------------------------------------------
+# q145 — embedding-truncation (matryoshka) recall audit: re-run the
+# exact cosine top-k with vectors truncated to the first TRUNC_DIM
+# dims and measure, per query, how much of the full-dimension top-k
+# survives. This is the measurement that justifies shipping truncated
+# embeddings at 100 TB (4x less scan/shuffle/memory per halving): the
+# decision input is measured recall, not a guess.
+#
+# Scale: two brute-force passes over the candidate set (the q45 shape —
+# broadcast query set, no corpus shuffle) and a tiny per-query join;
+# at corpus scale the same audit runs against the ANN index variants
+# (q56/q88/q128) on a fixed query sample.
+# ---------------------------------------------------------------------------
+TRUNC_DIM = 16
+
+def _topk_sql(emb_expr: str, dim: int) -> str:
+    dot = ("LIST_AGGREGATE(LIST_TRANSFORM(RANGE({n}), "
+           "i -> CAST(q_emb[i+1] AS DOUBLE) * CAST(e.{e}[i+1] AS DOUBLE)), "
+           "'sum')").format(n=dim, e=emb_expr)
+    nq = ("LIST_AGGREGATE(LIST_TRANSFORM(RANGE({n}), "
+          "i -> CAST(q_emb[i+1] AS DOUBLE) * CAST(q_emb[i+1] AS DOUBLE)), "
+          "'sum')").format(n=dim)
+    ne = ("LIST_AGGREGATE(LIST_TRANSFORM(RANGE({n}), "
+          "i -> CAST(e.{e}[i+1] AS DOUBLE) * CAST(e.{e}[i+1] AS DOUBLE)), "
+          "'sum')").format(n=dim, e=emb_expr)
+    return f"ROUND({dot} / (SQRT({nq}) * SQRT({ne})), 6)"
+
+
+@query("q145_matryoshka_recall", f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+           WHERE vec_id < {N_QUERIES}),
+full_rank AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, e.vec_id AS cand_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY {_topk_sql('embedding', DIM)} DESC, e.vec_id) AS rank
+    FROM q JOIN embeddings e ON e.vec_id <> query_id)
+  WHERE rank <= {TOP_K}),
+trunc_rank AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.query_id, e.vec_id AS cand_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY {_topk_sql('embedding', TRUNC_DIM)} DESC,
+                      e.vec_id) AS rank
+    FROM (SELECT query_id, q_emb[1:{TRUNC_DIM}] AS q_emb FROM q) q
+    JOIN (SELECT vec_id, embedding[1:{TRUNC_DIM}] AS embedding
+          FROM embeddings) e ON e.vec_id <> q.query_id)
+  WHERE rank <= {TOP_K}),
+ov AS (
+  SELECT f.query_id, COUNT(*) AS n_overlap
+  FROM full_rank f JOIN trunc_rank t
+    ON t.query_id = f.query_id AND t.cand_id = f.cand_id
+  GROUP BY f.query_id)
+SELECT q.query_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
+       CAST((COALESCE(ov.n_overlap, 0) * 1000000
+             - (COALESCE(ov.n_overlap, 0) * 1000000) % {TOP_K})
+            / {TOP_K} AS BIGINT) AS recall_ppm
+FROM q LEFT JOIN ov ON ov.query_id = q.query_id
+""")
+def q145_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    wr = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+
+    def topk(cand_emb_df, q_df):
+        scored = (cand_emb_df.join(F.broadcast(q_df), F.col("vec_id")
+                                   != F.col("query_id"))
+                  .select("query_id", F.col("vec_id").alias("cand_id"),
+                          F.round(_cosine(F.col("q_emb"),
+                                          F.col("embedding")), 6)
+                           .alias("cosine")))
+        return (scored.withColumn("rank", F.row_number().over(wr))
+                      .where(F.col("rank") <= TOP_K)
+                      .select("query_id", "cand_id"))
+
+    q_full = (e.where(F.col("vec_id") < N_QUERIES)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q_emb")))
+    full_rank = topk(e.select("vec_id", "embedding"), q_full)
+    trunc = F.slice("embedding", 1, TRUNC_DIM)
+    q_trunc = (e.where(F.col("vec_id") < N_QUERIES)
+                .select(F.col("vec_id").alias("query_id"),
+                        trunc.alias("q_emb")))
+    trunc_rank = topk(e.select("vec_id", trunc.alias("embedding")), q_trunc)
+    # both rank frames are <= N_QUERIES*TOP_K rows — broadcast the
+    # overlap join and the final join-back so no exchange materializes
+    ov = (full_rank.join(F.broadcast(trunc_rank), ["query_id", "cand_id"])
+                   .groupBy("query_id").agg(F.count("*").alias("n")))
+    n = F.coalesce(F.col("n"), F.lit(0))
+    num = n.cast("bigint") * 1_000_000
+    return (q_full.select("query_id").join(F.broadcast(ov), "query_id",
+                                           "left")
+            .select("query_id", n.alias("n_overlap"),
+                    ((num - num % TOP_K) / TOP_K).cast("bigint")
+                    .alias("recall_ppm")))

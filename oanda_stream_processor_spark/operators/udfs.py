@@ -277,3 +277,93 @@ def q124_arrow_native_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
                           schema="l_orderkey bigint, l_linenumber int, "
                                  "price_c bigint, disc_pct bigint, "
                                  "tax_pct bigint, charge_micros bigint"))
+
+
+# ---------------------------------------------------------------------------
+# q144: cogrouped applyInPandas — the sixth and last pandas-API mode
+# (scalar q70, UDTF q71/q100, grouped-agg q72, grouped-map q121,
+# mapInArrow q124, and now COGROUP): two DataFrames grouped on the same
+# key arrive as a pandas pair per key — the mode for per-key two-sided
+# logic that needs BOTH full groups in memory (two-sample tests,
+# per-key as-of repair, reconciliation). Here: a per-nation two-sample
+# Kolmogorov-Smirnov statistic comparing the customer and supplier
+# account-balance distributions — a drift/reconciliation audit that is
+# genuinely cogroup-shaped (every ECDF point needs both sorted samples).
+#
+# Determinism: balances are converted to integer cents JVM-side before
+# the Python boundary; the KS numerator max|cum_c*n_s - cum_s*n_c| is
+# pure int64 (numpy searchsorted on one side, a RANGE-frame window pair
+# on the DuckDB side — the RANGE frame includes ties exactly like
+# side='right' searchsorted), and ks_ppm is the q110 floor-division.
+# Nations missing either side are dropped by both engines.
+#
+# Scale: one co-partitioned shuffle of each side on the key; each key's
+# two groups must fit in one executor (the cogroup contract) — right
+# for bounded keys like nation; for unbounded keys pre-aggregate to
+# ECDF sketches instead.
+# ---------------------------------------------------------------------------
+def _ks_two_sample(cust: pd.DataFrame, supp: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
+    if cust.empty or supp.empty:
+        return pd.DataFrame(
+            {"nation_key": pd.Series([], dtype="int64"),
+             "n_cust": pd.Series([], dtype="int64"),
+             "n_supp": pd.Series([], dtype="int64"),
+             "ks_num": pd.Series([], dtype="int64"),
+             "ks_ppm": pd.Series([], dtype="int64")})
+    c = np.sort(cust["cents"].to_numpy(dtype=np.int64))
+    s = np.sort(supp["cents"].to_numpy(dtype=np.int64))
+    nc, ns = len(c), len(s)
+    pooled = np.unique(np.concatenate([c, s]))
+    cum_c = np.searchsorted(c, pooled, side="right").astype(np.int64)
+    cum_s = np.searchsorted(s, pooled, side="right").astype(np.int64)
+    ks_num = int(np.max(np.abs(cum_c * ns - cum_s * nc)))
+    denom = nc * ns
+    return pd.DataFrame({
+        "nation_key": [int(cust["nk"].iloc[0])],
+        "n_cust": [nc], "n_supp": [ns], "ks_num": [ks_num],
+        "ks_ppm": [(ks_num * 1_000_000 - ks_num * 1_000_000 % denom)
+                   // denom]})
+
+
+@query("q144_cogroup_ks", """
+WITH u AS (
+  SELECT c_nationkey AS nk, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS v,
+         1 AS is_c
+  FROM customer
+  UNION ALL
+  SELECT s_nationkey, CAST(ROUND(s_acctbal * 100) AS BIGINT), 0
+  FROM supplier),
+sizes AS (
+  SELECT nk, SUM(is_c) AS n_c, SUM(1 - is_c) AS n_s
+  FROM u GROUP BY nk
+  HAVING SUM(is_c) > 0 AND SUM(1 - is_c) > 0),
+w AS (
+  SELECT nk, v,
+         SUM(is_c) OVER (PARTITION BY nk ORDER BY v
+                         RANGE UNBOUNDED PRECEDING) AS cum_c,
+         SUM(1 - is_c) OVER (PARTITION BY nk ORDER BY v
+                             RANGE UNBOUNDED PRECEDING) AS cum_s
+  FROM u)
+SELECT w.nk AS nation_key, s.n_c AS n_cust, s.n_s AS n_supp,
+       MAX(ABS(w.cum_c * s.n_s - w.cum_s * s.n_c)) AS ks_num,
+       CAST((MAX(ABS(w.cum_c * s.n_s - w.cum_s * s.n_c)) * 1000000
+             - (MAX(ABS(w.cum_c * s.n_s - w.cum_s * s.n_c)) * 1000000)
+               % (s.n_c * s.n_s)) / (s.n_c * s.n_s) AS BIGINT) AS ks_ppm
+FROM w JOIN sizes s ON s.nk = w.nk
+GROUP BY w.nk, s.n_c, s.n_s
+""")
+def q144_cogroup_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (load_table(spark, sf_dir, "customer")
+            .select(F.col("c_nationkey").alias("nk"),
+                    F.round(F.col("c_acctbal") * 100).cast("bigint")
+                     .alias("cents")))
+    supp = (load_table(spark, sf_dir, "supplier")
+            .select(F.col("s_nationkey").alias("nk"),
+                    F.round(F.col("s_acctbal") * 100).cast("bigint")
+                     .alias("cents")))
+    return (cust.groupBy("nk").cogroup(supp.groupBy("nk"))
+            .applyInPandas(_ks_two_sample,
+                           schema="nation_key bigint, n_cust bigint, "
+                                  "n_supp bigint, ks_num bigint, "
+                                  "ks_ppm bigint"))

@@ -292,6 +292,25 @@ def main() -> int:
     check("q143 broadcast bounds", q143,
           contains=["BroadcastNestedLoopJoin"])
 
+    # q144: the cogroup is one FlatMapCoGroupsInPandas over two keyed
+    # exchanges — no cartesian, no extra shuffle
+    from oanda_stream_processor_spark.operators import udfs
+    q144 = udfs.q144_cogroup_ks(spark, SF)
+    check("q144 cogroup node", q144, contains=["FlatMapCoGroupsInPandas"])
+    check("q144 no cartesian", q144, count_of=("CartesianProduct", 0, 0))
+
+    # q145: both top-k passes broadcast the query set (the q45 shape);
+    # the corpus side never shuffles before the per-query rank windows
+    q145 = similarity.q145_matryoshka_recall(spark, SF)
+    check("q145 no sort-merge", q145, count_of=("SortMergeJoin", 0, 0))
+    wins145 = _window_partitions(q145)
+    if not wins145 or any(
+            not any("query_id" in c for c in cols) for cols in wins145):
+        failures.append(
+            f"q145: windows partitioned by {wins145}, not query_id")
+    print(("FAIL " if any(f.startswith('q145:') for f in failures) else "ok   ")
+          + "q145 partitioned windows")
+
     if failures:
         print("\n".join("AUDIT FAIL: " + f for f in failures))
         return 1
