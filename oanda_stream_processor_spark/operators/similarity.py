@@ -952,7 +952,11 @@ def _topk_sql(emb_expr: str, dim: int) -> str:
     ne = ("LIST_AGGREGATE(LIST_TRANSFORM(RANGE({n}), "
           "i -> CAST(e.{e}[i+1] AS DOUBLE) * CAST(e.{e}[i+1] AS DOUBLE)), "
           "'sum')").format(n=dim, e=emb_expr)
-    return f"ROUND({dot} / (SQRT({nq}) * SQRT({ne})), 6)"
+    # zero-norm guard: a vector whose first TRUNC_DIM dims are all zero
+    # has no direction after truncation — define its cosine as 0 (both
+    # engines; Spark ANSI mode would otherwise raise DIVIDE_BY_ZERO)
+    return (f"CASE WHEN SQRT({nq}) * SQRT({ne}) = 0 THEN 0.0 "
+            f"ELSE ROUND({dot} / (SQRT({nq}) * SQRT({ne})), 6) END")
 
 
 @query("q145_matryoshka_recall", f"""
@@ -991,12 +995,14 @@ def q145_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     wr = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
 
     def topk(cand_emb_df, q_df):
+        norm_prod = (F.sqrt(_sqnorm(F.col("q_emb")))
+                     * F.sqrt(_sqnorm(F.col("embedding"))))
+        guarded = F.when(norm_prod == 0, F.lit(0.0)).otherwise(
+            F.round(_dot(F.col("q_emb"), F.col("embedding")) / norm_prod, 6))
         scored = (cand_emb_df.join(F.broadcast(q_df), F.col("vec_id")
                                    != F.col("query_id"))
                   .select("query_id", F.col("vec_id").alias("cand_id"),
-                          F.round(_cosine(F.col("q_emb"),
-                                          F.col("embedding")), 6)
-                           .alias("cosine")))
+                          guarded.alias("cosine")))
         return (scored.withColumn("rank", F.row_number().over(wr))
                       .where(F.col("rank") <= TOP_K)
                       .select("query_id", "cand_id"))

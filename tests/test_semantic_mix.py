@@ -178,3 +178,59 @@ def test_q143_bounds_and_conservation(spark, doc_sf):
     # the largest source has epochs_fp2 == 100 (1.00 epochs)
     largest = [r for r in out.values() if r.total_chars == cap_chars]
     assert all(r.epochs_fp2 == 100 for r in largest)
+
+
+@pytest.fixture(scope="module")
+def ks_sf(spark, tmp_path_factory) -> str:
+    """Two nations: nation 1's customer and supplier balances are
+    IDENTICAL distributions (KS = 0); nation 2's are fully disjoint
+    ranges (KS = 1)."""
+    cust = [(i, f"c{i}", "addr", nk, "p", float(b), "mkt", "c")
+            for i, (nk, b) in enumerate(
+                [(1, 10.00), (1, 20.00), (1, 30.00),
+                 (2, 1.00), (2, 2.00)])]
+    supp = [(i, f"s{i}", "addr", nk, "p", float(b), "c")
+            for i, (nk, b) in enumerate(
+                [(1, 10.00), (1, 20.00), (1, 30.00),
+                 (2, 100.00), (2, 200.00)])]
+    d = tmp_path_factory.mktemp("ks_sf")
+    spark.createDataFrame(
+        cust, "c_custkey bigint, c_name string, c_address string, "
+              "c_nationkey bigint, c_phone string, c_acctbal double, "
+              "c_mktsegment string, c_comment string"
+    ).write.parquet(str(d / "customer.parquet"))
+    spark.createDataFrame(
+        supp, "s_suppkey bigint, s_name string, s_address string, "
+              "s_nationkey bigint, s_phone string, s_acctbal double, "
+              "s_comment string"
+    ).write.parquet(str(d / "supplier.parquet"))
+    return str(d)
+
+
+def test_q144_ks_extremes(spark, ks_sf):
+    from oanda_stream_processor_spark.operators.udfs import q144_cogroup_ks
+    out = {r.nation_key: r for r in q144_cogroup_ks(spark, ks_sf).collect()}
+    assert set(out) == {1, 2}
+    # identical samples -> KS numerator 0
+    assert out[1].ks_num == 0 and out[1].ks_ppm == 0
+    # disjoint samples -> KS = 1 -> numerator = n_c * n_s, ppm = 1e6
+    assert out[2].ks_num == out[2].n_cust * out[2].n_supp
+    assert out[2].ks_ppm == 1_000_000
+
+
+def test_q145_truncation_recall_bounds(spark, emb_sf):
+    from oanda_stream_processor_spark.operators.similarity import (
+        TOP_K,
+        q145_matryoshka_recall,
+    )
+    out = q145_matryoshka_recall(spark, emb_sf).collect()
+    # one row per query vector, recall in [0, 1e6], ppm = overlap/K
+    assert len(out) == 8  # all 8 vecs have vec_id < N_QUERIES
+    for r in out:
+        assert 0 <= r.n_overlap <= TOP_K
+        assert r.recall_ppm == r.n_overlap * 1_000_000 // TOP_K
+    # identical vectors 0/1/2 rank each other on both axes: the axis-0
+    # group's top-k leaders survive truncation to the first 16 dims
+    # (axis 0 < 16), so their overlap is nonzero
+    by_id = {r.query_id: r for r in out}
+    assert by_id[1].n_overlap >= 1
