@@ -689,13 +689,24 @@ SELECT COUNT(*) AS n_probes,
 FROM truth
 """)
 def q136_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark plan note: ONE pass over the shingle chain computes both
+    memberships — groupBy(sh) with in_index/in_batch flags, eagerly
+    checkpointed — so the index bitset, the probe stream, AND the
+    ground truth all read the same materialized frame (the oracle's
+    index_sh/batch_sh CTEs + semi-join, fused). true_hit is the
+    in_index flag on the probe row itself: the ground-truth equi-join
+    costs nothing beyond the one shingle shuffle."""
     from .dedup import _spark_shingle_hashes
     d = load_table(spark, sf_dir, "documents")
     sh_all = _spark_shingle_hashes(d)
-    index_sh = (sh_all.where(F.col("doc_id") % 10 != 0)
-                .select("sh").distinct())
-    batch_sh = (sh_all.where(F.col("doc_id") % 10 == 0)
-                .select("sh").distinct())
+    flags = (sh_all.groupBy("sh")
+             .agg(F.max(F.when(F.col("doc_id") % 10 != 0, 1).otherwise(0))
+                   .alias("in_index"),
+                  F.max(F.when(F.col("doc_id") % 10 == 0, 1).otherwise(0))
+                   .alias("in_batch"))
+             .localCheckpoint(eager=True))
+    index_sh = flags.where(F.col("in_index") == 1)
+    batch_sh = flags.where(F.col("in_batch") == 1)
 
     nbits = index_sh.agg(
         F.greatest(F.count("*") * BLOOM_BITS_PER_KEY,
@@ -705,32 +716,24 @@ def q136_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         a, b = _BLOOM_AFFINE[k]
         return ((F.col("sh") * a + b) % HM) % F.col("bits")
 
-    positions = None
-    for k in range(BLOOM_K):
-        p = (index_sh.crossJoin(F.broadcast(nbits))
-             .select("sh", pos(k).alias("pos")))
-        positions = p if positions is None else positions.unionAll(p)
+    pos_arr = F.array(*[pos(k) for k in range(BLOOM_K)])
+    positions = (index_sh.crossJoin(F.broadcast(nbits))
+                 .select(F.explode(pos_arr).alias("pos")))
     bitset = (positions
               .select((F.col("pos") / 32).cast("bigint").alias("word"),
                       F.expr("shiftleft(cast(1 as bigint), "
                              "cast(pos % 32 as int))").alias("bit"))
               .groupBy("word").agg(F.bit_or("bit").alias("bits")))
-    probe = None
-    for k in range(BLOOM_K):
-        p = (batch_sh.crossJoin(F.broadcast(nbits))
-             .select("sh", F.lit(k).alias("k"), pos(k).alias("pos")))
-        probe = p if probe is None else probe.unionAll(p)
+    probe = (batch_sh.crossJoin(F.broadcast(nbits))
+             .select("sh", F.col("in_index").alias("true_hit"),
+                     F.explode(pos_arr).alias("pos")))
     hit = F.when(
         F.expr("shiftright(bits, cast(pos % 32 as int)) & 1") == 1,
         1).otherwise(0)
-    hits = (probe.join(F.broadcast(bitset),
-                       (F.col("pos") / 32).cast("bigint") == F.col("word"),
-                       "left")
-            .groupBy("sh").agg(F.min(hit).alias("bloom_hit")))
-    truth = (hits.join(index_sh.withColumn("true_hit", F.lit(1)),
-                       "sh", "left")
-             .select("bloom_hit",
-                     F.coalesce("true_hit", F.lit(0)).alias("true_hit")))
+    truth = (probe.join(F.broadcast(bitset),
+                        (F.col("pos") / 32).cast("bigint") == F.col("word"),
+                        "left")
+             .groupBy("sh", "true_hit").agg(F.min(hit).alias("bloom_hit")))
     fp = F.sum(F.when((F.col("bloom_hit") == 1)
                       & (F.col("true_hit") == 0), 1).otherwise(0))
     n = F.count("*")
