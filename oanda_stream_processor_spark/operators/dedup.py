@@ -903,26 +903,28 @@ FROM per GROUP BY matches, est_ppm
 """)
 def q142_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (_spark_shingle_hashes(load_table(spark, sf_dir, "documents"))
-          .distinct().localCheckpoint(eager=True))  # postings reused 4x
-    sig = _minhash_signature_from_sh(sh)
+          .distinct().localCheckpoint(eager=True))  # postings reused 3x
     pairs = _lsh_candidate_pairs(spark, sf_dir, sh=sh)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # ONE groupBy computes the K minima AND the set size (the oracle's
+    # sig + sizes CTEs fused): sh is the distinct posting list, so
+    # count(*) == |shingle set| — two joins instead of four below
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min((F.col("sh") * a + b) % HM).alias(f"h{s}")
+          for s, (a, b) in enumerate(_AFFINE)],
+        F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
     inter = (pairs.join(a, "doc_a").join(b, ["doc_b", "sh"])
                   .groupBy("doc_a", "doc_b").agg(F.count("*").alias("i")))
-    siga = sig.select([F.col("doc_id").alias("doc_a")]
+    siga = sig.select([F.col("doc_id").alias("doc_a"),
+                       F.col("n").alias("na")]
                       + [F.col(f"h{s}").alias(f"a{s}")
                          for s in range(N_HASHES)])
-    sigb = sig.select([F.col("doc_id").alias("doc_b")]
+    sigb = sig.select([F.col("doc_id").alias("doc_b"),
+                       F.col("n").alias("nb")]
                       + [F.col(f"h{s}").alias(f"b{s}")
                          for s in range(N_HASHES)])
-    sza = sizes.select(F.col("doc_id").alias("doc_a"),
-                       F.col("n").alias("na"))
-    szb = sizes.select(F.col("doc_id").alias("doc_b"),
-                       F.col("n").alias("nb"))
     joined = (pairs.join(siga, "doc_a").join(sigb, "doc_b")
-                   .join(sza, "doc_a").join(szb, "doc_b")
                    .join(inter, ["doc_a", "doc_b"], "left"))
     matches = sum(F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
                   for s in range(N_HASHES))
