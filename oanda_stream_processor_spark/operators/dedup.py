@@ -951,3 +951,62 @@ def q142_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("s_err") - F.col("s_err") % F.col("n_pairs"))
          / F.col("n_pairs")).cast("bigint").alias("avg_abs_err_ppm"),
         "min_exact_ppm", "max_exact_ppm")
+
+
+# ---------------------------------------------------------------------------
+# q146 — candidate-graph triangle census: triangle count, wedge count,
+# and the global clustering coefficient of the LSH near-dup graph. A
+# banding stage that works emits triangle-dense candidate graphs (near-
+# dup clusters are near-cliques); a low coefficient at corpus scale
+# flags band keys colliding on unrelated docs — the structural QA twin
+# of q142's value-level calibration.
+#
+# Spark: the id-ordered edge-iterator join — edges (a<b) joined
+# (b=c-edges' lower end) then closed against (a,c) — the standard
+# distributed triangle plan; every join is an equi-join on a node id.
+# Wedges are one keyed degree agg. At 100 TB orient edges
+# low-degree -> high-degree instead of low-id -> high-id (same count,
+# bounds the per-key fan-out by sqrt(m)); id-orientation keeps the
+# oracle twin trivially identical here.
+# ---------------------------------------------------------------------------
+@query("q146_graph_triangles", f"""
+WITH {_CANDIDATES_SQL},
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM pairs p1
+  JOIN pairs p2 ON p2.doc_a = p1.doc_b
+  JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b),
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT doc_a AS node FROM pairs
+    UNION ALL SELECT doc_b FROM pairs) GROUP BY node),
+w AS (
+  SELECT COUNT(*) AS n_nodes, SUM(d * (d - 1) / 2) AS n_wedges FROM deg),
+e AS (SELECT COUNT(*) AS n_edges FROM pairs)
+SELECT w.n_nodes, e.n_edges, tri.n_triangles,
+       CAST(w.n_wedges AS BIGINT) AS n_wedges,
+       CASE WHEN w.n_wedges = 0 THEN 0 ELSE
+         {_idiv('3 * tri.n_triangles * 1000000',
+                'CAST(w.n_wedges AS BIGINT)')} END AS global_cc_ppm
+FROM w CROSS JOIN e CROSS JOIN tri
+""")
+def q146_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _lsh_candidate_pairs(spark, sf_dir)  # materialized, a < b
+    p1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    p2 = pairs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    p3 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = (p1.join(p2, "b").join(p3, ["a", "c"])
+             .agg(F.count("*").alias("n_triangles")))
+    deg = (pairs.select(F.col("doc_a").alias("node"))
+           .unionAll(pairs.select(F.col("doc_b").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("d")))
+    w = deg.agg(F.count("*").alias("n_nodes"),
+                F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint")
+                 .alias("n_wedges"))
+    e = pairs.agg(F.count("*").alias("n_edges"))
+    j = w.crossJoin(F.broadcast(e)).crossJoin(F.broadcast(tri))
+    num = 3 * F.col("n_triangles") * 1_000_000
+    cc = F.when(F.col("n_wedges") == 0, F.lit(0)).otherwise(
+        ((num - num % F.col("n_wedges")) / F.col("n_wedges")).cast("bigint"))
+    return j.select("n_nodes", "n_edges", "n_triangles", "n_wedges",
+                    cc.alias("global_cc_ppm"))

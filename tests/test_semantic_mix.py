@@ -234,3 +234,32 @@ def test_q145_truncation_recall_bounds(spark, emb_sf):
     # (axis 0 < 16), so their overlap is nonzero
     by_id = {r.query_id: r for r in out}
     assert by_id[1].n_overlap >= 1
+
+
+def test_q146_clique_and_edge(spark, tmp_path_factory):
+    from oanda_stream_processor_spark.operators.dedup import (
+        q146_graph_triangles,
+    )
+    ta = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+          "juliett kilo lima")
+    tb = "completely different words forming another tiny document here"
+    rows = [
+        (1, ta, "en", "s", 10), (2, ta, "en", "s", 10),
+        (3, ta, "en", "s", 10),                       # 3-clique
+        (4, tb, "en", "s", 10), (5, tb, "en", "s", 10),  # lone edge
+        (6, "unique text with no duplicate partner anywhere at all",
+         "en", "s", 10),                              # singleton
+    ]
+    d = tmp_path_factory.mktemp("tri_sf")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint").write.parquet(str(d / "documents.parquet"))
+    out = q146_graph_triangles(spark, str(d)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_triangles == 1          # the 3-clique
+    assert r.n_edges == 4              # 3 clique edges + 1 lone edge
+    assert r.n_nodes == 5              # singleton has no edge
+    # wedges: clique nodes contribute C(2,2)=1 each (3), lone-edge nodes 0
+    assert r.n_wedges == 3
+    assert r.global_cc_ppm == 1_000_000

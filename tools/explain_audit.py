@@ -311,6 +311,11 @@ def main() -> int:
     print(("FAIL " if any(f.startswith('q145:') for f in failures) else "ok   ")
           + "q145 partitioned windows")
 
+    # q146: triangle closure is equi-joins on node ids over the
+    # materialized pair frame — no cartesian anywhere
+    q146 = dedup.q146_graph_triangles(spark, SF)
+    check("q146 no cartesian", q146, count_of=("CartesianProduct", 0, 0))
+
     if failures:
         print("\n".join("AUDIT FAIL: " + f for f in failures))
         return 1
