@@ -106,10 +106,13 @@ def _sql_bucket(emb: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def _bucket(emb) -> F.Column:
+def _bucket(emb, n_planes: int = N_PLANES) -> F.Column:
+    # n_planes parameterized for the corpus-growth rule (planes grow
+    # with log(corpus) so bucket occupancy stays flat; SCALE.md measures
+    # the scaled variant) — the default keeps every oracle twin exact
     total = F.lit(0)
-    for p in range(N_PLANES):
-        plane = F.array(*[F.lit(c) for c in PLANES[p]])
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(c) for c in _plane(p)])
         total = total + F.when(_dot(emb, plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return total
 
@@ -323,7 +326,7 @@ SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 """
 
 
-def _ivf_cells(e: DataFrame) -> DataFrame:
+def _ivf_cells(e: DataFrame, k: int = IVF_K) -> DataFrame:
     """(vec_id, embedding, cell): every vector assigned to its nearest
     codebook cell. The codebook is a FIXED-SIZE (IVF_K) deterministic
     sample of corpus vectors — the k smallest LCG-hash(vec_id) values —
@@ -342,7 +345,7 @@ def _ivf_cells(e: DataFrame) -> DataFrame:
                       F.transform("embedding",
                                   lambda x: x.cast("double")).alias("c_vals"),
                       seed_h.alias("h"))
-             .orderBy("h", "cell").limit(IVF_K).drop("h"))
+             .orderBy("h", "cell").limit(k).drop("h"))
     # one tiny row (IVF_K structs); checkpoint so the seed top-k scan
     # runs once instead of once per branch (cells, query-side broadcast)
     cent_one = seeds.agg(
@@ -844,8 +847,23 @@ SELECT c.vec_id, c.cell, d.dup_of,
        (d.dup_of IS NOT NULL) AS is_dup
 FROM cells c LEFT JOIN dups d ON d.vid = c.vec_id
 """)
-def q139_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cells = _ivf_cells(load_table(spark, sf_dir, "embeddings"))
+def q139_semantic_dedup(spark: SparkSession, sf_dir: str,
+                        k: int = IVF_K,
+                        split_planes: int = 0) -> DataFrame:
+    # Parameterized for the corpus-growth rule: SemDeDup is O(N^2/cells)
+    # so the cell count must scale with N. Raising k alone makes
+    # assignment O(N*k*DIM) — measured WORSE at x10 (12.8x) than the
+    # fixed-k baseline (7.0x). The production shape is a TWO-LEVEL
+    # quantizer: keep the k=64 coarse argmin and subdivide each cell by
+    # `split_planes` LSH sign bits — O(N*P*DIM) extra assignment cost
+    # for 2^P-times-finer cells (SCALE.md measures split_planes=4 at
+    # x10). Defaults keep the oracle twin exact.
+    cells = _ivf_cells(load_table(spark, sf_dir, "embeddings"), k=k)
+    if split_planes:
+        cells = cells.select(
+            "vec_id", "embedding",
+            (F.col("cell") * (1 << split_planes)
+             + _bucket(F.col("embedding"), split_planes)).alias("cell"))
     a = cells.select(F.col("vec_id").alias("a_id"),
                      F.col("embedding").alias("a_emb"), "cell")
     b = cells.select(F.col("vec_id").alias("vid"),
@@ -898,10 +916,15 @@ SELECT vec_id, true_label, pred_label, votes,
        (pred_label = true_label) AS correct
 FROM best WHERE r = 1
 """)
-def q141_knn_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q141_knn_label_prop(spark: SparkSession, sf_dir: str,
+                        n_planes: int = N_PLANES) -> DataFrame:
+    # n_planes parameterized for the corpus-growth rule (planes grow
+    # with log(corpus) so per-bucket occupancy — and the neighbor-join
+    # fan-out — stays flat; SCALE.md measures the scaled variant at
+    # x10). The default keeps the oracle twin exact.
     e = load_table(spark, sf_dir, "embeddings")
     b = e.select("vec_id", "label", "embedding",
-                 _bucket(F.col("embedding")).alias("bucket"))
+                 _bucket(F.col("embedding"), n_planes).alias("bucket"))
     t = b.select(F.col("vec_id").alias("t_id"),
                  F.col("label").alias("true_label"),
                  F.col("embedding").alias("t_emb"), "bucket")

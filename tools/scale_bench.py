@@ -152,6 +152,40 @@ def main() -> None:
         results[name] = row
         print(f"# {name}: x1={row['x1']}s x10={row['x10']}s "
               f"factor={row['factor']}", file=sys.stderr, flush=True)
+    # corpus-growth-rule demos: the two ops whose fixed parameter makes
+    # them super-linear at x10 (q139: SemDeDup pairwise is O(N^2/k);
+    # q141: fixed bucket count grows occupancy linearly). Rerun each at
+    # x10 with the parameter scaled by the documented rule (k x10;
+    # +log2(10)~3 planes) and report x10-scaled vs x1-default — the
+    # factor a production deployment following the rule would see.
+    from oanda_stream_processor_spark.operators import similarity as _sim
+    variants = {
+        "q139_semantic_dedup@split16":
+            (results.get("q139_semantic_dedup"),
+             lambda sp, d: _sim.q139_semantic_dedup(sp, d, split_planes=4)),
+        "q141_knn_label_prop@planes9":
+            (results.get("q141_knn_label_prop"),
+             lambda sp, d: _sim.q141_knn_label_prop(sp, d, n_planes=9)),
+    }
+    for vname, (base_row, vfn) in variants.items():
+        if not base_row or "x1" not in base_row:
+            continue
+        try:
+            times = []
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                vfn(spark, X10_DIR).write.format("noop")                     .mode("overwrite").save()
+                times.append(time.perf_counter() - t0)
+            x10s = round(min(times), 3)
+            results[vname] = {
+                "x1": base_row["x1"], "x10": x10s,
+                "factor": round(x10s / base_row["x1"], 2)}
+            print(f"# {vname}: x1(default)={base_row['x1']}s "
+                  f"x10(scaled)={x10s}s factor={results[vname]['factor']}",
+                  file=sys.stderr, flush=True)
+        except Exception as exc:
+            results[vname] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+
     print(json.dumps({"metric": "full_suite_scaleup", "runs": RUNS,
                       "sf_dir": SF_DIR, "queries": results}))
     spark.stop()
