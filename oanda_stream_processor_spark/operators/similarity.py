@@ -1050,3 +1050,121 @@ def q145_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", n.alias("n_overlap"),
                     ((num - num % TOP_K) / TOP_K).cast("bigint")
                     .alias("recall_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# q147 — IVF-PQ composed ANN (the FAISS IVFPQ layout, completing the
+# index matrix: IVF q56, SQ q88, IVF-SQ q92, PQ q128, IVF-PQ here):
+# the coarse quantizer prunes the search to the query's cell, and
+# within the cell candidates are scored by PQ asymmetric distance —
+# per query an 8x16 LUT, per candidate a fold over its 8 codes. At
+# 100 TB this is the production layout for billion-scale search: cells
+# partition the corpus (cell id = partition key), the in-cell scan
+# reads CODES ONLY (32x less than float32), and the entire quantizer
+# state (64 coarse seeds + 8x16 codewords + query LUTs) is broadcast.
+# ---------------------------------------------------------------------------
+_Q147_SQL = f"""
+WITH seeds AS ({_SQL_SEEDS}),
+assigned AS ({_SQL_ASSIGN}),
+m8 AS (SELECT UNNEST(RANGE({PQ_M})) AS m),
+d8 AS (SELECT UNNEST(RANGE({PQ_SUB})) AS d),
+pq_seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY (vec_id * 1103515245 + 12345)
+                            % 2147483648, vec_id) - 1 AS j,
+         LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS vals
+  FROM embeddings
+  ORDER BY (vec_id * 1103515245 + 12345) % 2147483648, vec_id
+  LIMIT {PQ_KS}),
+initcb AS (
+  SELECT m.m, s.j, (s.vals)[m.m * {PQ_SUB} + 1 : m.m * {PQ_SUB} + {PQ_SUB}]
+           AS cw
+  FROM pq_seeds s CROSS JOIN m8 m),
+sub AS (
+  SELECT e.vec_id, m.m,
+         (LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE)))
+           [m.m * {PQ_SUB} + 1 : m.m * {PQ_SUB} + {PQ_SUB}] AS sv
+  FROM embeddings e CROSS JOIN m8 m),
+passigned AS (
+  SELECT vec_id, m, j, sv FROM (
+    SELECT s.vec_id, s.m, c.j, s.sv,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+             ORDER BY ROUND({_SQL_SUBD2.format(n=PQ_SUB, a='s.sv', b='c.cw')}, 6),
+                      c.j) AS rn
+    FROM sub s JOIN initcb c ON c.m = s.m) WHERE rn = 1),
+upd AS (
+  SELECT a.m, a.j, d.d,
+         ROUND(CAST(SUM(CAST((a.sv)[d.d + 1] AS DECIMAL(30,12))) / COUNT(*)
+                    AS DOUBLE), 6) AS cwv
+  FROM passigned a CROSS JOIN d8 d GROUP BY a.m, a.j, d.d),
+refined AS (
+  SELECT i.m, i.j, COALESCE(u.cw, i.cw) AS cw
+  FROM initcb i LEFT JOIN
+    (SELECT m, j, LIST(cwv ORDER BY d) AS cw FROM upd GROUP BY m, j) u
+    ON u.m = i.m AND u.j = i.j),
+codes AS (
+  SELECT vec_id, LIST(j ORDER BY m) AS code FROM (
+    SELECT s.vec_id, s.m, r.j,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+             ORDER BY ROUND({_SQL_SUBD2.format(n=PQ_SUB, a='s.sv', b='r.cw')}, 6),
+                      r.j) AS rn
+    FROM sub s JOIN refined r ON r.m = s.m) WHERE rn = 1
+  GROUP BY vec_id),
+luts AS (
+  SELECT q.vec_id AS query_id, q.m, r.j,
+         ROUND({_SQL_SUBD2.format(n=PQ_SUB, a='q.sv', b='r.cw')}, 6) AS dd
+  FROM sub q JOIN refined r ON r.m = q.m WHERE q.vec_id < {N_QUERIES}),
+lutp AS (
+  SELECT query_id, LIST(dl ORDER BY m) AS lut FROM
+    (SELECT query_id, m, LIST(dd ORDER BY j) AS dl FROM luts
+     GROUP BY query_id, m) GROUP BY query_id),
+scored AS (
+  SELECT l.query_id, c.vec_id AS cand_id,
+         ROUND(LIST_AGGREGATE(LIST_TRANSFORM(RANGE({PQ_M}),
+           m -> (l.lut)[m + 1][(c.code)[m + 1] + 1]), 'sum'), 6) AS d2
+  FROM lutp l
+  JOIN assigned qa ON qa.vec_id = l.query_id
+  JOIN assigned ca ON ca.cell = qa.cell AND ca.vec_id <> l.query_id
+  JOIN codes c ON c.vec_id = ca.vec_id),
+ranked AS (
+  SELECT query_id, cand_id, d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY d2, cand_id) AS rank
+  FROM scored)
+SELECT query_id, cand_id, d2, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@query("q147_ann_ivf_pq", _Q147_SQL)
+def q147_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cells = _ivf_cells(e)                 # (vec_id, embedding, cell)
+    cb_one = _pq_refined_codebook(e)      # 1-row broadcast codebook
+    code = F.expr(
+        f"transform(sequence(0, {PQ_M - 1}), m -> array_min(transform("
+        "filter(cb, c -> c.m = m), c -> struct(round(aggregate(zip_with("
+        f"transform(slice(embedding, m * {PQ_SUB} + 1, {PQ_SUB}), "
+        "x -> cast(x as double)), c.cw, (x, y) -> (x - y) * (x - y)), "
+        "cast(0 as double), (acc, x) -> acc + x), 6) AS d2r, c.j AS j))).j)")
+    codes = (cells.crossJoin(F.broadcast(cb_one))
+             .select("vec_id", "cell", code.alias("code")))
+    lut = F.expr(
+        f"transform(sequence(0, {PQ_M - 1}), m -> transform("
+        "filter(cb, c -> c.m = m), c -> round(aggregate(zip_with("
+        f"transform(slice(embedding, m * {PQ_SUB} + 1, {PQ_SUB}), "
+        "x -> cast(x as double)), c.cw, (x, y) -> (x - y) * (x - y)), "
+        "cast(0 as double), (acc, x) -> acc + x), 6)))")
+    q = (cells.where(F.col("vec_id") < N_QUERIES)
+         .crossJoin(F.broadcast(cb_one))
+         .select(F.col("vec_id").alias("query_id"), "cell",
+                 lut.alias("lut")))
+    adc = F.expr(
+        f"round(aggregate(sequence(0, {PQ_M - 1}), cast(0 as double), "
+        "(acc, m) -> acc + element_at(element_at(lut, m + 1), "
+        "element_at(code, m + 1) + 1)), 6)")
+    scored = (codes.join(F.broadcast(q), "cell")
+              .where(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", F.col("vec_id").alias("cand_id"),
+                      adc.alias("d2")))
+    wr = W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cand_id"))
+    return (scored.withColumn("rank", F.row_number().over(wr))
+                  .where(F.col("rank") <= TOP_K))

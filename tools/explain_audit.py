@@ -316,6 +316,12 @@ def main() -> int:
     q146 = dedup.q146_graph_triangles(spark, SF)
     check("q146 no cartesian", q146, count_of=("CartesianProduct", 0, 0))
 
+    # q147: IVF-PQ — candidate scan joins the broadcast query/LUT frame
+    # on the cell id; codebook + centroids ride broadcasts, no cartesian
+    q147 = similarity.q147_ann_ivf_pq(spark, SF)
+    check("q147 no cartesian", q147, count_of=("CartesianProduct", 0, 0))
+    check("q147 broadcast probe", q147, contains=["BroadcastHashJoin"])
+
     if failures:
         print("\n".join("AUDIT FAIL: " + f for f in failures))
         return 1
