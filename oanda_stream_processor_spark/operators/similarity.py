@@ -1168,3 +1168,93 @@ def q147_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     wr = W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cand_id"))
     return (scored.withColumn("rank", F.row_number().over(wr))
                   .where(F.col("rank") <= TOP_K))
+
+
+# ---------------------------------------------------------------------------
+# q148 — multi-probe IVF (nprobe=2): q56's cell-pruned search, but each
+# query probes its NPROBE nearest cells instead of one. This is THE
+# recall/cost knob of every IVF deployment: cell-boundary neighbors —
+# the vectors single-probe misses — come back at ~nprobe x the in-cell
+# scan cost. Candidates stay single-cell-assigned (the index is
+# unchanged); only the query fans out.
+#
+# Scale: the query side explodes to nprobe rows (tiny — queries are a
+# sample), the candidate scan stays the broadcast-probe equi-join on
+# the cell id, and cost is nprobe x the q56 scan — linear in the knob,
+# which is exactly the tradeoff the operator exists to expose.
+# ---------------------------------------------------------------------------
+NPROBE = 2
+
+_SQL_QCELLS = f"""
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY ROUND({_SQL_D2.format(n=DIM)}, 6),
+                      c.cell) AS rn
+    FROM embeddings e CROSS JOIN seeds c
+    WHERE e.vec_id < {N_QUERIES}) WHERE rn <= {NPROBE}
+"""
+
+@query("q148_ann_ivf_multiprobe", f"""
+WITH seeds AS ({_SQL_SEEDS}),
+assigned AS ({_SQL_ASSIGN}),
+cells AS (
+  SELECT e.vec_id, e.embedding, a.cell
+  FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id),
+qcells AS ({_SQL_QCELLS}),
+q AS (
+  SELECT e.vec_id AS query_id, e.embedding AS q_emb, qc.cell
+  FROM embeddings e JOIN qcells qc ON qc.vec_id = e.vec_id),
+scored AS (
+  SELECT query_id, c.vec_id AS cand_id,
+         ROUND({sql_cosine('q_emb', 'c.embedding')}, 6) AS cosine
+  FROM q JOIN cells c ON c.cell = q.cell AND c.vec_id <> query_id),
+ranked AS (
+  SELECT query_id, cand_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored)
+SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+""")
+def q148_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cells = _ivf_cells(e)
+    # query-side nprobe cells: score all seeds per query (the same
+    # broadcast-codebook expression as assignment) and keep the NPROBE
+    # smallest (d2, cell) — an explode of the tiny query set only
+    seed_h = (F.col("vec_id") * F.lit(1103515245) + F.lit(12345)) \
+        % F.lit(2147483648)
+    seeds = (e.select(F.col("vec_id").alias("cell"),
+                      F.transform("embedding",
+                                  lambda x: x.cast("double")).alias("c_vals"),
+                      seed_h.alias("h"))
+             .orderBy("h", "cell").limit(IVF_K).drop("h"))
+    cent_one = seeds.agg(
+        F.array_sort(F.collect_list(F.struct("cell", "c_vals"))).alias("cents"))
+
+    def _d2(c_vals) -> F.Column:
+        return F.aggregate(
+            F.zip_with(F.col("embedding"), c_vals,
+                       lambda x, y: (x.cast("double") - y)
+                                    * (x.cast("double") - y)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    scored_cells = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(F.round(_d2(c["c_vals"]), 6).alias("d2r"),
+                           c["cell"].alias("cell")))
+    probed = F.slice(F.array_sort(scored_cells), 1, NPROBE)
+    q = (e.where(F.col("vec_id") < N_QUERIES)
+         .crossJoin(F.broadcast(cent_one))
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb"),
+                 F.explode(probed).alias("pc"))
+         .select("query_id", "q_emb", F.col("pc.cell").alias("cell")))
+    scored = (cells.join(F.broadcast(q), "cell")
+              .where(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", F.col("vec_id").alias("cand_id"),
+                      F.round(_cosine(F.col("q_emb"), F.col("embedding")), 6)
+                       .alias("cosine")))
+    wr = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (scored.withColumn("rank", F.row_number().over(wr))
+                  .where(F.col("rank") <= TOP_K))

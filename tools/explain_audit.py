@@ -322,6 +322,12 @@ def main() -> int:
     check("q147 no cartesian", q147, count_of=("CartesianProduct", 0, 0))
     check("q147 broadcast probe", q147, contains=["BroadcastHashJoin"])
 
+    # q148: multi-probe fans out only the query side; candidate scan is
+    # still the broadcast-probe equi-join on the cell id
+    q148 = similarity.q148_ann_ivf_multiprobe(spark, SF)
+    check("q148 no cartesian", q148, count_of=("CartesianProduct", 0, 0))
+    check("q148 broadcast probe", q148, contains=["BroadcastHashJoin"])
+
     if failures:
         print("\n".join("AUDIT FAIL: " + f for f in failures))
         return 1
