@@ -382,3 +382,37 @@ def q134_ohlc_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("close", ignorenulls=True).over(w).alias("filled_close"),
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.col("cb").isNull().alias("is_gap"))
+
+
+# ---------------------------------------------------------------------------
+# q149 — VARIANT semi-structured path (Spark 4 parse_json/variant_get):
+# event props parse ONCE into the binary Variant encoding and every
+# extraction afterwards is a typed path read — no per-access JSON
+# re-parse. At 100 TB this is the difference between storing raw JSON
+# strings (q27's get_json_object re-parses per expression) and an
+# open-format shredded column: parse cost is paid at ingest, reads are
+# offset lookups, and the column stays schema-flexible. One
+# map-side-combinable groupBy; integer outputs, no rounding hazards.
+# ---------------------------------------------------------------------------
+@query("q149_variant_props", """
+WITH ev AS (SELECT event_type, CAST(json_extract(props, '$.k') AS INTEGER)
+              AS k FROM events)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(k) AS n_with_k,
+       SUM(CAST(k AS BIGINT)) AS sum_k,
+       COUNT(DISTINCT k) AS n_distinct_k,
+       MIN(k) AS min_k, MAX(k) AS max_k
+FROM ev GROUP BY event_type
+""")
+def q149_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (ev.select("event_type", k.alias("k"))
+              .groupBy("event_type")
+              .agg(F.count("*").alias("n_events"),
+                   F.count("k").alias("n_with_k"),
+                   F.sum(F.col("k").cast("bigint")).alias("sum_k"),
+                   F.countDistinct("k").alias("n_distinct_k"),
+                   F.min("k").alias("min_k"),
+                   F.max("k").alias("max_k")))
