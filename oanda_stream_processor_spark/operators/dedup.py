@@ -981,7 +981,8 @@ deg AS (
     SELECT doc_a AS node FROM pairs
     UNION ALL SELECT doc_b FROM pairs) GROUP BY node),
 w AS (
-  SELECT COUNT(*) AS n_nodes, SUM(d * (d - 1) / 2) AS n_wedges FROM deg),
+  SELECT COUNT(*) AS n_nodes,
+         SUM(CAST(d * (d - 1) / 2 AS BIGINT)) AS n_wedges FROM deg),
 e AS (SELECT COUNT(*) AS n_edges FROM pairs)
 SELECT w.n_nodes, e.n_edges, tri.n_triangles,
        CAST(w.n_wedges AS BIGINT) AS n_wedges,
@@ -1000,8 +1001,12 @@ def q146_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = (pairs.select(F.col("doc_a").alias("node"))
            .unionAll(pairs.select(F.col("doc_b").alias("node")))
            .groupBy("node").agg(F.count("*").alias("d")))
+    # per-node wedge count cast to bigint BEFORE the sum (d*(d-1) is
+    # even, so the /2 is exact and the cast truncates nothing): the sum
+    # accumulates integers, never doubles — no ulp hazard when a hub
+    # node's d*(d-1)/2 exceeds 2^53 at corpus scale
     w = deg.agg(F.count("*").alias("n_nodes"),
-                F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint")
+                F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("bigint"))
                  .alias("n_wedges"))
     e = pairs.agg(F.count("*").alias("n_edges"))
     j = w.crossJoin(F.broadcast(e)).crossJoin(F.broadcast(tri))
