@@ -263,3 +263,33 @@ def test_q146_clique_and_edge(spark, tmp_path_factory):
     # wedges: clique nodes contribute C(2,2)=1 each (3), lone-edge nodes 0
     assert r.n_wedges == 3
     assert r.global_cc_ppm == 1_000_000
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(min_value=0, max_value=3 * COMPACT_TARGET),
+                min_size=1, max_size=12))
+def test_q140_property_time_locality(spark, tmp_path_factory, sizes):
+    """For ANY fragment-size sequence: the plan conserves fragments,
+    and per type the planned files cover disjoint, ordered day ranges
+    (compaction must never interleave time — the property q91/q98's
+    skipping effectiveness depends on)."""
+    rows = [(i, f"2024-01-{i + 1:02d} 00:00:00", 1, "t", 1.0, "x" * n)
+            for i, n in enumerate(sizes)]
+    d = tmp_path_factory.mktemp("prop140")
+    (spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, "
+              "event_type string, value double, props string")
+     .withColumn("ts", F.to_timestamp("ts"))
+     .write.parquet(str(d / "events.parquet")))
+    out = sorted(q140_compaction_plan(spark, str(d)).collect(),
+                 key=lambda r: r.file_id)
+    assert sum(r.n_frags for r in out) == len(sizes)
+    for a, b in zip(out, out[1:]):
+        assert a.max_day < b.min_day   # disjoint, ordered time ranges
+    # file ids are non-decreasing in byte offset: recompute the rule
+    total = sum(r.file_bytes for r in out)
+    assert total == sum(n + 32 for n in sizes)
