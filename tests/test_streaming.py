@@ -490,3 +490,26 @@ def test_ohlc_checkpoint_restart_no_lost_or_dup_candles(spark, tmp_path):
     # no duplicate (window, instrument) rows in the raw parquet either
     df = spark.read.parquet(out)
     assert df.count() == df.select("window_start", "instrument").distinct().count()
+
+
+def test_ohlc_trigger_split_invariance(spark, tick_capture, tmp_path):
+    """Stateful candle aggregation must not depend on micro-batch
+    boundaries: the same capture split across 3 files and processed
+    one-file-per-trigger (forcing incremental state updates) yields
+    byte-identical candles to the single-batch run."""
+    from oanda_stream_processor_spark.sources.ndjson import read_ticks
+    lines = open(tick_capture).read().splitlines()
+    src = tmp_path / "split"
+    src.mkdir()
+    third = max(1, len(lines) // 3)
+    for i in range(3):
+        chunk = lines[i * third:(i + 1) * third if i < 2 else len(lines)]
+        (src / f"part{i}.ndjson").write_text("\n".join(chunk) + "\n")
+    batch = ohlc_candles(read_ticks(spark, tick_capture))
+    stream = ohlc_candles(
+        build_stream(spark, str(src), max_files_per_trigger=1),
+        watermark="0 seconds")
+    out = _run_to_memory(spark, stream, f"t{uuid.uuid4().hex[:8]}",
+                         mode="complete")
+    assert sorted(map(tuple, batch.collect())) == \
+        sorted(map(tuple, out.collect()))
