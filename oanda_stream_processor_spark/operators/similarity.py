@@ -326,19 +326,13 @@ SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 """
 
 
-def _ivf_cells(e: DataFrame, k: int = IVF_K) -> DataFrame:
-    """(vec_id, embedding, cell): every vector assigned to its nearest
-    codebook cell. The codebook is a FIXED-SIZE (IVF_K) deterministic
-    sample of corpus vectors — the k smallest LCG-hash(vec_id) values —
-    so assignment cost is O(rows * IVF_K * DIM) regardless of corpus
-    size (round-5 label-vocabulary codebook grew with the corpus; this
-    one cannot). Coarse quantizer as broadcast state: the k seeds are
-    packed into ONE row of (cell, vals) structs and
-    nested-loop-broadcast onto the embeddings; each row computes its
-    distance to every seed with zip_with/aggregate inside codegen
-    and takes the argmin with a struct array_min — no posexplode, so the
-    pre-assignment row count stays N instead of N x DIM x IVF_K.
-    Returns an eagerly checkpointed frame (shared by query/cand sides)."""
+def _ivf_centroids(e: DataFrame, k: int = IVF_K) -> DataFrame:
+    """ONE-row broadcastable coarse-quantizer state: the k seeds packed
+    as an array of (cell, c_vals) structs. The codebook is a FIXED-SIZE
+    deterministic sample of corpus vectors — the k smallest
+    LCG-hash(vec_id) values — so it never grows with the corpus.
+    Eagerly checkpointed: the seed top-k scan runs once, every consumer
+    (batch assignment, streaming micro-batches) broadcasts the result."""
     seed_h = (F.col("vec_id") * F.lit(1103515245) + F.lit(12345)) \
         % F.lit(2147483648)
     seeds = (e.select(F.col("vec_id").alias("cell"),
@@ -346,12 +340,17 @@ def _ivf_cells(e: DataFrame, k: int = IVF_K) -> DataFrame:
                                   lambda x: x.cast("double")).alias("c_vals"),
                       seed_h.alias("h"))
              .orderBy("h", "cell").limit(k).drop("h"))
-    # one tiny row (IVF_K structs); checkpoint so the seed top-k scan
-    # runs once instead of once per branch (cells, query-side broadcast)
-    cent_one = seeds.agg(
+    return seeds.agg(
         F.array_sort(F.collect_list(F.struct("cell", "c_vals"))).alias("cents")) \
         .localCheckpoint(eager=True)
 
+
+def _assign_cells(df: DataFrame, cent_one: DataFrame) -> DataFrame:
+    """Append the nearest-cell id to (vec_id, embedding) rows: the
+    centroid row is nested-loop-broadcast and each row computes its
+    distance to every seed with zip_with/aggregate inside codegen,
+    taking the argmin with a struct array_min — no posexplode, so the
+    row count stays N instead of N x DIM x k."""
     def _d2(c_vals) -> F.Column:
         # sequential double fold in index order — bit-identical to the
         # oracle's LIST_AGGREGATE sum (no groupBy, so order is fixed;
@@ -363,17 +362,23 @@ def _ivf_cells(e: DataFrame, k: int = IVF_K) -> DataFrame:
                                     * (x.cast("double") - y)),
             F.lit(0.0), lambda acc, x: acc + x)
 
-    # argmin by (round(d2,6), label) == the oracle's ROW_NUMBER ordering
+    # argmin by (round(d2,6), cell) == the oracle's ROW_NUMBER ordering
     scored_cells = F.transform(
         F.col("cents"),
         lambda c: F.struct(F.round(_d2(c["c_vals"]), 6).alias("d2r"),
                            c["cell"].alias("cell")))
-
-    # assignment runs ONCE (checkpointed); consumers filter/join it
-    return (e.crossJoin(F.broadcast(cent_one))
+    return (df.crossJoin(F.broadcast(cent_one))
             .select("vec_id", "embedding",
-                    F.array_min(scored_cells)["cell"].alias("cell"))
-            .localCheckpoint(eager=True))
+                    F.array_min(scored_cells)["cell"].alias("cell")))
+
+
+def _ivf_cells(e: DataFrame, k: int = IVF_K) -> DataFrame:
+    """(vec_id, embedding, cell): every vector assigned to its nearest
+    codebook cell (see _ivf_centroids/_assign_cells). Returns an
+    eagerly checkpointed frame (assignment runs ONCE; the query and
+    candidate branches both read the materialization)."""
+    return _assign_cells(e, _ivf_centroids(e, k)) \
+        .localCheckpoint(eager=True)
 
 
 @query("q56_ann_ivf", _Q56_SQL)

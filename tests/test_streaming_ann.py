@@ -1,0 +1,77 @@
+"""Streaming incremental ANN (streaming/annsearch.py): micro-batched
+query vectors against a static IVF index must produce exactly the
+batch-path answer, independent of how the queries are split into
+triggers."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from oanda_stream_processor_spark.operators.similarity import (
+    _ivf_cells,
+    _ivf_centroids,
+)
+from oanda_stream_processor_spark.streaming.annsearch import (
+    batch_topk_against_index,
+    run_ann_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def index(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    return _ivf_cells(e), _ivf_centroids(e)
+
+
+@pytest.fixture(scope="module")
+def query_files(spark, tmp_path_factory):
+    """6 query vectors (copies of corpus vectors under fresh ids) as 3
+    NDJSON files of 2 — forcing multiple micro-batches."""
+    rows = (spark.read.parquet(f"{SF}/embeddings.parquet")
+            .orderBy("vec_id").limit(6).collect())
+    d = tmp_path_factory.mktemp("annq")
+    for i in range(3):
+        with open(d / f"q{i}.json", "w") as fh:
+            for j, r in enumerate(rows[2 * i:2 * i + 2]):
+                fh.write(json.dumps(
+                    {"vec_id": 100_000 + 2 * i + j,
+                     "embedding": [float(x) for x in r.embedding]}) + "\n")
+    return str(d), rows
+
+
+def test_stream_ann_matches_batch(spark, index, query_files, tmp_path):
+    index_cells, cent_one = index
+    qdir, rows = query_files
+    schema = "vec_id bigint, embedding array<float>"
+
+    batch_q = spark.read.schema(schema).json(qdir)
+    expected = sorted(map(tuple, batch_topk_against_index(
+        batch_q, index_cells, cent_one).collect()))
+
+    got = []
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).json(qdir))
+    q = run_ann_stream(
+        stream, index_cells, cent_one,
+        lambda df, bid: got.extend(map(tuple, df.collect())),
+        checkpoint=str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    assert sorted(got) == expected
+    assert len(expected) > 0
+    # a query that IS a corpus vector must rank that vector first
+    # (cosine 1.0 with the smallest cand_id tiebreak)
+    by_query = {}
+    for t in expected:
+        by_query.setdefault(t[0], []).append(t)
+    first_query = 100_000
+    top = min(by_query[first_query], key=lambda t: t[3])
+    assert top[2] == 1.0                 # cosine with its own copy
+    assert top[1] == rows[0].vec_id      # the original corpus vector
