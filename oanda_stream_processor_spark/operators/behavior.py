@@ -227,7 +227,8 @@ flagged AS (
               THEN 1 ELSE 0 END AS keep
   FROM seq)
 SELECT event_type, COUNT(*) AS n_events,
-       SUM(keep) AS n_kept, COUNT(*) - SUM(keep) AS n_dropped
+       CAST(SUM(keep) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) - SUM(keep) AS BIGINT) AS n_dropped
 FROM flagged GROUP BY event_type
 """)
 def q131_event_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -270,11 +271,11 @@ qi AS (
 per_type AS (
   SELECT event_type,
          COUNT(*) AS n_classes,
-         SUM(CASE WHEN class_size < {K_ANON} THEN 1 ELSE 0 END)
-           AS n_small_classes,
-         SUM(class_size) AS n_events,
-         SUM(CASE WHEN class_size < {K_ANON} THEN class_size ELSE 0 END)
-           AS n_risky_events
+         CAST(SUM(CASE WHEN class_size < {K_ANON} THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_small_classes,
+         CAST(SUM(class_size) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN class_size < {K_ANON} THEN class_size ELSE 0 END)
+           AS BIGINT) AS n_risky_events
   FROM qi GROUP BY event_type)
 SELECT event_type, n_classes, n_small_classes, n_events, n_risky_events,
        CAST((CAST(n_risky_events AS DECIMAL(38,0)) * 1000000
@@ -342,9 +343,10 @@ lat AS (
               ELSE seen_max - t END AS late_s
   FROM seq)
 SELECT event_type, COUNT(*) AS n_events,
-       SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS n_out_of_order,
-       SUM(CASE WHEN late_s > {LATE_THRESHOLD_S} THEN 1 ELSE 0 END)
-         AS n_beyond_watermark,
+       CAST(SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_out_of_order,
+       CAST(SUM(CASE WHEN late_s > {LATE_THRESHOLD_S} THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_beyond_watermark,
        MAX(late_s) AS max_late_s,
        CAST((SUM(late_s) - SUM(late_s) % COUNT(*)) / COUNT(*) AS BIGINT)
          AS avg_late_s_floor

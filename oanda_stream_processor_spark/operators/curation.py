@@ -190,9 +190,10 @@ c AS (SELECT doc_id, lang, n_tokens,
                                  ROWS UNBOUNDED PRECEDING) AS cum
       FROM t)
 SELECT lang,
-       (cum - n_tokens) // {PACK_BUDGET} AS pack_id,
+       CAST(((cum - n_tokens) - (cum - n_tokens) % {PACK_BUDGET})
+            / {PACK_BUDGET} AS BIGINT) AS pack_id,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS pack_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
        ROUND(SUM(n_tokens) / CAST({PACK_BUDGET} AS DOUBLE), 4) AS fill_rate
 FROM c GROUP BY lang, pack_id
 """)

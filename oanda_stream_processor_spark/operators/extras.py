@@ -387,7 +387,7 @@ zvals AS (
            (((nck >> i) & 1) << (2 * i + 1)) + (((ndd >> i) & 1) << (2 * i))),
            'sum') AS z
   FROM norm)
-SELECT z >> {2 * Z_BITS - Z_BUCKETS_LOG2} AS z_bucket,
+SELECT CAST(z >> {2 * Z_BITS - Z_BUCKETS_LOG2} AS BIGINT) AS z_bucket,
        COUNT(*) AS n_rows,
        MIN(ck) AS ck_min, MAX(ck) AS ck_max,
        MIN(dd) AS dd_min, MAX(dd) AS dd_max
@@ -523,9 +523,9 @@ norm AS (
   FROM dims CROSS JOIN stats),
 zvals AS (
   SELECT ck, dd,
-         LIST_AGGREGATE(LIST_TRANSFORM(RANGE({Z_BITS}), i ->
+         CAST(LIST_AGGREGATE(LIST_TRANSFORM(RANGE({Z_BITS}), i ->
            (((nck >> i) & 1) << (2 * i + 1)) + (((ndd >> i) & 1) << (2 * i))),
-           'sum') >> {2 * Z_BITS - Z_BUCKETS_LOG2} AS z_bucket
+           'sum') >> {2 * Z_BITS - Z_BUCKETS_LOG2} AS BIGINT) AS z_bucket
   FROM norm),
 env AS (
   SELECT z_bucket, COUNT(*) AS n_rows,
@@ -542,9 +542,11 @@ matches AS (
   WHERE ck BETWEEN {SKIP_CK[0]} AND {SKIP_CK[1]}
     AND dd BETWEEN {SKIP_DD[0]} AND {SKIP_DD[1]})
 SELECT COUNT(*) AS n_buckets,
-       SUM(CASE WHEN must_read THEN 1 ELSE 0 END) AS n_read_buckets,
-       SUM(n_rows) AS rows_total,
-       SUM(CASE WHEN must_read THEN n_rows ELSE 0 END) AS rows_read,
+       CAST(SUM(CASE WHEN must_read THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_read_buckets,
+       CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+       CAST(SUM(CASE WHEN must_read THEN n_rows ELSE 0 END) AS BIGINT)
+         AS rows_read,
        (SELECT n_match FROM matches) AS rows_match,
        ROUND(1.0 - SUM(CASE WHEN must_read THEN n_rows ELSE 0 END)
              / CAST(SUM(n_rows) AS DOUBLE), 6) AS skip_frac
@@ -787,7 +789,7 @@ placed AS (
 SELECT event_type,
        {{idiv}} AS file_id,
        COUNT(*) AS n_frags,
-       SUM(frag_bytes) AS file_bytes,
+       CAST(SUM(frag_bytes) AS BIGINT) AS file_bytes,
        MIN(day) AS min_day, MAX(day) AS max_day
 FROM placed
 GROUP BY event_type, {{idiv}}

@@ -138,7 +138,7 @@ def q109_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q110_source_mix", """
 WITH agg AS (
   SELECT source, lang, COUNT(*) AS n_docs,
-         SUM(n_chars) AS total_chars
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars
   FROM documents GROUP BY source, lang),
 tot AS (SELECT SUM(total_chars) AS corpus_chars FROM agg),
 j AS (
@@ -192,8 +192,10 @@ freq AS (
   FROM h GROUP BY h)
 SELECT s.source,
        COUNT(*) AS n_docs,
-       SUM(CASE WHEN f.n_total > 1 THEN 1 ELSE 0 END) AS n_dup_docs,
-       SUM(CASE WHEN f.n_sources > 1 THEN 1 ELSE 0 END) AS n_cross_source,
+       CAST(SUM(CASE WHEN f.n_total > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       CAST(SUM(CASE WHEN f.n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cross_source,
        CAST((CAST(SUM(CASE WHEN f.n_total > 1 THEN 1 ELSE 0 END)
                   AS DECIMAL(38,0)) * 1000000
              - (CAST(SUM(CASE WHEN f.n_total > 1 THEN 1 ELSE 0 END)
@@ -280,7 +282,8 @@ flagged AS (
   SELECT b.doc_id, b.sh,
          CASE WHEN i.sh IS NULL THEN 1 ELSE 0 END AS novel
   FROM batch b LEFT JOIN index_sh i ON b.sh = i.sh)
-SELECT doc_id, COUNT(*) AS n_shingles, SUM(novel) AS n_novel,
+SELECT doc_id, COUNT(*) AS n_shingles,
+       CAST(SUM(novel) AS BIGINT) AS n_novel,
        CAST((CAST(SUM(novel) AS DECIMAL(38,0)) * 1000000
              - (CAST(SUM(novel) AS DECIMAL(38,0)) * 1000000) % COUNT(*))
             / COUNT(*) AS BIGINT) AS novelty_ppm
@@ -447,7 +450,7 @@ terms AS (
   JOIN ct c USING (token)
   JOIN ns x USING (source)
   CROSS JOIN tot t)
-SELECT source, n_s AS n_tokens, COUNT(*) AS n_distinct,
+SELECT source, CAST(n_s AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct,
        ROUND(SUM(CAST(c_st AS DECIMAL(38,0)) * ln_fp)
              / (n_s * 1000000.0), 6) AS kl_nats
 FROM terms GROUP BY source, n_s
@@ -498,11 +501,13 @@ WITH d AS (
   FROM documents),
 canon AS (SELECT dig, MIN(doc_id) AS keep_id FROM d GROUP BY dig),
 kept AS (
-  SELECT d.source, COUNT(*) AS kept_docs, SUM(d.n_tok) AS kept_tokens
+  SELECT d.source, COUNT(*) AS kept_docs,
+         CAST(SUM(d.n_tok) AS BIGINT) AS kept_tokens
   FROM d JOIN canon c ON d.doc_id = c.keep_id
   GROUP BY d.source),
 tot AS (
-  SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS total_tokens
   FROM d GROUP BY source)
 SELECT t.source, t.n_docs, t.total_tokens,
        COALESCE(k.kept_docs, 0) AS kept_docs,
@@ -676,11 +681,12 @@ truth AS (
          CASE WHEN i.sh IS NOT NULL THEN 1 ELSE 0 END AS true_hit
   FROM hits h LEFT JOIN index_sh i ON h.sh = i.sh)
 SELECT COUNT(*) AS n_probes,
-       SUM(bloom_hit) AS n_bloom_pos,
-       SUM(true_hit) AS n_true_hits,
-       SUM(CASE WHEN bloom_hit = 1 AND true_hit = 0 THEN 1 ELSE 0 END)
-         AS n_false_pos,
-       SUM(CASE WHEN bloom_hit = 0 THEN 1 ELSE 0 END) AS n_filtered,
+       CAST(SUM(bloom_hit) AS BIGINT) AS n_bloom_pos,
+       CAST(SUM(true_hit) AS BIGINT) AS n_true_hits,
+       CAST(SUM(CASE WHEN bloom_hit = 1 AND true_hit = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_false_pos,
+       CAST(SUM(CASE WHEN bloom_hit = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_filtered,
        CAST((SUM(CASE WHEN bloom_hit = 1 AND true_hit = 0 THEN 1 ELSE 0 END)
              * 1000000
              - (SUM(CASE WHEN bloom_hit = 1 AND true_hit = 0
@@ -765,7 +771,8 @@ def q136_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query("q143_mix_reweight", """
 WITH per_src AS (
-  SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars
   FROM documents GROUP BY source),
 bounds AS (
   SELECT MIN(total_chars) AS floor_chars, MAX(total_chars) AS cap_chars

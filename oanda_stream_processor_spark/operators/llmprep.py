@@ -180,7 +180,8 @@ _SQL_KEEP = (f"CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15) "
 @query("q77_stratified_sample", f"""
 SELECT lang,
        COUNT(*) AS n_total,
-       SUM(CASE WHEN {_SQL_KEEP} THEN 1 ELSE 0 END) AS n_sampled,
+       CAST(SUM(CASE WHEN {_SQL_KEEP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sampled,
        ROUND(SUM(CASE WHEN {_SQL_KEEP} THEN 1 ELSE 0 END)
              / CAST(COUNT(*) AS DOUBLE), 4) AS rate
 FROM documents GROUP BY lang
@@ -307,9 +308,9 @@ dec AS (
   FROM w CROSS JOIN scal)
 SELECT lang,
        COUNT(*) AS n_total,
-       SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS n_sampled,
-       SUM(w) AS w_total,
-       SUM(CASE WHEN kept THEN w ELSE 0 END) AS w_sampled
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(SUM(w) AS BIGINT) AS w_total,
+       CAST(SUM(CASE WHEN kept THEN w ELSE 0 END) AS BIGINT) AS w_sampled
 FROM dec GROUP BY lang
 """)
 def q94_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

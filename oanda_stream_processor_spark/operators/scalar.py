@@ -394,20 +394,29 @@ def q134_ohlc_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # offset lookups, and the column stays schema-flexible. One
 # map-side-combinable groupBy; integer outputs, no rounding hazards.
 # ---------------------------------------------------------------------------
+# Version-proofing (round 7): the driver's DuckDB materializes results via
+# pandas, where SUM(BIGINT) -> HUGEINT -> float64 ("3.0" vs Spark's "3":
+# hash mismatch even though fetchall() returns int locally). Outer
+# CAST(... AS BIGINT) pins the dtype on every DuckDB version. Extraction
+# goes through json_extract_string + TRY_CAST (stable across DuckDB's
+# json CAST semantics changes) mirrored by variant_get(...,'string') +
+# try_cast on the Spark side — the q90 _idiv discipline applied to JSON.
 @query("q149_variant_props", """
-WITH ev AS (SELECT event_type, CAST(json_extract(props, '$.k') AS INTEGER)
+WITH ev AS (SELECT event_type,
+              TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
               AS k FROM events)
 SELECT event_type,
        COUNT(*) AS n_events,
        COUNT(k) AS n_with_k,
-       SUM(CAST(k AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(k AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(DISTINCT k) AS n_distinct_k,
        MIN(k) AS min_k, MAX(k) AS max_k
 FROM ev GROUP BY event_type
 """)
 def q149_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    k = F.expr(
+        "try_cast(variant_get(parse_json(props), '$.k', 'string') as int)")
     return (ev.select("event_type", k.alias("k"))
               .groupBy("event_type")
               .agg(F.count("*").alias("n_events"),

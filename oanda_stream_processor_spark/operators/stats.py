@@ -197,9 +197,9 @@ SELECT d.event_type,
        COUNT(*) AS n_events,
        ROUND(d.med, 6) AS med,
        ROUND(a.mad, 6) AS mad,
-       SUM(CASE WHEN ROUND(ABS(d.value - d.med), 6)
+       CAST(SUM(CASE WHEN ROUND(ABS(d.value - d.med), 6)
                      > ROUND(3 * 1.4826 * a.mad, 6)
-                THEN 1 ELSE 0 END) AS n_outliers
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
 FROM dev d JOIN mad a ON d.event_type = a.event_type
 GROUP BY d.event_type, d.med, a.mad
 """)

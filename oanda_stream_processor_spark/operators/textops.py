@@ -452,7 +452,8 @@ tc AS (
 probes AS ({_SQL_CMS_BUCKETS}),
 cms AS (SELECT d, bucket, SUM(c) AS cell FROM probes GROUP BY d, bucket),
 est AS (
-  SELECT p.token, MIN(p.c) AS exact_n, MIN(m.cell) AS est_n
+  SELECT p.token, MIN(p.c) AS exact_n,
+         CAST(MIN(m.cell) AS BIGINT) AS est_n
   FROM probes p JOIN cms m ON m.d = p.d AND m.bucket = p.bucket
   GROUP BY p.token),
 topk AS (

@@ -347,8 +347,9 @@ w AS (
          SUM(1 - is_c) OVER (PARTITION BY nk ORDER BY v
                              RANGE UNBOUNDED PRECEDING) AS cum_s
   FROM u)
-SELECT w.nk AS nation_key, s.n_c AS n_cust, s.n_s AS n_supp,
-       MAX(ABS(w.cum_c * s.n_s - w.cum_s * s.n_c)) AS ks_num,
+SELECT w.nk AS nation_key,
+       CAST(s.n_c AS BIGINT) AS n_cust, CAST(s.n_s AS BIGINT) AS n_supp,
+       CAST(MAX(ABS(w.cum_c * s.n_s - w.cum_s * s.n_c)) AS BIGINT) AS ks_num,
        CAST((MAX(ABS(w.cum_c * s.n_s - w.cum_s * s.n_c)) * 1000000
              - (MAX(ABS(w.cum_c * s.n_s - w.cum_s * s.n_c)) * 1000000)
                % (s.n_c * s.n_s)) / (s.n_c * s.n_s) AS BIGINT) AS ks_ppm
