@@ -982,7 +982,10 @@ deg AS (
     UNION ALL SELECT doc_b FROM pairs) GROUP BY node),
 w AS (
   SELECT COUNT(*) AS n_nodes,
-         SUM(CAST(d * (d - 1) / 2 AS BIGINT)) AS n_wedges FROM deg),
+         SUM(CASE WHEN d % 2 = 0
+                  THEN CAST((d - d % 2) / 2 AS BIGINT) * (d - 1)
+                  ELSE d * CAST(((d - 1) - (d - 1) % 2) / 2 AS BIGINT)
+             END) AS n_wedges FROM deg),
 e AS (SELECT COUNT(*) AS n_edges FROM pairs)
 SELECT w.n_nodes, e.n_edges, tri.n_triangles,
        CAST(w.n_wedges AS BIGINT) AS n_wedges,
@@ -1001,13 +1004,19 @@ def q146_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = (pairs.select(F.col("doc_a").alias("node"))
            .unionAll(pairs.select(F.col("doc_b").alias("node")))
            .groupBy("node").agg(F.count("*").alias("d")))
-    # per-node wedge count cast to bigint BEFORE the sum (d*(d-1) is
-    # even, so the /2 is exact and the cast truncates nothing): the sum
-    # accumulates integers, never doubles — no ulp hazard when a hub
-    # node's d*(d-1)/2 exceeds 2^53 at corpus scale
+    # per-node wedge count d*(d-1)/2 in PURE INTEGER arithmetic: halve
+    # the even factor first (d or d-1; the halving (x - x%2)/2 is exact
+    # in double because a single degree d < 2^53 always), then multiply
+    # as bigint — the PRODUCT may exceed 2^53 for hub nodes (~1.4e8+
+    # degree) where a double d*(d-1)/2 would round pre-cast, and Spark
+    # truncates that double while DuckDB rounds it. Identical spelling
+    # on both engines; the sum accumulates exact bigints.
+    d = F.col("d")
+    half_even = ((d - d % 2) / 2).cast("bigint")
+    half_odd = (((d - 1) - (d - 1) % 2) / 2).cast("bigint")
+    wedge = F.when(d % 2 == 0, half_even * (d - 1)).otherwise(d * half_odd)
     w = deg.agg(F.count("*").alias("n_nodes"),
-                F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("bigint"))
-                 .alias("n_wedges"))
+                F.sum(wedge).alias("n_wedges"))
     e = pairs.agg(F.count("*").alias("n_edges"))
     j = w.crossJoin(F.broadcast(e)).crossJoin(F.broadcast(tri))
     num = 3 * F.col("n_triangles") * 1_000_000

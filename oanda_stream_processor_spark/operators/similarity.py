@@ -24,6 +24,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -372,13 +373,51 @@ def _assign_cells(df: DataFrame, cent_one: DataFrame) -> DataFrame:
                     F.array_min(scored_cells)["cell"].alias("cell")))
 
 
-def _ivf_cells(e: DataFrame, k: int = IVF_K) -> DataFrame:
+# Corpus-growth rule (round 7: DEFAULT, not an opt-in knob). Any
+# cell/bucket-blocked operator has a per-block quadratic (or
+# occupancy-linear) term: with a FIXED block count, 10x data means 10x
+# occupancy and ~100x per-block pair work. The production-safe shape is
+# block count proportional to N. Raising the codebook k alone is the
+# wrong lever (assignment is O(N*k*DIM): measured 12.8x at x10, worse
+# than the fixed-k 7.0x); instead each coarse cell is SUBDIVIDED by
+# `splits` LSH sign planes — O(N*splits*DIM) extra assignment for
+# 2^splits-times-finer cells. The rule below derives `splits` from the
+# corpus row count so average occupancy stays near TARGET_CELL_OCC:
+# splits = ceil(log2(N / (occ * base_cells))), clamped at 0. At the
+# oracle scale factors (N <= 2000 embeddings) the rule yields 0, so
+# every static oracle twin stays hash-exact; at the x10 sweep
+# (N = 20000) it yields 3 and the measured growth factor drops from
+# ~10x to the ~2-3x range (SCALE_SWEEP_r07).
+TARGET_CELL_OCC = 64
+
+
+def _growth_splits(n_rows: int, base_cells: int,
+                   target_occ: int = TARGET_CELL_OCC) -> int:
+    """Extra LSH subdivision planes needed to keep average block
+    occupancy near target_occ for an n_rows corpus over base_cells
+    coarse blocks. 0 whenever the coarse blocks already suffice."""
+    if n_rows <= target_occ * base_cells:
+        return 0
+    return math.ceil(math.log2(n_rows / (target_occ * base_cells)))
+
+
+def _ivf_cells(e: DataFrame, k: int = IVF_K,
+               split_planes: int | None = None) -> DataFrame:
     """(vec_id, embedding, cell): every vector assigned to its nearest
-    codebook cell (see _ivf_centroids/_assign_cells). Returns an
-    eagerly checkpointed frame (assignment runs ONCE; the query and
-    candidate branches both read the materialization)."""
-    return _assign_cells(e, _ivf_centroids(e, k)) \
-        .localCheckpoint(eager=True)
+    codebook cell (see _ivf_centroids/_assign_cells), then subdivided
+    by the corpus-growth rule (split_planes=None derives the LSH
+    subdivision from the row count; pass 0 to pin coarse cells).
+    Returns an eagerly checkpointed frame (assignment runs ONCE; the
+    query and candidate branches both read the materialization)."""
+    if split_planes is None:
+        split_planes = _growth_splits(e.count(), k)
+    cells = _assign_cells(e, _ivf_centroids(e, k))
+    if split_planes:
+        cells = cells.select(
+            "vec_id", "embedding",
+            (F.col("cell") * (1 << split_planes)
+             + _bucket(F.col("embedding"), split_planes)).alias("cell"))
+    return cells.localCheckpoint(eager=True)
 
 
 @query("q56_ann_ivf", _Q56_SQL)
@@ -854,21 +893,17 @@ FROM cells c LEFT JOIN dups d ON d.vid = c.vec_id
 """)
 def q139_semantic_dedup(spark: SparkSession, sf_dir: str,
                         k: int = IVF_K,
-                        split_planes: int = 0) -> DataFrame:
-    # Parameterized for the corpus-growth rule: SemDeDup is O(N^2/cells)
-    # so the cell count must scale with N. Raising k alone makes
-    # assignment O(N*k*DIM) — measured WORSE at x10 (12.8x) than the
-    # fixed-k baseline (7.0x). The production shape is a TWO-LEVEL
-    # quantizer: keep the k=64 coarse argmin and subdivide each cell by
-    # `split_planes` LSH sign bits — O(N*P*DIM) extra assignment cost
-    # for 2^P-times-finer cells (SCALE.md measures split_planes=4 at
-    # x10). Defaults keep the oracle twin exact.
-    cells = _ivf_cells(load_table(spark, sf_dir, "embeddings"), k=k)
-    if split_planes:
-        cells = cells.select(
-            "vec_id", "embedding",
-            (F.col("cell") * (1 << split_planes)
-             + _bucket(F.col("embedding"), split_planes)).alias("cell"))
+                        split_planes: int | None = None) -> DataFrame:
+    # SemDeDup is O(N^2/cells), so the cell count must scale with N.
+    # Raising k alone makes assignment O(N*k*DIM) — measured WORSE at
+    # x10 (12.8x) than the fixed-k baseline. The production shape is a
+    # TWO-LEVEL quantizer: keep the k=64 coarse argmin and subdivide
+    # each cell by LSH sign bits. Round 7: the subdivision count is
+    # DERIVED from the corpus row count by default (_growth_splits —
+    # 0 at oracle scale, so the static twin stays exact; 3 at the x10
+    # sweep). Pass split_planes explicitly to pin a layout.
+    cells = _ivf_cells(load_table(spark, sf_dir, "embeddings"), k=k,
+                       split_planes=split_planes)
     a = cells.select(F.col("vec_id").alias("a_id"),
                      F.col("embedding").alias("a_emb"), "cell")
     b = cells.select(F.col("vec_id").alias("vid"),
@@ -922,12 +957,16 @@ SELECT vec_id, true_label, pred_label, votes,
 FROM best WHERE r = 1
 """)
 def q141_knn_label_prop(spark: SparkSession, sf_dir: str,
-                        n_planes: int = N_PLANES) -> DataFrame:
-    # n_planes parameterized for the corpus-growth rule (planes grow
-    # with log(corpus) so per-bucket occupancy — and the neighbor-join
-    # fan-out — stays flat; SCALE.md measures the scaled variant at
-    # x10). The default keeps the oracle twin exact.
+                        n_planes: int | None = None) -> DataFrame:
+    # Corpus-growth rule ON BY DEFAULT (round 7): planes grow with
+    # log(corpus) so per-bucket occupancy — and the neighbor-join
+    # fan-out — stays flat. n_planes=None derives N_PLANES +
+    # _growth_splits(N, 2^N_PLANES): 6 planes at oracle scale (static
+    # twin exact), 9 at the x10 sweep (the measured ~2x variant).
+    # Pass n_planes explicitly to pin a layout.
     e = load_table(spark, sf_dir, "embeddings")
+    if n_planes is None:
+        n_planes = N_PLANES + _growth_splits(e.count(), 1 << N_PLANES)
     b = e.select("vec_id", "label", "embedding",
                  _bucket(F.col("embedding"), n_planes).alias("bucket"))
     t = b.select(F.col("vec_id").alias("t_id"),
@@ -1223,7 +1262,11 @@ SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 """)
 def q148_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    cells = _ivf_cells(e)
+    # pinned to coarse cells: the multiprobe ranking below scores the
+    # COARSE seeds per query (nprobe nearest coarse cells), so the
+    # candidate join key must be the coarse id — its scale lever is
+    # nprobe/seed count, not LSH subdivision
+    cells = _ivf_cells(e, split_planes=0)
     # query-side nprobe cells: score all seeds per query (the same
     # broadcast-codebook expression as assignment) and keep the NPROBE
     # smallest (d2, cell) — an explode of the tiny query set only

@@ -300,9 +300,10 @@ def q124_arrow_native_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale: one co-partitioned shuffle of each side on the key; each key's
 # two groups must fit in one executor (the cogroup contract) — right
 # for bounded keys like nation; for unbounded keys pre-aggregate to
-# ECDF sketches instead. Int64 bound: ks_num <= n_c*n_s, safe while
-# both group sizes stay under ~3e9 rows (their product under 2^63) —
-# implied by the fit-in-memory contract, stated anyway.
+# ECDF sketches instead. Int64 bound: the oracle's ks_ppm computes
+# ks_num * 1000000 in BIGINT, so the real constraint is
+# n_c * n_s < 2^63 / 1e6 (~9.2e12) — both group sizes under ~3e6
+# rows — implied by the fit-in-memory contract, stated anyway.
 # ---------------------------------------------------------------------------
 def _ks_two_sample(cust: pd.DataFrame, supp: pd.DataFrame) -> pd.DataFrame:
     import numpy as np

@@ -71,10 +71,13 @@ def test_q139_exact_dup_groups(spark, emb_sf):
 def test_q141_majority_vote_and_tiebreak(spark, emb_sf):
     out = {r.vec_id: r for r in q141_knn_label_prop(spark, emb_sf).collect()}
     # vec 2 sits in the axis-0 group (labels 0, 0): neighborhood vote
-    # must overrule its stored label 1
-    if 2 in out and out[2].votes >= 2:
-        assert out[2].pred_label == 0
-        assert not out[2].correct
+    # must overrule its stored label 1 — assert the precondition too so
+    # a fixture drift can't make this pass vacuously
+    assert 2 in out, "fixture drift: vec 2 missing from q141 output"
+    assert out[2].votes >= 2, \
+        "fixture drift: vec 2 lost its axis-0 neighborhood"
+    assert out[2].pred_label == 0
+    assert not out[2].correct
     # every prediction must come from a real label
     labels = {0, 1, 2, 3}
     assert all(r.pred_label in labels for r in out.values())

@@ -152,20 +152,20 @@ def main() -> None:
         results[name] = row
         print(f"# {name}: x1={row['x1']}s x10={row['x10']}s "
               f"factor={row['factor']}", file=sys.stderr, flush=True)
-    # corpus-growth-rule demos: the two ops whose fixed parameter makes
-    # them super-linear at x10 (q139: SemDeDup pairwise is O(N^2/k);
-    # q141: fixed bucket count grows occupancy linearly). Rerun each at
-    # x10 with the parameter scaled by the documented rule (k x10;
-    # +log2(10)~3 planes) and report x10-scaled vs x1-default — the
-    # factor a production deployment following the rule would see.
+    # corpus-growth-rule counterfactuals: since round 7 the rule is the
+    # DEFAULT (q139/q141/IVF derive their block count from the corpus
+    # row count — similarity._growth_splits). These variants re-run the
+    # two formerly super-linear ops with the LEGACY fixed layout pinned
+    # (split_planes=0 / n_planes=6) so the sweep records what the rule
+    # saves: r6 measured ~10x growth for both pinned defaults.
     from oanda_stream_processor_spark.operators import similarity as _sim
     variants = {
-        "q139_semantic_dedup@split16":
+        "q139_semantic_dedup@pinned_coarse":
             (results.get("q139_semantic_dedup"),
-             lambda sp, d: _sim.q139_semantic_dedup(sp, d, split_planes=4)),
-        "q141_knn_label_prop@planes9":
+             lambda sp, d: _sim.q139_semantic_dedup(sp, d, split_planes=0)),
+        "q141_knn_label_prop@pinned_planes6":
             (results.get("q141_knn_label_prop"),
-             lambda sp, d: _sim.q141_knn_label_prop(sp, d, n_planes=9)),
+             lambda sp, d: _sim.q141_knn_label_prop(sp, d, n_planes=6)),
     }
     for vname, (base_row, vfn) in variants.items():
         if not base_row or "x1" not in base_row:
@@ -174,7 +174,8 @@ def main() -> None:
             times = []
             for _ in range(RUNS):
                 t0 = time.perf_counter()
-                vfn(spark, X10_DIR).write.format("noop")                     .mode("overwrite").save()
+                vfn(spark, X10_DIR).write.format("noop") \
+                    .mode("overwrite").save()
                 times.append(time.perf_counter() - t0)
             x10s = round(min(times), 3)
             results[vname] = {
