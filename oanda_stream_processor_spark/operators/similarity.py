@@ -297,11 +297,21 @@ _SQL_SEEDS = f"""
   ORDER BY (vec_id * 1103515245 + 12345) % 2147483648, vec_id
   LIMIT {IVF_K}
 """
+# quantization key for the assignment argmin: FLOOR(d2 * 1e6), not
+# ROUND(d2, 6). floor of one IEEE multiply is computed identically by
+# DuckDB FLOOR, numpy np.floor, and JVM floor from identical input
+# doubles (the sequential fold makes d2 bit-identical across engines),
+# whereas ROUND on doubles goes through two different implementations
+# (DuckDB round-half-away vs Spark BigDecimal HALF_UP) that merely
+# happen to agree — floor removes that version-risk entirely.
+# d2 <= 4 * DIM * max|x|^2 keeps d2 * 1e6 far below 2^53, so the floor
+# lands on an exactly-representable integer.
 _SQL_ASSIGN = f"""
   SELECT vec_id, cell FROM (
     SELECT e.vec_id, c.cell,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                              ORDER BY ROUND({_SQL_D2.format(n=DIM)}, 6),
+                              ORDER BY FLOOR(({_SQL_D2.format(n=DIM)})
+                                             * 1000000),
                                        c.cell) AS rn
     FROM embeddings e CROSS JOIN seeds c) WHERE rn = 1
 """
@@ -327,13 +337,16 @@ SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 """
 
 
-def _ivf_centroids(e: DataFrame, k: int = IVF_K) -> DataFrame:
+def _ivf_centroids(e: DataFrame, k: int = IVF_K,
+                   checkpoint: bool = True) -> DataFrame:
     """ONE-row broadcastable coarse-quantizer state: the k seeds packed
     as an array of (cell, c_vals) structs. The codebook is a FIXED-SIZE
     deterministic sample of corpus vectors — the k smallest
     LCG-hash(vec_id) values — so it never grows with the corpus.
-    Eagerly checkpointed: the seed top-k scan runs once, every consumer
-    (batch assignment, streaming micro-batches) broadcasts the result."""
+    checkpoint=True pins the seed scan for consumers that replan it
+    (streaming micro-batches); batch callers that immediately collect
+    the row (_assign_cells' codebook payload) pass False and skip the
+    extra job barrier."""
     seed_h = (F.col("vec_id") * F.lit(1103515245) + F.lit(12345)) \
         % F.lit(2147483648)
     seeds = (e.select(F.col("vec_id").alias("cell"),
@@ -341,36 +354,79 @@ def _ivf_centroids(e: DataFrame, k: int = IVF_K) -> DataFrame:
                                   lambda x: x.cast("double")).alias("c_vals"),
                       seed_h.alias("h"))
              .orderBy("h", "cell").limit(k).drop("h"))
-    return seeds.agg(
-        F.array_sort(F.collect_list(F.struct("cell", "c_vals"))).alias("cents")) \
-        .localCheckpoint(eager=True)
+    out = seeds.agg(
+        F.array_sort(F.collect_list(F.struct("cell", "c_vals"))).alias("cents"))
+    return out.localCheckpoint(eager=True) if checkpoint else out
+
+
+def _codebook_payload(cent_one: DataFrame):
+    """Collect the (tiny, broadcast-sized) codebook row into numpy
+    arrays, cached on the frame object so streaming consumers that
+    reuse one checkpointed codebook across micro-batches pay the
+    driver round-trip once."""
+    import numpy as np
+    cached = getattr(cent_one, "_ivf_payload", None)
+    if cached is not None:
+        return cached
+    cents = cent_one.first()["cents"]
+    cell_ids = np.asarray([c["cell"] for c in cents], dtype=np.int64)
+    mat = np.asarray([list(c["c_vals"]) for c in cents], dtype=np.float64)
+    # argmin-by-first-occurrence below relies on ascending cell order
+    # (the codebook row is array_sort'ed by (cell, vals))
+    assert (np.diff(cell_ids) > 0).all(), "codebook cells not ascending"
+    cent_one._ivf_payload = (cell_ids, mat)
+    return cell_ids, mat
 
 
 def _assign_cells(df: DataFrame, cent_one: DataFrame) -> DataFrame:
-    """Append the nearest-cell id to (vec_id, embedding) rows: the
-    centroid row is nested-loop-broadcast and each row computes its
-    distance to every seed with zip_with/aggregate inside codegen,
-    taking the argmin with a struct array_min — no posexplode, so the
-    row count stays N instead of N x DIM x k."""
-    def _d2(c_vals) -> F.Column:
-        # sequential double fold in index order — bit-identical to the
-        # oracle's LIST_AGGREGATE sum (no groupBy, so order is fixed;
-        # doubles keep the interpreted HOF path ~10x cheaper than
-        # BigDecimal accumulation)
-        return F.aggregate(
-            F.zip_with(F.col("embedding"), c_vals,
-                       lambda x, y: (x.cast("double") - y)
-                                    * (x.cast("double") - y)),
-            F.lit(0.0), lambda acc, x: acc + x)
+    """Append the nearest-cell id to (vec_id, embedding) rows.
 
-    # argmin by (round(d2,6), cell) == the oracle's ROW_NUMBER ordering
-    scored_cells = F.transform(
-        F.col("cents"),
-        lambda c: F.struct(F.round(_d2(c["c_vals"]), 6).alias("d2r"),
-                           c["cell"].alias("cell")))
-    return (df.crossJoin(F.broadcast(cent_one))
-            .select("vec_id", "embedding",
-                    F.array_min(scored_cells)["cell"].alias("cell")))
+    Arrow-batched numpy assignment: the codebook (k x DIM doubles — KB,
+    not GB, by the fixed-size-sample construction) ships in the task
+    closure and each Arrow batch computes all N x k distances
+    vectorized. This replaced the round-6 JVM higher-order-function
+    argmin: HOF expressions are interpreted (outside whole-stage
+    codegen), and the per-row transform/zip_with/aggregate over k cells
+    allocated k arrays per row — measured 1.28 s of q56's 1.99 s at
+    sf0.1 (the round-6 ANN-family regression). The numpy path does the
+    same O(N * k * DIM) work in C at a fraction of the constant and is
+    the production batch shape for a 100 TB corpus.
+
+    Determinism (cross-engine bit-exactness):
+    * accumulation order — the dim-major loop adds (x_i - c_i)^2 terms
+      left-to-right per (row, cell), the same IEEE-double sequence as
+      the oracle's LIST_AGGREGATE fold;
+    * float -> double widening first, like CAST(x AS DOUBLE);
+    * quantization — FLOOR(d2 * 1e6) (np.floor == DuckDB FLOOR == JVM
+      floor on identical doubles; see _SQL_ASSIGN note);
+    * ties — np.argmin takes the FIRST minimum and rows are in
+      ascending cell order == the oracle's (key, cell) ROW_NUMBER.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    cell_ids, mat = _codebook_payload(cent_one)
+    k, dim = mat.shape
+    out_schema = ("vec_id bigint, embedding array<float>, cell bigint")
+
+    def assign(batches):
+        for b in batches:
+            n = b.num_rows
+            emb = b.column(b.schema.get_field_index("embedding"))
+            x = np.asarray(emb.flatten(), dtype=np.float64).reshape(n, dim)
+            acc = np.zeros((n, k), dtype=np.float64)
+            for i in range(dim):
+                d = x[:, i, None] - mat[None, :, i]
+                acc += d * d
+            key = np.floor(acc * 1_000_000.0)
+            cell = cell_ids[np.argmin(key, axis=1)] if n else \
+                np.empty(0, dtype=np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [b.column(b.schema.get_field_index("vec_id")), emb,
+                 pa.array(cell, type=pa.int64())],
+                ["vec_id", "embedding", "cell"])
+
+    return df.select("vec_id", "embedding").mapInArrow(assign, out_schema)
 
 
 # Corpus-growth rule (round 7: DEFAULT, not an opt-in knob). Any
@@ -389,6 +445,23 @@ def _assign_cells(df: DataFrame, cent_one: DataFrame) -> DataFrame:
 # (N = 20000) it yields 3 and the measured growth factor drops from
 # ~10x to the ~2-3x range (SCALE_SWEEP_r07).
 TARGET_CELL_OCC = 64
+
+
+_COUNT_CACHE: dict = {}
+
+
+def _corpus_rows(e: DataFrame) -> int:
+    """Row count for the growth rule, memoized per input-file set so
+    repeated operators over the same table skip the count job (file
+    listing is driver-side metadata). Frames without input files
+    (streaming batches, test fixtures) fall through to a plain count."""
+    key = tuple(sorted(e.inputFiles()))
+    if key and key in _COUNT_CACHE:
+        return _COUNT_CACHE[key]
+    n = e.count()
+    if key:
+        _COUNT_CACHE[key] = n
+    return n
 
 
 def _growth_splits(n_rows: int, base_cells: int,
@@ -410,8 +483,8 @@ def _ivf_cells(e: DataFrame, k: int = IVF_K,
     Returns an eagerly checkpointed frame (assignment runs ONCE; the
     query and candidate branches both read the materialization)."""
     if split_planes is None:
-        split_planes = _growth_splits(e.count(), k)
-    cells = _assign_cells(e, _ivf_centroids(e, k))
+        split_planes = _growth_splits(_corpus_rows(e), k)
+    cells = _assign_cells(e, _ivf_centroids(e, k, checkpoint=False))
     if split_planes:
         cells = cells.select(
             "vec_id", "embedding",
@@ -688,10 +761,11 @@ def q127_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 # memory-bandwidth-bound and the codebook + query LUTs are broadcast
 # state. Composes with q56's IVF coarse cells the same way IVF-PQ does.
 #
-# Rounding discipline: assignment/encode argmins order by ROUND(d2, 6)
-# with codeword tiebreak (q56), refined codewords round to 6dp, LUT
-# entries round to 6dp, final ADC sum rounds to 6dp — every cross-
-# engine comparison happens on identical doubles folded in fixed order.
+# Rounding discipline: PQ sub-quantizer argmins order by ROUND(d2, 6)
+# with codeword tiebreak, refined codewords round to 6dp, LUT entries
+# round to 6dp, final ADC sum rounds to 6dp — every cross-engine
+# comparison happens on identical doubles folded in fixed order. (The
+# COARSE assignment now uses FLOOR(d2 * 1e6) — see _SQL_ASSIGN.)
 # ---------------------------------------------------------------------------
 PQ_M = 8
 PQ_SUB = DIM // PQ_M
@@ -966,7 +1040,7 @@ def q141_knn_label_prop(spark: SparkSession, sf_dir: str,
     # Pass n_planes explicitly to pin a layout.
     e = load_table(spark, sf_dir, "embeddings")
     if n_planes is None:
-        n_planes = N_PLANES + _growth_splits(e.count(), 1 << N_PLANES)
+        n_planes = N_PLANES + _growth_splits(_corpus_rows(e), 1 << N_PLANES)
     b = e.select("vec_id", "label", "embedding",
                  _bucket(F.col("embedding"), n_planes).alias("bucket"))
     t = b.select(F.col("vec_id").alias("t_id"),
@@ -1233,7 +1307,7 @@ _SQL_QCELLS = f"""
   SELECT vec_id, cell FROM (
     SELECT e.vec_id, c.cell,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
-             ORDER BY ROUND({_SQL_D2.format(n=DIM)}, 6),
+             ORDER BY FLOOR(({_SQL_D2.format(n=DIM)}) * 1000000),
                       c.cell) AS rn
     FROM embeddings e CROSS JOIN seeds c
     WHERE e.vec_id < {N_QUERIES}) WHERE rn <= {NPROBE}
@@ -1287,9 +1361,11 @@ def q148_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     * (x.cast("double") - y)),
             F.lit(0.0), lambda acc, x: acc + x)
 
+    # FLOOR(d2 * 1e6) quantization, matching _SQL_ASSIGN/_SQL_QCELLS
     scored_cells = F.transform(
         F.col("cents"),
-        lambda c: F.struct(F.round(_d2(c["c_vals"]), 6).alias("d2r"),
+        lambda c: F.struct(F.floor(_d2(c["c_vals"]) * 1_000_000)
+                            .alias("d2r"),
                            c["cell"].alias("cell")))
     probed = F.slice(F.array_sort(scored_cells), 1, NPROBE)
     q = (e.where(F.col("vec_id") < N_QUERIES)
