@@ -16,6 +16,7 @@ from oanda_stream_processor_spark.operators.similarity import (
 )
 from oanda_stream_processor_spark.streaming.annsearch import (
     batch_topk_against_index,
+    build_ann_index,
     run_ann_stream,
 )
 
@@ -75,3 +76,95 @@ def test_stream_ann_matches_batch(spark, index, query_files, tmp_path):
     top = min(by_query[first_query], key=lambda t: t[3])
     assert top[2] == 1.0                 # cosine with its own copy
     assert top[1] == rows[0].vec_id      # the original corpus vector
+
+
+def test_stream_ann_multiprobe_batch_split_invariant(
+        spark, index, query_files, tmp_path):
+    """nprobe=2: one-batch vs three-batch replays of the same queries
+    must produce identical result sets (the q148 lever on the streaming
+    surface), and multiprobe results must be a superset-or-equal
+    improvement over single-probe (more candidates, never fewer)."""
+    index_cells, cent_one = index
+    qdir, rows = query_files
+    schema = "vec_id bigint, embedding array<float>"
+
+    def replay(max_files):
+        got = []
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", max_files).json(qdir))
+        q = run_ann_stream(
+            stream, index_cells, cent_one,
+            lambda df, bid: got.extend(map(tuple, df.collect())),
+            nprobe=2,
+            checkpoint=str(tmp_path / f"ckpt{max_files}"))
+        q.processAllAvailable()
+        q.stop()
+        return sorted(got)
+
+    one_batch, three_batches = replay(3), replay(1)
+    assert one_batch == three_batches
+    assert len(one_batch) > 0
+
+    # matches the batch-path computation exactly
+    batch_q = spark.read.schema(schema).json(qdir)
+    expected = sorted(map(tuple, batch_topk_against_index(
+        batch_q, index_cells, cent_one, nprobe=2).collect()))
+    assert one_batch == expected
+
+    # nprobe=2 candidates per query >= nprobe=1 candidates per query
+    single = batch_topk_against_index(
+        batch_q, index_cells, cent_one, nprobe=1)
+    n1 = {r["query_id"]: r["n"] for r in
+          single.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
+    n2 = {r["query_id"]: r["n"] for r in
+          batch_topk_against_index(batch_q, index_cells, cent_one, nprobe=2)
+          .groupBy("query_id").agg(F.count("*").alias("n")).collect()}
+    assert all(n2[qid] >= n for qid, n in n1.items())
+
+
+def test_stream_ann_subdivided_index(spark, query_files, tmp_path):
+    """A growth-rule-subdivided index (split_planes > 0) must be probed
+    with the SAME subdivision: build_ann_index returns the triple, the
+    stream reproduces the batch answer, and a corpus-copy query still
+    ranks its original first (the sub-bucket of an identical vector is
+    identical, so the copy lands in the original's cell)."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    split = 2
+    index_cells = _ivf_cells(e, split_planes=split)
+    cent_one = _ivf_centroids(e)
+    qdir, rows = query_files
+    schema = "vec_id bigint, embedding array<float>"
+
+    batch_q = spark.read.schema(schema).json(qdir)
+    expected = sorted(map(tuple, batch_topk_against_index(
+        batch_q, index_cells, cent_one, split_planes=split).collect()))
+
+    got = []
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).json(qdir))
+    q = run_ann_stream(
+        stream, index_cells, cent_one,
+        lambda df, bid: got.extend(map(tuple, df.collect())),
+        split_planes=split,
+        checkpoint=str(tmp_path / "ckpt_split"))
+    q.processAllAvailable()
+    q.stop()
+
+    assert sorted(got) == expected
+    assert len(expected) > 0
+    by_query = {}
+    for t in expected:
+        by_query.setdefault(t[0], []).append(t)
+    top = min(by_query[100_000], key=lambda t: t[3])
+    assert top[2] == 1.0
+    assert top[1] == rows[0].vec_id
+
+    # build_ann_index wires the three pieces consistently (tiny corpus
+    # -> growth rule derives 0 splits and the plain path is identical)
+    idx, cent, sp = build_ann_index(e)
+    auto = sorted(map(tuple, batch_topk_against_index(
+        batch_q, idx, cent, split_planes=sp).collect()))
+    plain = sorted(map(tuple, batch_topk_against_index(
+        batch_q, _ivf_cells(e), _ivf_centroids(e)).collect()))
+    assert auto == plain
