@@ -115,8 +115,9 @@ activity AS (
   FROM ev),
 ret AS (
   SELECT f.cohort_week,
-         CAST(DATE_DIFF('day', f.cohort_week, a.active_week) // 7 AS BIGINT)
-           AS week_offset,
+         CAST((DATE_DIFF('day', f.cohort_week, a.active_week)
+               - DATE_DIFF('day', f.cohort_week, a.active_week) % 7) / 7
+              AS BIGINT) AS week_offset,
          COUNT(*) AS n_active
   FROM activity a JOIN first_touch f USING (user_id)
   GROUP BY f.cohort_week, week_offset)

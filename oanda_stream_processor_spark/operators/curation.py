@@ -226,7 +226,7 @@ WITH RECURSIVE walk (custkey, node, depth) AS (
          CAST(c_custkey AS BIGINT) AS node, 0 AS depth
   FROM {src}
   UNION ALL
-  SELECT custkey, node {idiv} 10 AS node, depth + 1 AS depth
+  SELECT custkey, {parent} AS node, depth + 1 AS depth
   FROM walk WHERE node >= 10
 )
 SELECT depth, COUNT(*) AS n_nodes, COUNT(DISTINCT node) AS n_distinct,
@@ -234,8 +234,13 @@ SELECT depth, COUNT(*) AS n_nodes, COUNT(DISTINCT node) AS n_distinct,
 FROM walk GROUP BY depth
 """
 
+# oracle parent step spelled with the version-proof mod identity (the
+# dedup._idiv discipline — DuckDB's `//` semantics have shifted across
+# releases); Spark keeps the native integral `div`
 @query("q82_recursive_hierarchy",
-       _RECURSIVE_SQL.format(src="customer", idiv="//"))
+       _RECURSIVE_SQL.format(
+           src="customer",
+           parent="CAST((node - node % 10) / 10 AS BIGINT)"))
 def q82_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     c.createOrReplaceTempView("customer_rec_src")
@@ -246,7 +251,8 @@ def q82_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # level limit (default 100) still guards non-termination.
     spark.conf.set("spark.sql.cteRecursionRowLimit", 2_000_000_000)
     return spark.sql(
-        _RECURSIVE_SQL.format(src="customer_rec_src", idiv="div"))
+        _RECURSIVE_SQL.format(src="customer_rec_src",
+                              parent="node div 10"))
 
 
 # ---------------------------------------------------------------------------

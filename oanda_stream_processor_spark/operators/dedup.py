@@ -308,7 +308,16 @@ def q44_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct/join/groupBy chain shuffles 8-byte ints instead of ~20-byte
     strings and never materializes shingle text. Both engines hash
     identically, so a (negligible, ~1e-9/pair) collision changes both
-    sides the same way — cross-engine parity holds exactly."""
+    sides the same way — cross-engine parity holds exactly.
+
+    Scale: the join's cost is sum over shingles of df^2/2 — LINEAR in
+    the corpus when per-shingle document frequency stays bounded, and
+    measured so at x10 (postings 10.0x, join pairs 9.67x, max df 25->28
+    flat, wall-clock 1.94x). The exactness contract means NO df-cut
+    here: a corpus with boilerplate (hot shingles whose df grows with
+    N) makes single buckets quadratic, and the operator for that
+    regime is q87_jaccard_dfcut — same pipeline with the
+    corpus-relative hot-shingle cut applied in both engines."""
     # materialize the inverted index once: three consumers below (a, b,
     # sizes) would otherwise each re-run the shingle-hash chain — at
     # scale this IS the materialized shingle index of the corpus
@@ -721,8 +730,8 @@ def q95_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH comp AS ({{Q55}}),
 qual AS (
   SELECT doc_id,
-         (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[a-z]', '', 'g')))
-           * 1000000 // LENGTH(text) AS alpha_ppm,
+         {_idiv("(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[a-z]', "
+                "'', 'g'))) * 1000000", "LENGTH(text)")} AS alpha_ppm,
          LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS n_tokens
   FROM documents WHERE LENGTH(text) > 0),
 ranked AS (

@@ -377,9 +377,13 @@ stats AS (
 norm AS (
   SELECT o_orderkey, ck, dd,
          CASE WHEN ck_hi = ck_lo THEN 0
-              ELSE ((ck - ck_lo) * {_Z_TOP}) // (ck_hi - ck_lo) END AS nck,
+              ELSE CAST(((ck - ck_lo) * {_Z_TOP}
+                         - ((ck - ck_lo) * {_Z_TOP}) % (ck_hi - ck_lo))
+                        / (ck_hi - ck_lo) AS BIGINT) END AS nck,
          CASE WHEN dd_hi = dd_lo THEN 0
-              ELSE ((dd - dd_lo) * {_Z_TOP}) // (dd_hi - dd_lo) END AS ndd
+              ELSE CAST(((dd - dd_lo) * {_Z_TOP}
+                         - ((dd - dd_lo) * {_Z_TOP}) % (dd_hi - dd_lo))
+                        / (dd_hi - dd_lo) AS BIGINT) END AS ndd
   FROM dims CROSS JOIN stats),
 zvals AS (
   SELECT ck, dd,
@@ -517,9 +521,13 @@ stats AS (
 norm AS (
   SELECT ck, dd,
          CASE WHEN ck_hi = ck_lo THEN 0
-              ELSE ((ck - ck_lo) * {_Z_TOP}) // (ck_hi - ck_lo) END AS nck,
+              ELSE CAST(((ck - ck_lo) * {_Z_TOP}
+                         - ((ck - ck_lo) * {_Z_TOP}) % (ck_hi - ck_lo))
+                        / (ck_hi - ck_lo) AS BIGINT) END AS nck,
          CASE WHEN dd_hi = dd_lo THEN 0
-              ELSE ((dd - dd_lo) * {_Z_TOP}) // (dd_hi - dd_lo) END AS ndd
+              ELSE CAST(((dd - dd_lo) * {_Z_TOP}
+                         - ((dd - dd_lo) * {_Z_TOP}) % (dd_hi - dd_lo))
+                        / (dd_hi - dd_lo) AS BIGINT) END AS ndd
   FROM dims CROSS JOIN stats),
 zvals AS (
   SELECT ck, dd,

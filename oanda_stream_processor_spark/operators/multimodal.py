@@ -152,10 +152,16 @@ WITH m AS (
   FROM documents)
 SELECT doc_id, width, height,
        CAST(CASE WHEN GREATEST(width, height) <= {MAX_SIDE} THEN width
-            ELSE GREATEST(1, (width * {MAX_SIDE}) // GREATEST(width, height))
+            ELSE GREATEST(1, (width * {MAX_SIDE}
+                              - (width * {MAX_SIDE})
+                                % GREATEST(width, height))
+                             / GREATEST(width, height))
             END AS INTEGER) AS out_w,
        CAST(CASE WHEN GREATEST(width, height) <= {MAX_SIDE} THEN height
-            ELSE GREATEST(1, (height * {MAX_SIDE}) // GREATEST(width, height))
+            ELSE GREATEST(1, (height * {MAX_SIDE}
+                              - (height * {MAX_SIDE})
+                                % GREATEST(width, height))
+                             / GREATEST(width, height))
             END AS INTEGER) AS out_h,
        GREATEST(width, height) > {MAX_SIDE} AS is_downscale
 FROM m
@@ -256,12 +262,15 @@ WITH v AS (
   FROM documents),
 s AS (
   SELECT doc_id, duration_ms, fps,
-         GREATEST({MIN_STEP_MS}, duration_ms // {MAX_FRAMES}) AS step_ms
+         GREATEST({MIN_STEP_MS},
+                  CAST((duration_ms - duration_ms % {MAX_FRAMES})
+                       / {MAX_FRAMES} AS BIGINT)) AS step_ms
   FROM v)
 SELECT doc_id,
-       CAST(ts_ms // step_ms AS INTEGER) AS sample_n,
+       CAST((ts_ms - ts_ms % step_ms) / step_ms AS INTEGER) AS sample_n,
        CAST(ts_ms AS BIGINT) AS ts_ms,
-       CAST((ts_ms * fps) // 1000 AS BIGINT) AS frame_idx
+       CAST((ts_ms * fps - (ts_ms * fps) % 1000) / 1000 AS BIGINT)
+         AS frame_idx
 FROM s, UNNEST(RANGE(0, duration_ms, step_ms)) AS t(ts_ms)
 """)
 def q86_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

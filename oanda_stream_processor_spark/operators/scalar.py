@@ -163,11 +163,14 @@ def q26_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("q27_json_funcs", f"""
-SELECT CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+WITH kv AS (
+  SELECT TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k, value
+  FROM events)
+SELECT CAST(FLOOR(k / 10.0) AS BIGINT) AS k_bucket,
        COUNT(*) AS n,
        {sql_dsum('value')} AS total_value
-FROM events
-WHERE JSON_EXTRACT_STRING(props, '$.k') IS NOT NULL
+FROM kv
+WHERE k IS NOT NULL
 GROUP BY 1
 """)  # no ts use — raw events view is fine here
 def q27_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
