@@ -331,3 +331,123 @@ def q94_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("w").alias("w_total"),
                  F.sum(F.when(F.col("kept"), F.col("w")).otherwise(0))
                   .alias("w_sampled")))
+
+
+# ---------------------------------------------------------------------------
+# q152 — DSIR-style importance weighting (Xie et al. 2023, "Data
+# Selection for Language Models via Importance Resampling", arXiv
+# 2302.03169): score every raw document by how target-like its hashed
+# unigram features are. Feature map = polynomial char hash of each
+# token folded mod 1e9+7 (the q44/q52 hash family; Spark `aggregate`
+# with seed 0 == DuckDB LIST_REDUCE seedless, since (0*B + c) % M = c)
+# bucketed into DSIR_BUCKETS. Train: add-one-smoothed bucket
+# frequencies for the TARGET source vs the full RAW pool; per-bucket
+# log-ratio frozen to fixed-point bigint (round(ln(ratio) * 1e6), the
+# q93 NLL discipline — integer sums are then order-independent, so the
+# per-doc score is bit-exact on any engine/partitioning). Score: sum
+# of bucket log-ratios over the doc's token occurrences; keep when
+# MORE TARGET-LIKE THAN THE CORPUS AVERAGE (the add-one smoothing
+# floor shifts every absolute score, so the meaningful DSIR signal is
+# relative rank — the average is one broadcast scalar, trunc-divided
+# identically on both engines).
+#
+# Scale (100 TB): the hash is computed once per DISTINCT vocabulary
+# token (vocab ~ log of corpus) and broadcast back onto the token
+# stream; bucket training tables are DSIR_BUCKETS rows (tiny,
+# broadcast); the scoring pass is one token explode + one
+# map-side-combinable per-doc sum. No shuffle keyed on anything bigger
+# than doc_id.
+# ---------------------------------------------------------------------------
+DSIR_BUCKETS = 1024
+DSIR_TARGET = "src0"
+_DSIR_HMOD = 1_000_000_007
+_DSIR_BASE = 131
+
+_SQL_TOKH = (
+    "LIST_REDUCE(LIST_TRANSFORM(STRING_SPLIT(token, ''), "
+    f"c -> CAST(ASCII(c) AS BIGINT)), (a, b) -> (a * {_DSIR_BASE} + b) "
+    f"% {_DSIR_HMOD})")
+
+@query("q152_dsir_importance", f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> ''))
+           AS token
+  FROM documents),
+vocab AS (
+  SELECT token, CAST({_SQL_TOKH} % {DSIR_BUCKETS} AS BIGINT) AS bucket
+  FROM (SELECT DISTINCT token FROM tok)),
+bt AS (
+  SELECT t.doc_id, t.source, v.bucket
+  FROM tok t JOIN vocab v USING (token)),
+tc AS (
+  SELECT bucket, COUNT(*) AS c FROM bt
+  WHERE source = '{DSIR_TARGET}' GROUP BY bucket),
+rc AS (SELECT bucket, COUNT(*) AS c FROM bt GROUP BY bucket),
+tots AS (
+  SELECT (SELECT COUNT(*) FROM bt WHERE source = '{DSIR_TARGET}') AS t_tot,
+         (SELECT COUNT(*) FROM bt) AS r_tot),
+lr AS (
+  SELECT r.bucket,
+         CAST(ROUND(LN((CAST(COALESCE(t.c, 0) + 1 AS DOUBLE)
+                        * (s.r_tot + {DSIR_BUCKETS}))
+                       / (CAST(r.c + 1 AS DOUBLE)
+                          * (s.t_tot + {DSIR_BUCKETS}))) * 1000000)
+              AS BIGINT) AS lr_fp
+  FROM rc r LEFT JOIN tc t ON t.bucket = r.bucket CROSS JOIN tots s),
+scores AS (
+  SELECT b.doc_id, b.source, COUNT(*) AS n_tokens,
+         CAST(SUM(l.lr_fp) AS BIGINT) AS importance_fp
+  FROM bt b JOIN lr l USING (bucket)
+  GROUP BY b.doc_id, b.source),
+avg_s AS (
+  SELECT CAST((SUM(importance_fp) - SUM(importance_fp) % COUNT(*))
+              / COUNT(*) AS BIGINT) AS avg_fp
+  FROM scores)
+SELECT s.doc_id, s.source, s.n_tokens, s.importance_fp,
+       s.importance_fp > a.avg_fp AS keep
+FROM scores s CROSS JOIN avg_s a
+""")
+def q152_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source",
+        F.explode(F.filter(F.split("text", " "),
+                           lambda x: x != "")).alias("token"))
+    # hash once per distinct token (vocab-sized), broadcast back
+    codes = F.transform(F.split("token", ""),
+                        lambda c: F.ascii(c).cast("long"))
+    h = F.aggregate(codes, F.lit(0).cast("long"),
+                    lambda a, c: (a * _DSIR_BASE + c) % _DSIR_HMOD)
+    vocab = (tok.select("token").distinct()
+             .select("token", (h % DSIR_BUCKETS).alias("bucket")))
+    bt = (tok.join(F.broadcast(vocab), "token")
+             .select("doc_id", "source", "bucket")
+             .localCheckpoint(eager=True))
+    tc = (bt.where(F.col("source") == DSIR_TARGET)
+            .groupBy("bucket").agg(F.count("*").alias("tc")))
+    rc = bt.groupBy("bucket").agg(F.count("*").alias("rc"))
+    tots = bt.agg(
+        F.count("*").alias("r_tot"),
+        F.sum(F.when(F.col("source") == DSIR_TARGET, 1).otherwise(0))
+         .alias("t_tot"))
+    ratio = ((F.coalesce(F.col("tc"), F.lit(0)) + 1).cast("double")
+             * (F.col("r_tot") + DSIR_BUCKETS)
+             / ((F.col("rc") + 1).cast("double")
+                * (F.col("t_tot") + DSIR_BUCKETS)))
+    lr = (rc.join(tc, "bucket", "left")
+            .crossJoin(F.broadcast(tots))
+            .select("bucket",
+                    F.round(F.log(ratio) * 1_000_000).cast("bigint")
+                     .alias("lr_fp")))
+    scores = (bt.join(F.broadcast(lr), "bucket")
+                .groupBy("doc_id", "source")
+                .agg(F.count("*").alias("n_tokens"),
+                     F.sum("lr_fp").cast("bigint").alias("importance_fp")))
+    ssum, n = F.sum("importance_fp"), F.count("*")
+    avg_s = scores.agg(((ssum - ssum % n) / n).cast("bigint")
+                       .alias("avg_fp"))
+    return (scores.crossJoin(F.broadcast(avg_s))
+                  .select("doc_id", "source", "n_tokens", "importance_fp",
+                          (F.col("importance_fp") > F.col("avg_fp"))
+                          .alias("keep")))

@@ -1382,3 +1382,162 @@ def q148_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     wr = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (scored.withColumn("rank", F.row_number().over(wr))
                   .where(F.col("rank") <= TOP_K))
+
+
+# ---------------------------------------------------------------------------
+# q151 — top principal component of the embedding corpus by FIXED-POINT
+# power iteration (the q90 pagerank discipline applied to PCA): the
+# uncentered second-moment matrix is accumulated as exact integers
+# (FLOOR(x_i * x_j * 1e6) per row — floor of one IEEE multiply chain,
+# identical in numpy and DuckDB), rescaled by a corpus-relative divisor
+# so the iteration never leaves int64 at ANY corpus size, then
+# power-iterated T times with integer matrix-vector products and a
+# max-norm fixed-point renormalization. Integer sums are
+# order-independent, so the eigenvector is bit-identical across
+# engines, partition layouts, and iteration order — the property a
+# float PCA (even a deterministic LAPACK one) cannot give across two
+# engines. Emits the fixed-point eigenvector (max-normalized to ~1e6)
+# and a Rayleigh-quotient eigenvalue estimate in DECIMAL(38,0)
+# arithmetic.
+#
+# Scale (100 TB): the moment matrix is the textbook distributed-PCA
+# reduction — each partition computes a DIM x DIM integer partial in
+# one numpy pass (mapInArrow) and the combine is a 4096-key
+# map-side-combinable sum; nothing downstream touches corpus rows. The
+# iteration itself is O(DIM^2) per step on a tiny frame. The rescale
+# divisor (max|C| capped to 2e9) bounds |w| <= DIM * 2e9 * 1e6 < 2^63
+# regardless of N, so there is no corpus size at which this overflows.
+# ---------------------------------------------------------------------------
+PCA_ITERS = 3
+_PCA_SCALE = 1_000_000
+_PCA_CAP = 2_000_000_000
+
+
+def _sql_tdiv(a: str, b: str) -> str:
+    """Truncating integer division both engines agree on (the _idiv
+    mod identity; % follows the dividend's sign in BOTH engines, so
+    the spelling is trunc-division for negative operands too)."""
+    return f"CAST((({a}) - ({a}) % ({b})) / ({b}) AS BIGINT)"
+
+
+def _pca_sql() -> str:
+    steps = []
+    prev = "v0"
+    for t in range(1, PCA_ITERS + 1):
+        steps.append(f"""
+w{t} AS (
+  SELECT cm.i AS pos, CAST(SUM(cm.c * v.v) AS BIGINT) AS w
+  FROM cm JOIN {prev} v ON v.j = cm.j GROUP BY cm.i),
+k{t} AS (
+  SELECT {_sql_tdiv('MAX(ABS(w))', _PCA_SCALE)} + 1 AS k FROM w{t}),
+v{t} AS (
+  SELECT pos AS j, {_sql_tdiv('w', 'k.k')} AS v
+  FROM w{t} CROSS JOIN k{t} k)""")
+        prev = f"v{t}"
+    last_w = f"w{PCA_ITERS}"
+    last_v = f"v{PCA_ITERS}"
+    prev_v = f"v{PCA_ITERS - 1}" if PCA_ITERS > 1 else "v0"
+    return f"""
+WITH flat AS (
+  SELECT vec_id,
+         UNNEST(RANGE(LEN(embedding))) AS pos,
+         UNNEST(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE))) AS val
+  FROM embeddings),
+raw AS (
+  SELECT a.pos AS i, b.pos AS j,
+         CAST(SUM(CAST(FLOOR(a.val * b.val * {_PCA_SCALE}) AS BIGINT))
+              AS BIGINT) AS c
+  FROM flat a JOIN flat b ON a.vec_id = b.vec_id
+  GROUP BY a.pos, b.pos),
+r AS (SELECT {_sql_tdiv('MAX(ABS(c))', _PCA_CAP)} + 1 AS r FROM raw),
+cm AS (SELECT i, j, {_sql_tdiv('c', 'r.r')} AS c FROM raw CROSS JOIN r),
+v0 AS (SELECT UNNEST(RANGE({DIM})) AS j, {_PCA_SCALE} AS v),
+{','.join(steps)},
+eig AS (
+  SELECT {_sql_tdiv(
+      f"SUM(CAST(p.v AS DECIMAL(19,0)) * CAST(w.w AS DECIMAL(19,0)))",
+      f"SUM(CAST(p.v AS DECIMAL(19,0)) * CAST(p.v AS DECIMAL(19,0)))")}
+    AS eigval_fp
+  FROM {prev_v} p JOIN {last_w} w ON w.pos = p.j)
+SELECT v.j AS pos, v.v AS v_fp, e.eigval_fp
+FROM {last_v} v CROSS JOIN eig e
+"""
+
+
+@query("q151_pca_power", _pca_sql())
+def q151_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed fixed-point PCA: numpy per-partition integer moment
+    partials -> 4096-key combine -> integer power iteration on tiny
+    frames (joins + sums, q90-style)."""
+    import numpy as np
+    import pyarrow as pa
+
+    e = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def partials(batches):
+        acc = np.zeros((DIM, DIM), dtype=np.int64)
+        any_rows = False
+        for b in batches:
+            n = b.num_rows
+            if not n:
+                continue
+            any_rows = True
+            x = np.asarray(b.column(0).flatten(),
+                           dtype=np.float64).reshape(n, DIM)
+            # chunk the (rows, DIM, DIM) outer-product tensor to bound
+            # executor memory; per-element (x_i * x_j) * 1e6 then floor,
+            # exactly the oracle's expression order
+            for lo in range(0, n, 256):
+                blk = x[lo:lo + 256]
+                t = np.floor((blk[:, :, None] * blk[:, None, :])
+                             * float(_PCA_SCALE))
+                acc += t.astype(np.int64).sum(axis=0)
+        if any_rows:
+            ii, jj = np.meshgrid(np.arange(DIM), np.arange(DIM),
+                                 indexing="ij")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ii.ravel(), type=pa.int32()),
+                 pa.array(jj.ravel(), type=pa.int32()),
+                 pa.array(acc.ravel(), type=pa.int64())],
+                ["i", "j", "c"])
+
+    raw = (e.mapInArrow(partials, "i int, j int, c long")
+            .groupBy("i", "j").agg(F.sum("c").alias("c")))
+
+    def tdiv(a: F.Column, b: F.Column) -> F.Column:
+        return ((a - a % b) / b).cast("bigint")
+
+    r = raw.agg((tdiv(F.max(F.abs(F.col("c"))), F.lit(_PCA_CAP)) + 1)
+                .alias("r"))
+    cm = (raw.crossJoin(F.broadcast(r))
+             .select("i", "j", tdiv(F.col("c"), F.col("r")).alias("c"))
+             .localCheckpoint(eager=True))
+
+    v = spark.range(DIM).select(F.col("id").cast("int").alias("j"),
+                                F.lit(_PCA_SCALE).cast("long").alias("v"))
+    prev_v = v
+    w = None
+    for _ in range(PCA_ITERS):
+        prev_v = v
+        w = (cm.join(v, "j")
+               .groupBy("i")
+               .agg(F.sum(F.col("c") * F.col("v")).alias("w"))
+               .select(F.col("i").alias("pos"), "w")
+               .localCheckpoint(eager=True))
+        k = w.agg((tdiv(F.max(F.abs(F.col("w"))), F.lit(_PCA_SCALE)) + 1)
+                  .alias("k"))
+        v = (w.crossJoin(F.broadcast(k))
+              .select(F.col("pos").alias("j"),
+                      tdiv(F.col("w"), F.col("k")).alias("v")))
+
+    pd19 = "decimal(19,0)"
+    eig = (prev_v.join(w, prev_v.j == w.pos)
+           .agg(F.sum(F.col("v").cast(pd19) * F.col("w").cast(pd19))
+                 .alias("num"),
+                F.sum(F.col("v").cast(pd19) * F.col("v").cast(pd19))
+                 .alias("den"))
+           .select(((F.col("num") - F.col("num") % F.col("den"))
+                    / F.col("den")).cast("bigint").alias("eigval_fp")))
+    return (v.crossJoin(F.broadcast(eig))
+             .select(F.col("j").cast("bigint").alias("pos"),
+                     F.col("v").alias("v_fp"), "eigval_fp"))

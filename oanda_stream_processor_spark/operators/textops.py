@@ -561,3 +561,135 @@ def q138_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("sy").cast("double") - slope
                  * F.col("sx").cast("double"))
                 / F.col("n") / 1_000_000.0, 6).alias("intercept_ln"))
+
+
+# ---------------------------------------------------------------------------
+# q150 — cross-document substring matches (the detection layer of
+# exact-substring training-data dedup, Lee et al. 2022 "Deduplicating
+# Training Data Makes Language Models Better", via the winnowing
+# fingerprint sample of Schleimer et al. 2003 / MOSS): two documents
+# sharing a winnowed fingerprint share (up to polynomial-hash collision,
+# identical on both engines) an exact GRAM-char substring, and winnowing
+# GUARANTEES a shared fingerprint for any common run of at least
+# GRAM + WINNOW - 1 chars. Emits pairs sharing >= MIN_SHARED
+# fingerprints AND containment (shared / smaller fingerprint set, ppm,
+# mod-identity floor division) >= MIN_CONTAIN_PPM — the n_shared floor
+# is the cheap pre-sizes-join gate, the containment cut is the signal
+# threshold (25%: organic same-template pairs, not stop-phrase noise).
+#
+# Scale (100 TB): the inverted index is built on the WINNOWED sample —
+# ~2/(WINNOW+1) of all gram positions — so postings and the self-join
+# shrink ~2.5x versus a full-gram index while keeping a detection
+# GUARANTEE (vs the probabilistic minhash family q41/q42). Hot
+# fingerprints ARE organic here (template/boilerplate substrings: the
+# sf0.1 fixture has one fp in 76% of docs, 92M candidate pairs), so
+# the q87 corpus-relative df-cut is PART of the operator: fingerprints
+# in more than FP_DF_FRAC of the corpus are boilerplate by definition
+# and never enter the join, capping the worst key at
+# O(n_docs * FP_DF_FRAC) in both engines. Pair aggregation is map-side
+# combinable; the sizes join broadcasts. Same inverted-index shape as
+# q44+q87, with a guaranteed sample instead of the full gram set.
+#
+# Output-size caveat (measured): pair emission is Ω(true near-dup
+# pairs) — a corpus replicated r times has ~r^2/2 times the pairs, and
+# the x10 sweep (whose char-grams DO collide across replicas) measures
+# output 175x / wall-clock 19x, i.e. sublinear PER PAIR. The pair
+# frame is the audit view; the scale-safe MATERIALIZATION of a dedup
+# decision is the component/keep-one form (q55/q97), which this
+# operator's pairs feed.
+# ---------------------------------------------------------------------------
+MIN_SHARED = 2
+MIN_CONTAIN_PPM = 250_000
+FP_DF_FRAC = 0.01   # drop fingerprints present in > 1% of the corpus
+
+@query("q150_winnow_matches", f"""
+WITH grams AS (
+  SELECT doc_id, pos, n_pos, {_SQL_GRAM_H} AS h
+  FROM (SELECT doc_id, text, LENGTH(text) - {GRAM} + 1 AS n_pos,
+               UNNEST(RANGE(1, LENGTH(text) - {GRAM} + 2)) AS pos
+        FROM documents)),
+winnowed AS (
+  SELECT doc_id, pos, n_pos,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW - 1} FOLLOWING)
+           AS fp
+  FROM grams),
+allfps AS (
+  SELECT DISTINCT doc_id, fp FROM winnowed
+  WHERE pos <= n_pos - {WINNOW} + 1),
+cut AS (
+  SELECT CAST(CEIL({FP_DF_FRAC} * COUNT(*)) AS BIGINT) AS c
+  FROM documents),
+fps AS (
+  SELECT a.doc_id, a.fp FROM allfps a
+  JOIN (SELECT fp FROM allfps GROUP BY fp
+        HAVING COUNT(*) <= (SELECT c FROM cut)) k USING (fp)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM fps GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= {MIN_SHARED})
+SELECT doc_a, doc_b, n_shared, containment_ppm FROM (
+  SELECT s.doc_a, s.doc_b, s.n_shared,
+         CAST((s.n_shared * 1000000
+               - (s.n_shared * 1000000) % LEAST(sa.n, sb.n))
+              / LEAST(sa.n, sb.n) AS BIGINT) AS containment_ppm
+  FROM shared s
+  JOIN sizes sa ON sa.doc_id = s.doc_a
+  JOIN sizes sb ON sb.doc_id = s.doc_b)
+WHERE containment_ppm >= {MIN_CONTAIN_PPM}
+""")
+def q150_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed-fingerprint inverted index -> shared-fingerprint pairs.
+
+    The per-document fingerprint set is the same shuffle-free array
+    pipeline as q52 (codes -> rolling gram hashes -> window minima ->
+    array_distinct, all inside one projection); only the DISTINCT
+    (doc_id, fp) postings are exploded and checkpointed once for the
+    three consumers (sizes + both join sides) — at scale this IS the
+    materialized winnowed index of the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    d = d.where(F.length("text") >= GRAM + WINNOW - 1)
+    codes = F.transform(F.split("text", ""), lambda c: F.ascii(c))
+    acc = "cast(element_at(codes, p) as bigint)"
+    for i in range(1, GRAM):
+        acc = (f"(({acc}) * {HASH_BASE} + element_at(codes, p + {i})) "
+               f"% {HASH_MOD}")
+    grams = F.expr(
+        f"transform(sequence(1, size(codes) - {GRAM - 1}), p -> {acc})")
+    winmin = ", ".join(f"element_at(grams, p + {j})" for j in range(WINNOW))
+    fps_arr = F.expr(
+        f"array_distinct(transform(sequence(1, size(grams) - {WINNOW - 1}), "
+        f"p -> least({winmin})))")
+    allfps = (d.select("doc_id", codes.alias("codes"))
+               .select("doc_id", grams.alias("grams"))
+               .select("doc_id", F.explode(fps_arr).alias("fp")))
+    # boilerplate df-cut via ONE window over the postings' own
+    # fp-exchange (the q87 one-shuffle pattern); the cut scalar is a
+    # one-row broadcast, no driver collect
+    cut = (load_table(spark, sf_dir, "documents")
+           .agg(F.ceil(FP_DF_FRAC * F.count("*")).alias("c")))
+    fps = (allfps.withColumn("df", F.count("*").over(W.partitionBy("fp")))
+                 .crossJoin(F.broadcast(cut))
+                 .where(F.col("df") <= F.col("c"))
+                 .select("doc_id", "fp")
+                 .localCheckpoint(eager=True))
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    shared = (a.join(b, "fp")
+               .where(F.col("doc_a") < F.col("doc_b"))
+               .groupBy("doc_a", "doc_b")
+               .agg(F.count("*").alias("n_shared"))
+               .where(F.col("n_shared") >= MIN_SHARED))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    num = F.col("n_shared") * 1_000_000
+    den = F.least(F.col("na"), F.col("nb"))
+    return (shared.join(F.broadcast(sa), "doc_a")
+                  .join(F.broadcast(sb), "doc_b")
+                  .select("doc_a", "doc_b", "n_shared",
+                          ((num - num % den) / den).cast("bigint")
+                          .alias("containment_ppm"))
+                  .where(F.col("containment_ppm") >= MIN_CONTAIN_PPM))

@@ -1,0 +1,149 @@
+"""Constructed-corpus invariants for the round-7 additions: q150
+winnowed substring matches (detection guarantee, df-cut, containment),
+q151 fixed-point PCA power iteration (known dominant axis), and q152
+DSIR importance weighting (target-vocabulary doc outscores raw docs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oanda_stream_processor_spark.operators.llmprep import (
+    DSIR_TARGET,
+    q152_dsir_importance,
+)
+from oanda_stream_processor_spark.operators.similarity import (
+    DIM,
+    q151_pca_power,
+)
+from oanda_stream_processor_spark.operators.textops import (
+    q150_winnow_matches,
+)
+
+
+def _doc_schema_rows(texts):
+    return [(i, t, f"src{i % 20}", "en", len(t))
+            for i, t in enumerate(texts)]
+
+
+def _write_docs(spark, tmp, texts):
+    spark.createDataFrame(
+        _doc_schema_rows(texts),
+        "doc_id bigint, text string, source string, lang string, "
+        "n_chars int",
+    ).write.parquet(str(tmp / "documents.parquet"))
+    return str(tmp)
+
+
+@pytest.fixture(scope="module")
+def docs_sf(spark, tmp_path_factory) -> str:
+    """200 docs: doc 0 == doc 1 (identical), doc 2 and doc 3 share one
+    long embedded run, 196 unique fillers. With n_docs=200 the df-cut
+    threshold is ceil(0.01*200)=2, so pair-shared fingerprints (df=2)
+    survive while anything leaking into 3+ docs is cut."""
+    dup = ("the quick brown fox jumps over the lazy dog while the "
+           "band plays on and the river runs to the sea forever")
+    run = "shared-verbatim-segment-that-both-documents-quote-exactly"
+    texts = [
+        dup,
+        dup,
+        f"alpha opening words {run} first unique tail 0123",
+        f"totally different preamble {run} and another ending 4567",
+    ]
+    # unique fillers: digit soup, no 8-char window repeats across docs
+    for i in range(196):
+        texts.append(" ".join(f"f{i}w{j}x{i * 7 + j}" for j in range(12)))
+    d = tmp_path_factory.mktemp("docs150")
+    return _write_docs(spark, d, texts)
+
+
+def test_q150_detects_identical_and_embedded_runs(spark, docs_sf):
+    out = {(r.doc_a, r.doc_b): r
+           for r in q150_winnow_matches(spark, docs_sf).collect()}
+    # identical docs: equal fingerprint sets -> containment exactly 1.0
+    assert (0, 1) in out
+    assert out[(0, 1)].containment_ppm == 1_000_000
+    # the shared run is >= GRAM+WINNOW-1 chars -> detection GUARANTEED
+    assert (2, 3) in out
+    assert out[(2, 3)].n_shared >= 1 + 1  # MIN_SHARED floor holds
+    # no filler doc pairs with anything
+    assert all(a <= 3 and b <= 3 for a, b in out)
+    # ordering and bounds contracts
+    for (a, b), r in out.items():
+        assert a < b
+        assert 250_000 <= r.containment_ppm <= 1_000_000
+
+
+@pytest.fixture(scope="module")
+def pca_sf(spark, tmp_path_factory) -> str:
+    """Vectors whose energy is dominated by axis 3 (value 0.5) with a
+    small consistent axis-7 component (0.1): the top principal
+    direction must be axis 3."""
+    rows = []
+    for i in range(40):
+        v = [0.0] * DIM
+        v[3] = 0.5 if i % 2 == 0 else -0.5
+        v[7] = 0.1
+        rows.append((i, v, 0))
+    d = tmp_path_factory.mktemp("emb151")
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_q151_finds_dominant_axis(spark, pca_sf):
+    out = {r.pos: r for r in q151_pca_power(spark, pca_sf).collect()}
+    assert set(out) == set(range(DIM))
+    # max-normalized fixed point: dominant component is axis 3 at ~1e6
+    mags = {p: abs(r.v_fp) for p, r in out.items()}
+    assert max(mags, key=mags.get) == 3
+    assert mags[3] >= 900_000
+    # all non-participating axes are ~0
+    for p in range(DIM):
+        if p not in (3, 7):
+            assert mags[p] < 50_000
+    # one positive eigenvalue, identical on every row
+    eigs = {r.eigval_fp for r in out.values()}
+    assert len(eigs) == 1 and eigs.pop() > 0
+
+
+@pytest.fixture(scope="module")
+def dsir_sf(spark, tmp_path_factory) -> str:
+    """Target docs (src0) speak vocabulary A; raw docs speak B; one raw
+    doc (doc_id 19, src19) speaks pure A — DSIR must score it above
+    every B doc and select it."""
+    vocab_a = "alpha beta gamma delta epsilon zeta"
+    vocab_b = "omicron sigma tau upsilon phi chi"
+    texts = []
+    for i in range(20):
+        if i % 20 == 0:          # src0 == target
+            texts.append(vocab_a + " " + vocab_a)
+        elif i == 19:            # raw doc in target vocabulary
+            texts.append(vocab_a + " " + vocab_a)
+        else:
+            texts.append(vocab_b + " " + vocab_b)
+    d = tmp_path_factory.mktemp("docs152")
+    return _write_docs(spark, d, texts)
+
+
+def test_q152_target_vocabulary_scores_high(spark, dsir_sf):
+    out = {r.doc_id: r for r in
+           q152_dsir_importance(spark, dsir_sf).collect()}
+    assert len(out) == 20
+    # the A-speaking raw doc outscores every B doc and is kept
+    a_doc = out[19]
+    b_scores = [r.importance_fp for i, r in out.items()
+                if r.source != DSIR_TARGET and i != 19]
+    assert a_doc.source != DSIR_TARGET
+    assert a_doc.keep
+    assert all(a_doc.importance_fp > s for s in b_scores)
+    # B docs are less target-like than the corpus average -> dropped
+    b_kept = [r.keep for i, r in out.items()
+              if r.source != DSIR_TARGET and i != 19]
+    assert not any(b_kept)
+    # keep flag is exactly the above-average gate (trunc division — the
+    # engines' % follows the dividend, unlike Python's floor %)
+    s, n = sum(r.importance_fp for r in out.values()), len(out)
+    avg = int(s / abs(s) * (abs(s) // n)) if s else 0
+    assert all((r.importance_fp > avg) == r.keep for r in out.values())
