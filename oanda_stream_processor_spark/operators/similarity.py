@@ -797,7 +797,8 @@ assigned AS (
   SELECT vec_id, m, j, sv FROM (
     SELECT s.vec_id, s.m, c.j, s.sv,
            ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
-             ORDER BY ROUND({_SQL_SUBD2.format(n=PQ_SUB, a='s.sv', b='c.cw')}, 6),
+             ORDER BY FLOOR(({_SQL_SUBD2.format(n=PQ_SUB, a='s.sv', b='c.cw')})
+                          * 1000000),
                       c.j) AS rn
     FROM sub s JOIN initcb c ON c.m = s.m) WHERE rn = 1),
 upd AS (
@@ -814,7 +815,8 @@ codes AS (
   SELECT vec_id, LIST(j ORDER BY m) AS code FROM (
     SELECT s.vec_id, s.m, r.j,
            ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
-             ORDER BY ROUND({_SQL_SUBD2.format(n=PQ_SUB, a='s.sv', b='r.cw')}, 6),
+             ORDER BY FLOOR(({_SQL_SUBD2.format(n=PQ_SUB, a='s.sv', b='r.cw')})
+                          * 1000000),
                       r.j) AS rn
     FROM sub s JOIN refined r ON r.m = s.m) WHERE rn = 1
   GROUP BY vec_id),
@@ -838,6 +840,74 @@ ranked AS (
   FROM scored)
 SELECT query_id, cand_id, d2, rank FROM ranked WHERE rank <= {TOP_K}
 """
+
+
+def _pq_cb_payload(cb_one: DataFrame):
+    """(PQ_M, PQ_KS, PQ_SUB) float64 codeword tensor collected once
+    from the one-row codebook frame (broadcast-sized state; cached on
+    the frame object like the IVF payload)."""
+    import numpy as np
+    cached = getattr(cb_one, "_pq_payload", None)
+    if cached is not None:
+        return cached
+    rows = cb_one.first()["cb"]   # array_sort'ed by (m, j, cw)
+    mat = np.zeros((PQ_M, PQ_KS, PQ_SUB), dtype=np.float64)
+    for r in rows:
+        mat[r["m"], r["j"]] = list(r["cw"])
+    cb_one._pq_payload = mat
+    return mat
+
+
+def _pq_sub_argmin(x: "np.ndarray", mat: "np.ndarray"):
+    """Per (row, subspace) nearest-codeword index with the oracle's
+    exact arithmetic: dim-major sequential d2 fold (bit-identical to
+    LIST_AGGREGATE), FLOOR(d2 * 1e6) quantization, first-min tie break
+    == smallest j (codewords indexed by j ascending)."""
+    import numpy as np
+    n = x.shape[0]
+    codes = np.empty((n, PQ_M), dtype=np.int32)
+    d2s = np.empty((n, PQ_M, PQ_KS), dtype=np.float64)
+    for m in range(PQ_M):
+        s = x[:, m * PQ_SUB:(m + 1) * PQ_SUB]
+        acc = np.zeros((n, PQ_KS), dtype=np.float64)
+        for i in range(PQ_SUB):
+            d = s[:, i, None] - mat[m, :, i][None, :]
+            acc += d * d
+        d2s[:, m, :] = acc
+        codes[:, m] = np.argmin(np.floor(acc * 1_000_000.0), axis=1)
+    return codes, d2s
+
+
+def _pq_codes_frame(df: DataFrame, cb_one: DataFrame,
+                    extra: tuple = ()) -> DataFrame:
+    """(vec_id, *extra, code): every vector encoded to its PQ_M
+    nearest-codeword indices by Arrow-batched numpy (the encode twin of
+    the coarse `_assign_cells` — candidates downstream carry ONLY their
+    codes). Extra columns pass through untouched."""
+    import numpy as np
+    import pyarrow as pa
+
+    mat = _pq_cb_payload(cb_one)
+    cols = ["vec_id", *extra, "embedding"]
+    out_fields = ", ".join(
+        ["vec_id bigint"]
+        + [f"{c} bigint" for c in extra]
+        + ["code array<int>"])
+
+    def encode(batches):
+        for b in batches:
+            n = b.num_rows
+            emb = b.column(b.schema.get_field_index("embedding"))
+            x = np.asarray(emb.flatten(), dtype=np.float64).reshape(
+                n, DIM) if n else np.empty((0, DIM))
+            codes, _ = _pq_sub_argmin(x, mat)
+            arrs = [b.column(b.schema.get_field_index("vec_id"))]
+            arrs += [b.column(b.schema.get_field_index(c)) for c in extra]
+            arrs.append(pa.array(list(codes), type=pa.list_(pa.int32())))
+            yield pa.RecordBatch.from_arrays(
+                arrs, ["vec_id", *extra, "code"])
+
+    return df.select(*cols).mapInArrow(encode, out_fields)
 
 
 def _pq_subd2(a, b) -> F.Column:
@@ -865,20 +935,38 @@ def _pq_refined_codebook(e: DataFrame):
         F.array_sort(F.collect_list(F.struct("m", "j", "cw"))).alias("cb")) \
         .localCheckpoint(eager=True)
 
-    # assignment vs init codebook: explode to (vec, m) rows — this N*M
-    # frame exists only during training (one Lloyd iteration)
-    sub = e.select(
-        "vec_id",
-        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
-        F.expr(f"transform(slice(embedding, m * {PQ_SUB} + 1, {PQ_SUB}), "
-               "x -> cast(x as double))").alias("sv"))
-    best = F.expr(
-        "array_min(transform(filter(cb, c -> c.m = m), c -> struct("
-        "round(aggregate(zip_with(sv, c.cw, (x, y) -> (x - y) * (x - y)), "
-        "cast(0 as double), (acc, x) -> acc + x), 6) AS d2r, c.j AS j))).j")
-    assigned = (sub.crossJoin(F.broadcast(init_one))
-                .select("vec_id", "m", "sv", best.alias("j")))
-    flat = assigned.select("m", "j", F.posexplode("sv").alias("d", "val"))
+    # assignment vs init codebook: Arrow-batched numpy (the round-7
+    # claw-back — the JVM HOF argmin over PQ_M x PQ_KS codewords was
+    # interpreted, ~1.9 s of q128's 2.9 s at sf0.1). Each batch emits
+    # the (m, j, d, val) member rows directly; the exact-decimal mean
+    # stays a DataFrame aggregation (order-independent DECIMAL(30,12)
+    # accumulation — numpy floats could not reproduce it).
+    import numpy as np
+    import pyarrow as pa
+
+    mat = _pq_cb_payload(init_one)
+
+    def members(batches):
+        mm = np.tile(np.repeat(np.arange(PQ_M, dtype=np.int32), PQ_SUB),
+                     1)
+        dd = np.tile(np.arange(PQ_SUB, dtype=np.int32), PQ_M)
+        for b in batches:
+            n = b.num_rows
+            if not n:
+                continue
+            emb = b.column(b.schema.get_field_index("embedding"))
+            x = np.asarray(emb.flatten(),
+                           dtype=np.float64).reshape(n, DIM)
+            codes, _ = _pq_sub_argmin(x, mat)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.tile(mm, n)),
+                 pa.array(np.repeat(codes, PQ_SUB).astype(np.int32)),
+                 pa.array(np.tile(dd, n)),
+                 pa.array(x.ravel())],
+                ["m", "j", "d", "val"])
+
+    flat = e.select("embedding").mapInArrow(
+        members, "m int, j int, d int, val double")
     means = (flat.groupBy("m", "j", "d")
              .agg(F.round(F.sum(F.col("val").cast("decimal(30,12)"))
                           .cast("double") / F.count("*"), 6).alias("cwv")))
@@ -898,16 +986,9 @@ def _pq_refined_codebook(e: DataFrame):
 def q128_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     cb_one = _pq_refined_codebook(e)
-    # encode: per-row fold over the broadcast codebook — candidates
+    # encode via the Arrow-batched numpy sub-quantizer — candidates
     # carry ONLY their 8 codes into the scan
-    code = F.expr(
-        f"transform(sequence(0, {PQ_M - 1}), m -> array_min(transform("
-        "filter(cb, c -> c.m = m), c -> struct(round(aggregate(zip_with("
-        f"transform(slice(embedding, m * {PQ_SUB} + 1, {PQ_SUB}), "
-        "x -> cast(x as double)), c.cw, (x, y) -> (x - y) * (x - y)), "
-        "cast(0 as double), (acc, x) -> acc + x), 6) AS d2r, c.j AS j))).j)")
-    codes = (e.crossJoin(F.broadcast(cb_one))
-             .select("vec_id", code.alias("code")))
+    codes = _pq_codes_frame(e, cb_one)
     # per-query 8x16 LUT of subspace distances (broadcast)
     lut = F.expr(
         f"transform(sequence(0, {PQ_M - 1}), m -> transform("
@@ -1206,7 +1287,8 @@ passigned AS (
   SELECT vec_id, m, j, sv FROM (
     SELECT s.vec_id, s.m, c.j, s.sv,
            ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
-             ORDER BY ROUND({_SQL_SUBD2.format(n=PQ_SUB, a='s.sv', b='c.cw')}, 6),
+             ORDER BY FLOOR(({_SQL_SUBD2.format(n=PQ_SUB, a='s.sv', b='c.cw')})
+                          * 1000000),
                       c.j) AS rn
     FROM sub s JOIN initcb c ON c.m = s.m) WHERE rn = 1),
 upd AS (
@@ -1223,7 +1305,8 @@ codes AS (
   SELECT vec_id, LIST(j ORDER BY m) AS code FROM (
     SELECT s.vec_id, s.m, r.j,
            ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
-             ORDER BY ROUND({_SQL_SUBD2.format(n=PQ_SUB, a='s.sv', b='r.cw')}, 6),
+             ORDER BY FLOOR(({_SQL_SUBD2.format(n=PQ_SUB, a='s.sv', b='r.cw')})
+                          * 1000000),
                       r.j) AS rn
     FROM sub s JOIN refined r ON r.m = s.m) WHERE rn = 1
   GROUP BY vec_id),
@@ -1257,14 +1340,8 @@ def q147_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     cells = _ivf_cells(e)                 # (vec_id, embedding, cell)
     cb_one = _pq_refined_codebook(e)      # 1-row broadcast codebook
-    code = F.expr(
-        f"transform(sequence(0, {PQ_M - 1}), m -> array_min(transform("
-        "filter(cb, c -> c.m = m), c -> struct(round(aggregate(zip_with("
-        f"transform(slice(embedding, m * {PQ_SUB} + 1, {PQ_SUB}), "
-        "x -> cast(x as double)), c.cw, (x, y) -> (x - y) * (x - y)), "
-        "cast(0 as double), (acc, x) -> acc + x), 6) AS d2r, c.j AS j))).j)")
-    codes = (cells.crossJoin(F.broadcast(cb_one))
-             .select("vec_id", "cell", code.alias("code")))
+    # numpy sub-quantizer encode; the cell id rides along untouched
+    codes = _pq_codes_frame(cells, cb_one, extra=("cell",))
     lut = F.expr(
         f"transform(sequence(0, {PQ_M - 1}), m -> transform("
         "filter(cb, c -> c.m = m), c -> round(aggregate(zip_with("
