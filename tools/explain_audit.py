@@ -328,6 +328,28 @@ def main() -> int:
     check("q148 no cartesian", q148, count_of=("CartesianProduct", 0, 0))
     check("q148 broadcast probe", q148, contains=["BroadcastHashJoin"])
 
+    # q150: fp postings self-join is an equi-join on the fingerprint;
+    # both sizes joins broadcast; no cartesian of the corpus
+    from oanda_stream_processor_spark.operators import textops
+    q150 = textops.q150_winnow_matches(spark, SF)
+    check("q150 no cartesian", q150, count_of=("CartesianProduct", 0, 0))
+    check("q150 broadcast sizes", q150, contains=["BroadcastHashJoin"])
+    check("q150 partial agg", q150, contains=["partial_"])
+
+    # q151: the corpus is touched ONLY by the numpy moment stage (its
+    # MapInArrow plan is truncated behind the cm localCheckpoint); the
+    # iteration runs on 4096-row frames with partial aggs, no cartesian
+    q151 = similarity.q151_pca_power(spark, SF)
+    check("q151 no cartesian", q151, count_of=("CartesianProduct", 0, 0))
+    check("q151 partial agg", q151, contains=["partial_"])
+
+    # q152: vocab hash + bucket stats + avg gate all broadcast; token
+    # stream shuffles only for the per-doc sum
+    q152 = llmprep.q152_dsir_importance(spark, SF)
+    check("q152 no cartesian", q152, count_of=("CartesianProduct", 0, 0))
+    check("q152 broadcast lr", q152, contains=["BroadcastHashJoin"])
+    check("q152 partial agg", q152, contains=["partial_"])
+
     if failures:
         print("\n".join("AUDIT FAIL: " + f for f in failures))
         return 1
