@@ -368,6 +368,75 @@ _SQL_TOKH = (
     f"c -> CAST(ASCII(c) AS BIGINT)), (a, b) -> (a * {_DSIR_BASE} + b) "
     f"% {_DSIR_HMOD})")
 
+def dsir_bucket_col() -> F.Column:
+    """Hashed-unigram feature bucket of the `token` column — Spark
+    aggregate with seed 0 == DuckDB LIST_REDUCE seedless fold."""
+    codes = F.transform(F.split("token", ""),
+                        lambda c: F.ascii(c).cast("long"))
+    h = F.aggregate(codes, F.lit(0).cast("long"),
+                    lambda a, c: (a * _DSIR_BASE + c) % _DSIR_HMOD)
+    return h % DSIR_BUCKETS
+
+
+def _dsir_tokens(d: DataFrame) -> DataFrame:
+    return d.select(
+        "doc_id", "source",
+        F.explode(F.filter(F.split("text", " "),
+                           lambda x: x != "")).alias("token"))
+
+
+def _dsir_tables(d: DataFrame):
+    """(bt, lr): bucketized token stream (checkpointed — three
+    consumers) and the per-bucket fixed-point log-ratio table."""
+    tok = _dsir_tokens(d)
+    # hash once per distinct token (vocab-sized), broadcast back
+    vocab = (tok.select("token").distinct()
+             .select("token", dsir_bucket_col().alias("bucket")))
+    bt = (tok.join(F.broadcast(vocab), "token")
+             .select("doc_id", "source", "bucket")
+             .localCheckpoint(eager=True))
+    tc = (bt.where(F.col("source") == DSIR_TARGET)
+            .groupBy("bucket").agg(F.count("*").alias("tc")))
+    rc = bt.groupBy("bucket").agg(F.count("*").alias("rc"))
+    tots = bt.agg(
+        F.count("*").alias("r_tot"),
+        F.sum(F.when(F.col("source") == DSIR_TARGET, 1).otherwise(0))
+         .alias("t_tot"))
+    ratio = ((F.coalesce(F.col("tc"), F.lit(0)) + 1).cast("double")
+             * (F.col("r_tot") + DSIR_BUCKETS)
+             / ((F.col("rc") + 1).cast("double")
+                * (F.col("t_tot") + DSIR_BUCKETS)))
+    lr = (rc.join(tc, "bucket", "left")
+            .crossJoin(F.broadcast(tots))
+            .select("bucket",
+                    F.round(F.log(ratio) * 1_000_000).cast("bigint")
+                     .alias("lr_fp")))
+    return bt, lr
+
+
+def _dsir_scores(bt: DataFrame, lr: DataFrame) -> DataFrame:
+    return (bt.join(F.broadcast(lr), "bucket")
+              .groupBy("doc_id", "source")
+              .agg(F.count("*").alias("n_tokens"),
+                   F.sum("lr_fp").cast("bigint").alias("importance_fp")))
+
+
+def _dsir_avg(scores: DataFrame) -> DataFrame:
+    ssum, n = F.sum("importance_fp"), F.count("*")
+    return scores.agg(((ssum - ssum % n) / n).cast("bigint")
+                      .alias("avg_fp"))
+
+
+def dsir_train(d: DataFrame):
+    """(lr, avg): the broadcastable trained state for scoring OTHER
+    frames (e.g. streaming micro-batches — streaming/dsirgate.py).
+    Both eagerly checkpointed: train once, reuse per batch."""
+    bt, lr = _dsir_tables(d)
+    lr = lr.localCheckpoint(eager=True)
+    avg = _dsir_avg(_dsir_scores(bt, lr)).localCheckpoint(eager=True)
+    return lr, avg
+
+
 @query("q152_dsir_importance", f"""
 WITH tok AS (
   SELECT doc_id, source,
@@ -410,44 +479,9 @@ FROM scores s CROSS JOIN avg_s a
 """)
 def q152_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", "source",
-        F.explode(F.filter(F.split("text", " "),
-                           lambda x: x != "")).alias("token"))
-    # hash once per distinct token (vocab-sized), broadcast back
-    codes = F.transform(F.split("token", ""),
-                        lambda c: F.ascii(c).cast("long"))
-    h = F.aggregate(codes, F.lit(0).cast("long"),
-                    lambda a, c: (a * _DSIR_BASE + c) % _DSIR_HMOD)
-    vocab = (tok.select("token").distinct()
-             .select("token", (h % DSIR_BUCKETS).alias("bucket")))
-    bt = (tok.join(F.broadcast(vocab), "token")
-             .select("doc_id", "source", "bucket")
-             .localCheckpoint(eager=True))
-    tc = (bt.where(F.col("source") == DSIR_TARGET)
-            .groupBy("bucket").agg(F.count("*").alias("tc")))
-    rc = bt.groupBy("bucket").agg(F.count("*").alias("rc"))
-    tots = bt.agg(
-        F.count("*").alias("r_tot"),
-        F.sum(F.when(F.col("source") == DSIR_TARGET, 1).otherwise(0))
-         .alias("t_tot"))
-    ratio = ((F.coalesce(F.col("tc"), F.lit(0)) + 1).cast("double")
-             * (F.col("r_tot") + DSIR_BUCKETS)
-             / ((F.col("rc") + 1).cast("double")
-                * (F.col("t_tot") + DSIR_BUCKETS)))
-    lr = (rc.join(tc, "bucket", "left")
-            .crossJoin(F.broadcast(tots))
-            .select("bucket",
-                    F.round(F.log(ratio) * 1_000_000).cast("bigint")
-                     .alias("lr_fp")))
-    scores = (bt.join(F.broadcast(lr), "bucket")
-                .groupBy("doc_id", "source")
-                .agg(F.count("*").alias("n_tokens"),
-                     F.sum("lr_fp").cast("bigint").alias("importance_fp")))
-    ssum, n = F.sum("importance_fp"), F.count("*")
-    avg_s = scores.agg(((ssum - ssum % n) / n).cast("bigint")
-                       .alias("avg_fp"))
-    return (scores.crossJoin(F.broadcast(avg_s))
+    bt, lr = _dsir_tables(d)
+    scores = _dsir_scores(bt, lr)
+    return (scores.crossJoin(F.broadcast(_dsir_avg(scores)))
                   .select("doc_id", "source", "n_tokens", "importance_fp",
                           (F.col("importance_fp") > F.col("avg_fp"))
                           .alias("keep")))
