@@ -1541,15 +1541,16 @@ FROM {last_v} v CROSS JOIN eig e
 """
 
 
-@query("q151_pca_power", _pca_sql())
-def q151_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed fixed-point PCA: numpy per-partition integer moment
-    partials -> 4096-key combine -> integer power iteration on tiny
-    frames (joins + sums, q90-style)."""
+def pca_moment_partials(e: DataFrame) -> DataFrame:
+    """Raw integer moment rows (i, j, c) for an embedding frame — the
+    numpy per-partition partial + 4096-key combine. Integer sums are
+    associative and commutative, so partials from ANY batching of the
+    corpus merge to the identical matrix (the property the streaming
+    twin `streaming/pcastream.py` is built on)."""
     import numpy as np
     import pyarrow as pa
 
-    e = load_table(spark, sf_dir, "embeddings").select("embedding")
+    e = e.select("embedding")
 
     def partials(batches):
         acc = np.zeros((DIM, DIM), dtype=np.int64)
@@ -1578,9 +1579,15 @@ def q151_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
                  pa.array(acc.ravel(), type=pa.int64())],
                 ["i", "j", "c"])
 
-    raw = (e.mapInArrow(partials, "i int, j int, c long")
-            .groupBy("i", "j").agg(F.sum("c").alias("c")))
+    return (e.mapInArrow(partials, "i int, j int, c long")
+             .groupBy("i", "j").agg(F.sum("c").alias("c")))
 
+
+def pca_from_moments(spark: SparkSession, raw: DataFrame) -> DataFrame:
+    """(pos, v_fp, eigval_fp) from an integer moment frame (i, j, c):
+    the corpus-relative rescale + unrolled power iteration + DECIMAL
+    Rayleigh quotient. Shared by the batch operator (q151) and the
+    streaming moment accumulator."""
     def tdiv(a: F.Column, b: F.Column) -> F.Column:
         return ((a - a % b) / b).cast("bigint")
 
@@ -1618,3 +1625,12 @@ def q151_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (v.crossJoin(F.broadcast(eig))
              .select(F.col("j").cast("bigint").alias("pos"),
                      F.col("v").alias("v_fp"), "eigval_fp"))
+
+
+@query("q151_pca_power", _pca_sql())
+def q151_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed fixed-point PCA: numpy per-partition integer moment
+    partials -> 4096-key combine -> integer power iteration on tiny
+    frames (joins + sums, q90-style)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return pca_from_moments(spark, pca_moment_partials(e))
