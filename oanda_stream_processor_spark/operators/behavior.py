@@ -375,3 +375,62 @@ def q137_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("late_s").alias("max_late_s"),
                  ((tot - tot % n) / n).cast("bigint")
                     .alias("avg_late_s_floor")))
+
+
+# ---------------------------------------------------------------------------
+# q153 — turn-alternation audit (SFT/dialogue data validation): treat a
+# user's event stream as a conversation transcript and audit the
+# structural rules instruction-tuning pipelines enforce before
+# training: no two consecutive turns by the same role (event_type),
+# which role opens and closes, and a per-dialogue validity flag. The
+# standard multi-turn SFT ingest gate, expressed as one LAG pass.
+#
+# Determinism: turns are ordered by (ts, event_id) — a total order —
+# so LAG sees identical predecessors in both engines.
+#
+# Scale: one shuffle keyed on user_id (the dialogue id; uniform), a
+# single window pass, then a map-side-combinable per-user aggregate.
+# No joins, no second corpus pass.
+# ---------------------------------------------------------------------------
+@query("q153_turn_alternation", f"""
+WITH ev AS ({SQL_EV}),
+seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_turns
+  FROM ev)
+SELECT user_id,
+       CAST(MAX(n_turns) AS BIGINT) AS n_turns,
+       CAST(SUM(CASE WHEN prev_type IS NOT NULL
+                      AND prev_type = event_type
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       MAX(CASE WHEN rn = 1 THEN event_type END) AS opening_role,
+       MAX(CASE WHEN rn = n_turns THEN event_type END) AS closing_role,
+       SUM(CASE WHEN prev_type IS NOT NULL
+                 AND prev_type = event_type
+                THEN 1 ELSE 0 END) = 0 AS valid
+FROM seq GROUP BY user_id
+""")
+def q153_turn_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wall = W.partitionBy("user_id")
+    seq = ev.select(
+        "user_id", "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wall).alias("n_turns"))
+    viol = F.when(F.col("prev_type").isNotNull()
+                  & (F.col("prev_type") == F.col("event_type")), 1) \
+            .otherwise(0)
+    return (seq.groupBy("user_id")
+            .agg(F.max("n_turns").cast("bigint").alias("n_turns"),
+                 F.sum(viol).cast("bigint").alias("n_violations"),
+                 F.max(F.when(F.col("rn") == 1, F.col("event_type")))
+                  .alias("opening_role"),
+                 F.max(F.when(F.col("rn") == F.col("n_turns"),
+                              F.col("event_type"))).alias("closing_role"),
+                 (F.sum(viol) == 0).alias("valid")))

@@ -453,3 +453,69 @@ def q99_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
              ("lm_band", s4), ("pps_sample", s5)], start=1):
         out = out.unionByName(stage_row(n, stage, frame))
     return out
+
+
+# ---------------------------------------------------------------------------
+# q154 — length-bucket padding-waste audit: assign every document to
+# the power-of-two token-length bucket a fixed-shape training batcher
+# would pad it to, and measure the padding tax per bucket and overall
+# (padded = bucket_size * n_docs; waste = padded - real tokens). This
+# is the measurement behind choosing bucketed batching / sequence
+# packing (q81) over naive padding for LLM training throughput.
+#
+# Determinism: the bucket is an unrolled integer CASE (identical text
+# in both engines) — no log2() on doubles, whose last-ulp behavior at
+# exact powers of two is libm-dependent. Waste ppm is the mod-identity
+# floor division.
+#
+# Scale: per-row projection + one map-side-combinable groupBy on a
+# bounded key (16 buckets); the overall row is a second tiny agg.
+# ---------------------------------------------------------------------------
+_PAD_EXPS = list(range(16))   # buckets 1, 2, 4, ..., 32768
+
+def _bucket_case(n: str) -> str:
+    """Smallest power-of-two >= n, as an unrolled CASE both engines
+    evaluate identically (documents past 2^15 tokens clamp to the top
+    bucket; widen _PAD_EXPS for longer-context corpora)."""
+    whens = " ".join(f"WHEN {n} <= {1 << e} THEN {1 << e}"
+                     for e in _PAD_EXPS)
+    return f"(CASE {whens} ELSE {1 << _PAD_EXPS[-1]} END)"
+
+
+@query("q154_padding_waste", f"""
+WITH t AS (
+  SELECT doc_id,
+         LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> ''))
+           AS n_tokens
+  FROM documents),
+b AS (
+  SELECT doc_id, n_tokens, {_bucket_case('n_tokens')} AS bucket
+  FROM t WHERE n_tokens > 0),
+per AS (
+  SELECT bucket, COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS real_tokens,
+         CAST(bucket * COUNT(*) AS BIGINT) AS padded_tokens
+  FROM b GROUP BY bucket)
+SELECT bucket, n_docs, real_tokens, padded_tokens,
+       CAST(((padded_tokens - real_tokens) * 1000000
+             - ((padded_tokens - real_tokens) * 1000000) % padded_tokens)
+            / padded_tokens AS BIGINT) AS waste_ppm
+FROM per
+""")
+def q154_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    b = (d.select("doc_id", n_tokens.alias("n_tokens"))
+          .where(F.col("n_tokens") > 0)
+          .selectExpr("doc_id", "n_tokens",
+                      f"{_bucket_case('n_tokens')} AS bucket"))
+    per = (b.groupBy("bucket")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").cast("bigint").alias("real_tokens"),
+                 (F.first("bucket") * F.count("*")).cast("bigint")
+                  .alias("padded_tokens")))
+    waste = (F.col("padded_tokens") - F.col("real_tokens")) * 1_000_000
+    return per.select(
+        "bucket", "n_docs", "real_tokens", "padded_tokens",
+        ((waste - waste % F.col("padded_tokens")) / F.col("padded_tokens"))
+        .cast("bigint").alias("waste_ppm"))

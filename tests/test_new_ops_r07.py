@@ -147,3 +147,61 @@ def test_q152_target_vocabulary_scores_high(spark, dsir_sf):
     s, n = sum(r.importance_fp for r in out.values()), len(out)
     avg = int(s / abs(s) * (abs(s) // n)) if s else 0
     assert all((r.importance_fp > avg) == r.keep for r in out.values())
+
+
+from oanda_stream_processor_spark.operators.behavior import (  # noqa: E402
+    q153_turn_alternation,
+)
+from oanda_stream_processor_spark.operators.curation import (  # noqa: E402
+    q154_padding_waste,
+)
+from pyspark.sql import functions as F2  # noqa: E402,F401
+
+
+@pytest.fixture(scope="module")
+def turns_sf(spark, tmp_path_factory) -> str:
+    """Three dialogues: user 1 alternates cleanly (valid), user 2 has
+    one double-turn (1 violation), user 3 is a monologue (n-1
+    violations)."""
+    rows, eid = [], 0
+    plan = {1: ["view", "click", "view", "click"],
+            2: ["view", "view", "click"],
+            3: ["click", "click", "click", "click"]}
+    for uid, seq in plan.items():
+        for i, et in enumerate(seq):
+            rows.append((eid, f"2024-01-01 00:0{i}:00", uid, et, 1.0, "{}"))
+            eid += 1
+    d = tmp_path_factory.mktemp("turns")
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, "
+              "event_type string, value double, props string"
+    ).withColumn("ts", F2.to_timestamp("ts"))
+    df.write.parquet(str(d / "events.parquet"))
+    return str(d)
+
+
+def test_q153_violation_counts(spark, turns_sf):
+    out = {r.user_id: r for r in
+           q153_turn_alternation(spark, turns_sf).collect()}
+    assert out[1].valid and out[1].n_violations == 0
+    assert out[1].opening_role == "view" and out[1].closing_role == "click"
+    assert not out[2].valid and out[2].n_violations == 1
+    assert not out[3].valid and out[3].n_violations == 3
+    assert {r.n_turns for r in out.values()} == {4, 3, 4}
+
+
+def test_q154_bucket_and_waste(spark, tmp_path_factory):
+    """Docs of 3, 4, and 5 tokens land in buckets 4, 4, 8; waste is
+    exact integer ppm."""
+    texts = ["a b c", "a b c d", "a b c d e"]
+    d = tmp_path_factory.mktemp("pad")
+    return_dir = _write_docs(spark, d, texts)
+    out = {r.bucket: r for r in
+           q154_padding_waste(spark, return_dir).collect()}
+    assert set(out) == {4, 8}
+    b4 = out[4]
+    assert b4.n_docs == 2 and b4.real_tokens == 7 and b4.padded_tokens == 8
+    assert b4.waste_ppm == 125_000        # 1/8 exactly
+    b8 = out[8]
+    assert b8.n_docs == 1 and b8.real_tokens == 5 and b8.padded_tokens == 8
+    assert b8.waste_ppm == 375_000        # 3/8 exactly
