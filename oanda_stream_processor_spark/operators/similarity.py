@@ -859,23 +859,21 @@ def _pq_cb_payload(cb_one: DataFrame):
 
 
 def _pq_sub_argmin(x: "np.ndarray", mat: "np.ndarray"):
-    """Per (row, subspace) nearest-codeword index with the oracle's
+    """Per (row, subspace) nearest-codeword indices with the oracle's
     exact arithmetic: dim-major sequential d2 fold (bit-identical to
     LIST_AGGREGATE), FLOOR(d2 * 1e6) quantization, first-min tie break
     == smallest j (codewords indexed by j ascending)."""
     import numpy as np
     n = x.shape[0]
     codes = np.empty((n, PQ_M), dtype=np.int32)
-    d2s = np.empty((n, PQ_M, PQ_KS), dtype=np.float64)
     for m in range(PQ_M):
         s = x[:, m * PQ_SUB:(m + 1) * PQ_SUB]
         acc = np.zeros((n, PQ_KS), dtype=np.float64)
         for i in range(PQ_SUB):
             d = s[:, i, None] - mat[m, :, i][None, :]
             acc += d * d
-        d2s[:, m, :] = acc
         codes[:, m] = np.argmin(np.floor(acc * 1_000_000.0), axis=1)
-    return codes, d2s
+    return codes
 
 
 def _pq_codes_frame(df: DataFrame, cb_one: DataFrame,
@@ -900,7 +898,7 @@ def _pq_codes_frame(df: DataFrame, cb_one: DataFrame,
             emb = b.column(b.schema.get_field_index("embedding"))
             x = np.asarray(emb.flatten(), dtype=np.float64).reshape(
                 n, DIM) if n else np.empty((0, DIM))
-            codes, _ = _pq_sub_argmin(x, mat)
+            codes = _pq_sub_argmin(x, mat)
             arrs = [b.column(b.schema.get_field_index("vec_id"))]
             arrs += [b.column(b.schema.get_field_index(c)) for c in extra]
             arrs.append(pa.array(list(codes), type=pa.list_(pa.int32())))
@@ -957,7 +955,7 @@ def _pq_refined_codebook(e: DataFrame):
             emb = b.column(b.schema.get_field_index("embedding"))
             x = np.asarray(emb.flatten(),
                            dtype=np.float64).reshape(n, DIM)
-            codes, _ = _pq_sub_argmin(x, mat)
+            codes = _pq_sub_argmin(x, mat)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(np.tile(mm, n)),
                  pa.array(np.repeat(codes, PQ_SUB).astype(np.int32)),
