@@ -485,3 +485,168 @@ def q152_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .select("doc_id", "source", "n_tokens", "importance_fp",
                           (F.col("importance_fp") > F.col("avg_fp"))
                           .alias("keep")))
+
+
+# ---------------------------------------------------------------------------
+# q155 — BPE merge training (Sennrich et al. 2016, "Neural Machine
+# Translation of Rare Words with Subword Units"): learn the first
+# BPE_MERGES merge rules of a byte-pair-encoding tokenizer over the
+# corpus, exactly as real trainers do — on the WORD-FREQUENCY table,
+# not the raw corpus. Each step counts adjacent symbol pairs weighted
+# by word frequency, merges the most frequent pair (ties broken
+# lexicographically), and re-symbolizes every word. Output: the merge
+# table (step, lhs, rhs, merged, pair_count).
+#
+# Determinism (the q90 unrolled-iteration discipline): pair counts are
+# integer sums of integer frequencies; the argmax is ORDER BY (count
+# DESC, lhs, rhs) LIMIT 1; and the merge application is EXACT
+# left-to-right non-overlapping semantics — for lhs != rhs adjacent
+# matches cannot overlap, and for lhs == rhs runs of matches keep
+# every other position (gaps-and-islands run grouping + offset parity),
+# reproducing greedy single-pass BPE bit-for-bit in both engines.
+#
+# Scale (100 TB): the corpus is touched ONCE by the map-side-
+# combinable word count; everything after runs on the vocabulary
+# (~log of corpus size — exactly why production BPE trainers operate
+# on word-freq dicts). Each step is one explode over vocab-sized
+# symbol arrays, one bounded-key count, a 1-row broadcast argmax, and
+# a vocab-keyed rebuild; localCheckpoint per step caps plan depth.
+# ---------------------------------------------------------------------------
+BPE_MERGES = 5
+_EOW = "</w>"
+
+
+def _bpe_sql() -> str:
+    steps = []
+    prev = "w0"
+    for k in range(1, BPE_MERGES + 1):
+        steps.append(f"""
+p{k} AS MATERIALIZED (
+  SELECT l AS lhs, r AS rhs, CAST(SUM(freq) AS BIGINT) AS c FROM (
+    SELECT freq, syms[i] AS l, syms[i + 1] AS r FROM (
+      SELECT token, freq, syms,
+             UNNEST(RANGE(1, LEN(syms))) AS i
+      FROM {prev})) GROUP BY l, r),
+b{k} AS MATERIALIZED (SELECT lhs, rhs, c FROM p{k} ORDER BY c DESC, lhs, rhs LIMIT 1),
+m{k} AS MATERIALIZED (
+  SELECT token, i FROM (
+    SELECT token, i, MIN(i) OVER (PARTITION BY token, grp) AS run_start
+    FROM (
+      SELECT token, i,
+             i - ROW_NUMBER() OVER (PARTITION BY token ORDER BY i) AS grp
+      FROM (
+        SELECT s.token, s.syms,
+               UNNEST(RANGE(1, LEN(s.syms))) AS i
+        FROM {prev} s) x CROSS JOIN b{k} b
+      WHERE x.syms[x.i] = b.lhs AND x.syms[x.i + 1] = b.rhs))
+  WHERE (i - run_start) % 2 = 0),
+w{k} AS MATERIALIZED (
+  SELECT x.token, x.freq,
+         LIST(CASE WHEN km.i IS NOT NULL THEN b.lhs || b.rhs
+                   ELSE x.sym END ORDER BY x.pos) AS syms
+  FROM (
+    SELECT token, freq, pos, syms[pos] AS sym FROM (
+      SELECT token, freq, syms,
+             UNNEST(RANGE(1, LEN(syms) + 1)) AS pos
+      FROM {prev})) x
+  CROSS JOIN b{k} b
+  LEFT JOIN m{k} km ON km.token = x.token AND km.i = x.pos
+  LEFT JOIN m{k} kc ON kc.token = x.token AND kc.i = x.pos - 1
+  WHERE kc.i IS NULL
+  GROUP BY x.token, x.freq)""")
+        prev = f"w{k}"
+    merges = "\nUNION ALL\n".join(
+        f"SELECT {k} AS step, lhs, rhs, lhs || rhs AS merged, "
+        f"c AS pair_count FROM b{k}"
+        for k in range(1, BPE_MERGES + 1))
+    return f"""
+WITH tok AS (
+  SELECT UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> ''))
+    AS token
+  FROM documents),
+wf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+       FROM tok GROUP BY token),
+w0 AS MATERIALIZED (SELECT token, freq,
+              LIST_APPEND(STRING_SPLIT(token, ''), '{_EOW}') AS syms
+       FROM wf),
+{','.join(steps)}
+{merges}
+"""
+
+
+@query("q155_bpe_merges", _bpe_sql())
+def q155_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.filter(F.split("text", " "),
+                                      lambda x: x != "")).alias("token"))
+    wf = tok.groupBy("token").agg(F.count("*").cast("bigint").alias("freq"))
+    w = wf.select(
+        "token", "freq",
+        F.concat(F.split("token", ""), F.array(F.lit(_EOW))).alias("syms")) \
+        .localCheckpoint(eager=True)
+
+    out = None
+    for k in range(1, BPE_MERGES + 1):
+        pair = F.expr(
+            "explode(transform(sequence(1, size(syms) - 1), i -> "
+            "struct(element_at(syms, i) AS l, "
+            "element_at(syms, i + 1) AS r)))")
+        # size >= 2 guard: Spark sequence(1, 0) DESCENDS (DuckDB
+        # RANGE(1,1) is empty), so fully-merged single-symbol words
+        # must be excluded before the pair explode
+        counts = (w.where(F.expr("size(syms) >= 2"))
+                   .select("freq", pair.alias("pr"))
+                   .groupBy(F.col("pr.l").alias("lhs"),
+                            F.col("pr.r").alias("rhs"))
+                   .agg(F.sum("freq").cast("bigint").alias("c")))
+        best = (counts.orderBy(F.desc("c"), F.asc("lhs"), F.asc("rhs"))
+                .limit(1).localCheckpoint(eager=True))
+        # match positions of the best pair; greedy left-to-right
+        # non-overlap = keep even offsets within each run of
+        # consecutive matches (only lhs == rhs produces runs)
+        pos_i = F.expr("explode(sequence(1, size(syms) - 1))").alias("i")
+        matches = (w.where(F.expr("size(syms) >= 2"))
+                   .select("token", "syms", pos_i)
+                   .crossJoin(F.broadcast(best))
+                   .where((F.expr("element_at(syms, i)") == F.col("lhs"))
+                          & (F.expr("element_at(syms, i + 1)")
+                             == F.col("rhs")))
+                   .select("token", "i"))
+        wrn = W.partitionBy("token").orderBy("i")
+        runs = matches.withColumn(
+            "grp", F.col("i") - F.row_number().over(wrn))
+        wrun = W.partitionBy("token", "grp")
+        kept = (runs.withColumn("run_start", F.min("i").over(wrun))
+                .where((F.col("i") - F.col("run_start")) % 2 == 0)
+                .select("token", "i"))
+        # rebuild: drop consumed positions, rewrite merge starts
+        posed = w.select(
+            "token", "freq",
+            F.expr("explode(sequence(1, size(syms)))").alias("pos"),
+            F.col("syms"))
+        posed = posed.select("token", "freq", "pos",
+                             F.expr("element_at(syms, pos)").alias("sym"))
+        km = kept.select(F.col("token").alias("mt"),
+                         F.col("i").alias("mi"))
+        kc = kept.select(F.col("token").alias("ct"),
+                         F.col("i").alias("ci"))
+        w = (posed
+             .join(km, (posed.token == km.mt) & (posed.pos == km.mi),
+                   "left")
+             .join(kc, (posed.token == kc.ct) & (posed.pos == kc.ci + 1),
+                   "left")
+             .where(F.col("ci").isNull())
+             .crossJoin(F.broadcast(best.select("lhs", "rhs")))
+             .select("token", "freq", "pos",
+                     F.when(F.col("mi").isNotNull(),
+                            F.concat(F.col("lhs"), F.col("rhs")))
+                      .otherwise(F.col("sym")).alias("sym"))
+             .groupBy("token", "freq")
+             .agg(F.expr("transform(array_sort(collect_list("
+                         "struct(pos, sym))), s -> s.sym)").alias("syms"))
+             .localCheckpoint(eager=True))
+        row = best.select(F.lit(k).alias("step"), "lhs", "rhs",
+                          F.concat("lhs", "rhs").alias("merged"),
+                          F.col("c").alias("pair_count"))
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -205,3 +205,49 @@ def test_q154_bucket_and_waste(spark, tmp_path_factory):
     b8 = out[8]
     assert b8.n_docs == 1 and b8.real_tokens == 5 and b8.padded_tokens == 8
     assert b8.waste_ppm == 375_000        # 3/8 exactly
+
+
+from oanda_stream_processor_spark.operators.llmprep import (  # noqa: E402
+    q155_bpe_merges,
+)
+
+
+@pytest.fixture(scope="module")
+def bpe_sf(spark, tmp_path_factory) -> str:
+    """The classic Sennrich-style corpus: low x5, lower x2, newest x6,
+    widest x3 — the first five merges are hand-derivable."""
+    words = (["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    d = tmp_path_factory.mktemp("bpe")
+    return _write_docs(spark, d, [" ".join(words)])
+
+
+def test_q155_classic_merge_sequence(spark, bpe_sf):
+    out = sorted(q155_bpe_merges(spark, bpe_sf).collect(),
+                 key=lambda r: r.step)
+    got = [(r.step, r.lhs, r.rhs, r.merged, r.pair_count) for r in out]
+    # step 1: (e,s) ties (s,t) and (t,</w>) at 9, wins lexicographically;
+    # steps 2-3 extend to est</w>; steps 4-5 build "low" at count 7
+    assert got == [
+        (1, "e", "s", "es", 9),
+        (2, "es", "t", "est", 9),
+        (3, "est", "</w>", "est</w>", 9),
+        (4, "l", "o", "lo", 7),
+        (5, "lo", "w", "low", 7),
+    ]
+
+
+def test_q155_run_parity_for_equal_pair(spark, tmp_path_factory):
+    """lhs == rhs runs merge greedily left-to-right: 'aaaa' yields two
+    (a,a) merges in one step, 'aaa' yields one."""
+    d = tmp_path_factory.mktemp("bpe_runs")
+    sf = _write_docs(spark, d, ["aaaa aaaa aaaa aaa"])
+    out = {r.step: r for r in q155_bpe_merges(spark, sf).collect()}
+    # step 1: (a,a) pairs = 3 per 'aaaa' x3 + 2 in 'aaa' = 11
+    assert (out[1].lhs, out[1].rhs, out[1].pair_count) == ("a", "a", 11)
+    # step 2 proves the run parity applied TWO merges to 'aaaa' in one
+    # step ([aa, aa, </w>]) and one to 'aaa' ([aa, a, </w>]): the pair
+    # table ties (aa,aa)=3 with (aa,</w>)=3 and '</w>' < 'aa'
+    # lexicographically, so the (aa,</w>) count of exactly 3 is only
+    # possible if every 'aaaa' became [aa, aa, </w>]
+    assert (out[2].lhs, out[2].rhs) == ("aa", "</w>")
+    assert out[2].pair_count == 3
