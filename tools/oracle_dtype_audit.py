@@ -41,6 +41,7 @@ def main():
     queries = ent.queries()
     oracles = ent.oracle_sql()
     hazards = []
+    infos = []
     for name, sql in sorted(oracles.items()):
         try:
             df = con.execute(sql).df()
@@ -50,24 +51,42 @@ def main():
         except Exception as e:  # noqa: BLE001 - report, keep auditing
             hazards.append((name, "<error>", f"{type(e).__name__}: {e}"))
             continue
+        try:
+            atypes = {f.name: str(f.type)
+                      for f in con.execute(sql).arrow().schema}
+        except Exception:  # noqa: BLE001
+            atypes = {}
         for col in df.columns:
             pk = str(df[col].dtype)
             sk = stypes.get(col)
+            at = atypes.get(col, "")
             if sk is None:
                 hazards.append((name, col, f"oracle-only column (pandas {pk})"))
                 continue
             p_float = pk.startswith("float")
-            p_int = pk.startswith(("int", "uint")) or pk == "object"
             if p_float and sk in INT_SPARK:
-                hazards.append(
-                    (name, col, f"pandas {pk} vs spark {sk} "
-                                "(HUGEINT/float fetch hazard)"))
+                # the REAL hazard is an integral Spark column whose
+                # DuckDB DECLARED type is non-integral (HUGEINT/DECIMAL
+                # -> fetch-path-dependent rendering, the q149 class);
+                # a NULL-containing int64 merely prints as float64 in
+                # pandas and every fetch path agrees on its values
+                if "decimal" in at or "hugeint" in at.lower() or not at:
+                    hazards.append(
+                        (name, col, f"duckdb {at or '?'} vs spark {sk} "
+                                    "(HUGEINT/float fetch hazard)"))
+                else:
+                    infos.append(
+                        (name, col, f"nullable {at} renders float64 in "
+                                    "pandas (values agree on all paths)"))
             elif pk.startswith(("int", "uint")) and sk in FLOAT_SPARK:
                 hazards.append(
                     (name, col, f"pandas {pk} vs spark {sk}"))
+    for name, col, why in infos:
+        print(f"info   {name} :: {col} :: {why}")
     for name, col, why in hazards:
         print(f"HAZARD {name} :: {col} :: {why}")
-    print(f"{len(hazards)} hazards across {len(oracles)} oracles")
+    print(f"{len(hazards)} hazards ({len(infos)} nullable-int notes) "
+          f"across {len(oracles)} oracles")
     return 1 if hazards else 0
 
 
