@@ -427,14 +427,31 @@ def _dsir_avg(scores: DataFrame) -> DataFrame:
                       .alias("avg_fp"))
 
 
+def _dsir_default(bt: DataFrame) -> DataFrame:
+    """One-row (default_fp): the smoothed log-ratio of a bucket UNSEEN
+    in training (tc = rc = 0 ⇒ ratio = (r_tot + B)/(t_tot + B)), in the
+    same fixed-point rounding as lr_fp.  Streaming batches score NEW
+    documents, whose tokens can hash to buckets the training corpus
+    never produced — those tokens must contribute this nonzero smoothed
+    value, not silently vanish from the inner join."""
+    t_tot = F.sum(F.when(F.col("source") == DSIR_TARGET, 1).otherwise(0))
+    return bt.agg(
+        F.round(F.log((F.count("*") + DSIR_BUCKETS).cast("double")
+                      / (t_tot + DSIR_BUCKETS).cast("double"))
+                * 1_000_000).cast("bigint").alias("default_fp"))
+
+
 def dsir_train(d: DataFrame):
-    """(lr, avg): the broadcastable trained state for scoring OTHER
-    frames (e.g. streaming micro-batches — streaming/dsirgate.py).
-    Both eagerly checkpointed: train once, reuse per batch."""
+    """(lr, avg, dflt): the broadcastable trained state for scoring
+    OTHER frames (e.g. streaming micro-batches — streaming/dsirgate.py):
+    the per-bucket log-ratio table, the corpus-average keep gate, and
+    the unseen-bucket default scalar. All eagerly checkpointed: train
+    once, reuse per batch."""
     bt, lr = _dsir_tables(d)
     lr = lr.localCheckpoint(eager=True)
     avg = _dsir_avg(_dsir_scores(bt, lr)).localCheckpoint(eager=True)
-    return lr, avg
+    dflt = _dsir_default(bt).localCheckpoint(eager=True)
+    return lr, avg, dflt
 
 
 @query("q152_dsir_importance", f"""

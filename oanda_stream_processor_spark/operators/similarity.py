@@ -490,7 +490,12 @@ def _ivf_cells(e: DataFrame, k: int = IVF_K,
             "vec_id", "embedding",
             (F.col("cell") * (1 << split_planes)
              + _bucket(F.col("embedding"), split_planes)).alias("cell"))
-    return cells.localCheckpoint(eager=True)
+    cells = cells.localCheckpoint(eager=True)
+    # carry the applied subdivision ON the index frame so query paths
+    # (streaming/annsearch.py) cannot silently probe a subdivided index
+    # with coarse cell ids — the round-7 advice's mismatch hazard
+    cells.ann_split_planes = split_planes
+    return cells
 
 
 @query("q56_ann_ivf", _Q56_SQL)
@@ -1489,9 +1494,22 @@ _PCA_CAP = 2_000_000_000
 
 
 def _sql_tdiv(a: str, b: str) -> str:
-    """Truncating integer division both engines agree on (the _idiv
-    mod identity; % follows the dividend's sign in BOTH engines, so
-    the spelling is trunc-division for negative operands too)."""
+    """Truncating integer division (the mod identity; % follows the
+    dividend's sign in BOTH engines, so this is trunc-division for
+    negative operands too).
+
+    Exactness argument (numerators here exceed 2^53 — |w| is bounded
+    only at DIM * 2e9 * 1e6 ~ 1.3e17): (a - a%b) is EXACTLY divisible
+    by b, so the true quotient q is an integer; the double division is
+    within ~q*2^-52 of it, and DuckDB's ROUNDING double->BIGINT cast
+    recovers q exactly whenever q < 2^51.  Every call site bounds its
+    quotient far below that (q <= max(|c|)/2e9 <= 4.6e9 for r,
+    <= 1.3e11 for k and the Rayleigh quotient, ~1e6 for v).  The
+    matching Spark-side tdiv must NOT divide as double — its CAST
+    truncates, so a quotient one ulp LOW loses a full unit; it uses
+    exact DECIMAL(38,0) division instead (pca_from_moments).  `//` is
+    deliberately avoided: its rounding direction is DuckDB-version-
+    divergent (see .claude/skills/verify gotchas)."""
     return f"CAST((({a}) - ({a}) % ({b})) / ({b}) AS BIGINT)"
 
 
@@ -1587,7 +1605,13 @@ def pca_from_moments(spark: SparkSession, raw: DataFrame) -> DataFrame:
     Rayleigh quotient. Shared by the batch operator (q151) and the
     streaming moment accumulator."""
     def tdiv(a: F.Column, b: F.Column) -> F.Column:
-        return ((a - a % b) / b).cast("bigint")
+        # exact trunc-division: (a - a%b) is exactly divisible by b, and
+        # DECIMAL(38,0) division is computed exactly (BigDecimal) — the
+        # former double `/` could be one ulp off above 2^53 and Spark's
+        # truncating CAST would then disagree with the oracle's exact
+        # HUGEINT `//` (see _sql_tdiv)
+        return ((a - a % b).cast("decimal(38,0)")
+                / b.cast("decimal(38,0)")).cast("bigint")
 
     r = raw.agg((tdiv(F.max(F.abs(F.col("c"))), F.lit(_PCA_CAP)) + 1)
                 .alias("r"))

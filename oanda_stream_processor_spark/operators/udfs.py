@@ -300,10 +300,11 @@ def q124_arrow_native_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale: one co-partitioned shuffle of each side on the key; each key's
 # two groups must fit in one executor (the cogroup contract) — right
 # for bounded keys like nation; for unbounded keys pre-aggregate to
-# ECDF sketches instead. Int64 bound: the oracle's ks_ppm computes
-# ks_num * 1000000 in BIGINT, so the real constraint is
-# n_c * n_s < 2^63 / 1e6 (~9.2e12) — both group sizes under ~3e6
-# rows — implied by the fit-in-memory contract, stated anyway.
+# ECDF sketches instead. Int64 bound: the oracle's ks_ppm divides in
+# HUGEINT (int128, exact at any magnitude — matching the UDF's exact
+# Python ints), so the only remaining constraint is the BIGINT ECDF
+# cross-products cum_c * n_s, i.e. n_c * n_s < 2^63 — implied by the
+# fit-in-memory contract, stated anyway.
 # ---------------------------------------------------------------------------
 def _ks_two_sample(cust: pd.DataFrame, supp: pd.DataFrame) -> pd.DataFrame:
     import numpy as np
@@ -351,9 +352,19 @@ w AS (
 SELECT w.nk AS nation_key,
        CAST(s.n_c AS BIGINT) AS n_cust, CAST(s.n_s AS BIGINT) AS n_supp,
        CAST(MAX(ABS(w.cum_c * s.n_s - w.cum_s * s.n_c)) AS BIGINT) AS ks_num,
-       CAST((MAX(ABS(w.cum_c * s.n_s - w.cum_s * s.n_c)) * 1000000
-             - (MAX(ABS(w.cum_c * s.n_s - w.cum_s * s.n_c)) * 1000000)
-               % (s.n_c * s.n_s)) / (s.n_c * s.n_s) AS BIGINT) AS ks_ppm
+       -- numerator/denominator in HUGEINT: ks_num * 1e6 overflows
+       -- BIGINT past ks_num ~ 9.2e12.  The mod identity keeps the
+       -- division exactly divisible, so the double quotient rounds
+       -- back to the exact integer (ks_ppm <= 1e6 << 2^51) — matching
+       -- the cogroup UDF's exact Python-int floor division.  `//` is
+       -- deliberately avoided (DuckDB-version-divergent rounding).
+       CAST((CAST(MAX(ABS(w.cum_c * s.n_s - w.cum_s * s.n_c)) AS HUGEINT)
+             * 1000000
+             - CAST(MAX(ABS(w.cum_c * s.n_s - w.cum_s * s.n_c)) AS HUGEINT)
+               * 1000000
+               % (CAST(s.n_c AS HUGEINT) * CAST(s.n_s AS HUGEINT)))
+            / (CAST(s.n_c AS HUGEINT) * CAST(s.n_s AS HUGEINT))
+            AS BIGINT) AS ks_ppm
 FROM w JOIN sizes s ON s.nk = w.nk
 GROUP BY w.nk, s.n_c, s.n_s
 """)

@@ -110,25 +110,50 @@ def _probe_cells(batch: DataFrame, cent_one: DataFrame,
                     F.col("embedding").alias("q_emb"), "cell")
 
 
+def _resolve_split_planes(index_cells: DataFrame,
+                          split_planes: int | None) -> int:
+    """The subdivision the queries must reproduce.  `_ivf_cells`
+    stamps the subdivision it applied on the frame it returns
+    (`ann_split_planes`); when the caller does not pass an explicit
+    value we read it from there.  An index frame without the stamp and
+    no explicit value is REFUSED rather than defaulted to 0 — the
+    growth rule subdivides large indexes by default, and probing a
+    subdivided index with coarse cell ids silently returns wrong/empty
+    matches (round-7 advice)."""
+    if split_planes is not None:
+        return split_planes
+    stamped = getattr(index_cells, "ann_split_planes", None)
+    if stamped is None:
+        raise ValueError(
+            "index frame carries no ann_split_planes stamp; build it "
+            "with _ivf_cells/build_ann_index or pass split_planes "
+            "explicitly (0 only for a deliberately unsubdivided index)")
+    return stamped
+
+
 def batch_topk_against_index(batch: DataFrame, index_cells: DataFrame,
                              cent_one: DataFrame, k: int = TOP_K, *,
                              nprobe: int = 1,
-                             split_planes: int = 0) -> DataFrame:
+                             split_planes: int | None = None) -> DataFrame:
     """Top-k in-cell cosine neighbors for one (micro-)batch of query
     vectors (vec_id, embedding) against the static assigned index.
 
-    ``split_planes`` MUST match the index build (use `build_ann_index`
-    to get both from one place). A candidate reached through several
-    probed cells is still scored once per (query, cell) row, but
-    distinct probed cells are disjoint candidate sets (each index
-    vector lives in exactly one cell), so no dedup step is needed.
+    ``split_planes`` MUST match the index build; by default it is read
+    off the index frame itself (every `_ivf_cells` result carries the
+    subdivision it applied), so an index built with the growth-rule
+    default cannot be probed with mismatched coarse ids. A candidate
+    reached through several probed cells is still scored once per
+    (query, cell) row, but distinct probed cells are disjoint candidate
+    sets (each index vector lives in exactly one cell), so no dedup
+    step is needed.
 
     Deterministic: rounded-cosine ordering with candidate-id tiebreak
     (the q45/q56 discipline), so results are independent of batch
     sizing and partitioning — asserted by the trigger-split tests for
     nprobe=1 and nprobe=2.
     """
-    q = _probe_cells(batch, cent_one, nprobe, split_planes)
+    q = _probe_cells(batch, cent_one, nprobe,
+                     _resolve_split_planes(index_cells, split_planes))
     scored = (index_cells.join(F.broadcast(q), "cell")
               .where(F.col("vec_id") != F.col("query_id"))
               .select("query_id", F.col("vec_id").alias("cand_id"),
@@ -142,7 +167,7 @@ def batch_topk_against_index(batch: DataFrame, index_cells: DataFrame,
 
 def run_ann_stream(stream: DataFrame, index_cells: DataFrame,
                    cent_one: DataFrame, sink, *, k: int = TOP_K,
-                   nprobe: int = 1, split_planes: int = 0,
+                   nprobe: int = 1, split_planes: int | None = None,
                    checkpoint: str | None = None):
     """Wire a (vec_id, embedding) stream through per-batch ANN search.
 
@@ -150,6 +175,8 @@ def run_ann_stream(stream: DataFrame, index_cells: DataFrame,
     frame; exactly-once to idempotent sinks via the checkpoint, the
     same guarantees as every other foreachBatch path in streaming/.
     """
+    split_planes = _resolve_split_planes(index_cells, split_planes)
+
     def _each(batch: DataFrame, batch_id: int) -> None:
         sink(batch_topk_against_index(batch, index_cells, cent_one, k,
                                       nprobe=nprobe,

@@ -38,21 +38,31 @@ from ..operators.llmprep import dsir_bucket_col, dsir_train
 __all__ = ["dsir_train", "score_docs_batch", "run_dsir_stream"]
 
 
-def score_docs_batch(batch: DataFrame, lr: DataFrame,
-                     avg: DataFrame) -> DataFrame:
+def score_docs_batch(batch: DataFrame, lr: DataFrame, avg: DataFrame,
+                     dflt: DataFrame) -> DataFrame:
     """(doc_id, source, n_tokens, importance_fp, keep) for one
     (micro-)batch of (doc_id, source, text) rows — bit-identical to
-    q152's scoring of the same rows."""
+    q152's scoring of the same rows.
+
+    Tokens hashing to buckets UNSEEN in training left-join to null and
+    coalesce to the trained smoothed default (`dflt.default_fp`), so no
+    token is dropped and every arriving document emits exactly one
+    scored row — including documents whose tokens are ALL unseen (on
+    the training corpus itself every bucket is trained, so the left
+    join degenerates to the inner join and scores are unchanged)."""
     tok = batch.select(
         "doc_id", "source",
         F.explode(F.filter(F.split("text", " "),
                            lambda x: x != "")).alias("token"))
     bt = tok.select("doc_id", "source",
                     dsir_bucket_col().alias("bucket"))
-    scores = (bt.join(F.broadcast(lr), "bucket")
+    scores = (bt.join(F.broadcast(lr), "bucket", "left")
+                .crossJoin(F.broadcast(dflt))
                 .groupBy("doc_id", "source")
                 .agg(F.count("*").alias("n_tokens"),
-                     F.sum("lr_fp").cast("bigint").alias("importance_fp")))
+                     F.sum(F.coalesce(F.col("lr_fp"),
+                                      F.col("default_fp")))
+                      .cast("bigint").alias("importance_fp")))
     return (scores.crossJoin(F.broadcast(avg))
                   .select("doc_id", "source", "n_tokens", "importance_fp",
                           (F.col("importance_fp") > F.col("avg_fp"))
@@ -60,7 +70,8 @@ def score_docs_batch(batch: DataFrame, lr: DataFrame,
 
 
 def run_dsir_stream(stream: DataFrame, lr: DataFrame, avg: DataFrame,
-                    sink, *, checkpoint: str | None = None):
+                    dflt: DataFrame, sink, *,
+                    checkpoint: str | None = None):
     """Wire a (doc_id, source, text) stream through the per-batch gate.
 
     ``sink(result_df, batch_id)`` receives each micro-batch's scored
@@ -68,7 +79,7 @@ def run_dsir_stream(stream: DataFrame, lr: DataFrame, avg: DataFrame,
     same guarantees as every other foreachBatch path in streaming/.
     """
     def _each(batch: DataFrame, batch_id: int) -> None:
-        sink(score_docs_batch(batch, lr, avg), batch_id)
+        sink(score_docs_batch(batch, lr, avg, dflt), batch_id)
 
     writer = stream.writeStream.foreachBatch(_each) \
         .trigger(availableNow=True)

@@ -168,3 +168,31 @@ def test_stream_ann_subdivided_index(spark, query_files, tmp_path):
     plain = sorted(map(tuple, batch_topk_against_index(
         batch_q, _ivf_cells(e), _ivf_centroids(e)).collect()))
     assert auto == plain
+
+
+def test_index_stamp_carries_subdivision(spark, query_files):
+    """An index built directly with `_ivf_cells` carries its applied
+    subdivision on the frame, so default-argument queries probe with
+    the matching layout instead of silently defaulting to coarse cell
+    ids (round-7 advice); a frame without the stamp is refused."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    split = 2
+    index_cells = _ivf_cells(e, split_planes=split)
+    cent_one = _ivf_centroids(e)
+    qdir, _ = query_files
+    batch_q = spark.read.schema(
+        "vec_id bigint, embedding array<float>").json(qdir)
+
+    explicit = sorted(map(tuple, batch_topk_against_index(
+        batch_q, index_cells, cent_one, split_planes=split).collect()))
+    stamped = sorted(map(tuple, batch_topk_against_index(
+        batch_q, index_cells, cent_one).collect()))   # defaults
+    assert stamped == explicit
+    assert len(stamped) > 0
+
+    # a derived frame loses the stamp -> defaults must refuse, not
+    # silently probe with split_planes=0
+    unstamped = index_cells.select("vec_id", "embedding", "cell")
+    with pytest.raises(ValueError, match="ann_split_planes"):
+        batch_topk_against_index(batch_q, unstamped, cent_one)
