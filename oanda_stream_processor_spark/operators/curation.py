@@ -300,8 +300,10 @@ def q93_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     scal = vocab.agg(F.sum("c").alias("n"))
     nll_fp = F.round(-F.log(F.col("c").cast("double") / F.col("n"))
                      * 1_000_000).cast("bigint")
-    scored = (tok.join(F.broadcast(vocab.crossJoin(F.broadcast(scal))),
-                       "token")
+    # vocab is vocabulary cardinality (Heaps-law growth) — no forced
+    # broadcast hint; AQE converts when the measured size permits.
+    # Only the one-row scal frame keeps its (bounded) hint.
+    scored = (tok.join(vocab.crossJoin(F.broadcast(scal)), "token")
               .select("doc_id", nll_fp.alias("nll_fp")))
     avg = F.col("sum_fp") / (F.col("n_tokens") * 1_000_000.0)
     return (scored.groupBy("doc_id")
@@ -426,7 +428,8 @@ def q99_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     vn = vocab.agg(F.sum("c").alias("n"))
     nll_fp = F.round(-F.log(F.col("c").cast("double") / F.col("n"))
                      * 1_000_000).cast("bigint")
-    nll = (tok3.join(F.broadcast(vocab.crossJoin(F.broadcast(vn))), "token")
+    # vocab: unhinted (see q93) — AQE decides; vn's one-row hint stays
+    nll = (tok3.join(vocab.crossJoin(F.broadcast(vn)), "token")
            .groupBy("doc_id")
            .agg(F.sum(nll_fp).alias("sum_fp"), F.count("*").alias("n_tok")))
     s4 = (s3.join(nll, "doc_id")

@@ -333,7 +333,12 @@ def q44_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = (F.col("i").cast("double")
            / (F.col("na") + F.col("nb") - F.col("i")))
-    return (inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+    # sizes is one row PER DOCUMENT — corpus cardinality.  No broadcast
+    # hint: a forced hint bypasses AQE's size check and at 1e9 docs is a
+    # guaranteed OOM; AQE converts to broadcast when the measured size
+    # permits (it does at bench SFs), and the sort-merge fallback at
+    # scale is exactly right.
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
                  .where(jac >= 0.05)
                  .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard")))
 
@@ -399,7 +404,8 @@ def q87_jaccard_dfcut(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = (F.col("i").cast("double")
            / (F.col("na") + F.col("nb") - F.col("i")))
-    return (inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+    # per-doc sizes frame: unhinted (see q44) — AQE decides
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
                  .where(jac >= 0.05)
                  .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard")))
 
@@ -538,7 +544,7 @@ def q57_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     i0 = F.coalesce(F.col("i"), F.lit(0))
     jac = i0.cast("double") / (F.col("na") + F.col("nb") - i0)
     return (pairs.join(inter, ["doc_a", "doc_b"], "left")
-            .join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+            .join(sa, "doc_a").join(sb, "doc_b")   # per-doc: unhinted (q44)
             .select("doc_a", "doc_b",
                     F.round(jac, 6).alias("jaccard"),
                     ((i0 >= 1) & (jac >= 0.05)).alias("verified")))

@@ -468,7 +468,9 @@ def q122_token_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log((F.col("c_st").cast("double") * F.col("n"))
               / (F.col("n_s").cast("double") * F.col("c_t"))) * 1_000_000
     ).cast("bigint")
-    terms = (st.join(F.broadcast(ct), "token")
+    # ct is vocabulary cardinality — unhinted (see curation.q93), AQE
+    # decides; ns (one row per source) and tot (one row) stay hinted
+    terms = (st.join(ct, "token")
                .join(F.broadcast(ns), "source")
                .crossJoin(F.broadcast(tot))
                .select("source", "n_s", "c_st", ln_fp.alias("ln_fp")))

@@ -88,10 +88,16 @@ def q74_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = _toks(d).select("doc_id", F.explode("toks").alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()  # one tiny scalar; embedded as a literal
+    # corpus size as a ONE-ROW broadcast frame (the textops.q150 cut
+    # pattern), not an eager d.count() — no driver action mid-plan.
+    # The per-TERM df frame is vocabulary cardinality (Heaps-law
+    # growth): no broadcast hint, AQE decides from measured size.
+    n = d.agg(F.count("*").alias("n_docs"))
     score = F.round(
-        F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6)
-    scored = (tf.join(F.broadcast(df), "term")
+        F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+        6)
+    scored = (tf.join(df, "term")
+              .crossJoin(F.broadcast(n))
               .select("doc_id", "term", score.alias("score")))
     w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -392,7 +398,8 @@ def _dsir_tables(d: DataFrame):
     # hash once per distinct token (vocab-sized), broadcast back
     vocab = (tok.select("token").distinct()
              .select("token", dsir_bucket_col().alias("bucket")))
-    bt = (tok.join(F.broadcast(vocab), "token")
+    # vocab-cardinality frame: unhinted (see q74/q93), AQE decides
+    bt = (tok.join(vocab, "token")
              .select("doc_id", "source", "bucket")
              .localCheckpoint(eager=True))
     tc = (bt.where(F.col("source") == DSIR_TARGET)

@@ -687,8 +687,9 @@ def q150_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     num = F.col("n_shared") * 1_000_000
     den = F.least(F.col("na"), F.col("nb"))
-    return (shared.join(F.broadcast(sa), "doc_a")
-                  .join(F.broadcast(sb), "doc_b")
+    # per-doc sizes frame: unhinted (see dedup.q44) — AQE decides
+    return (shared.join(sa, "doc_a")
+                  .join(sb, "doc_b")
                   .select("doc_a", "doc_b", "n_shared",
                           ((num - num % den) / den).cast("bigint")
                           .alias("containment_ppm"))
