@@ -594,16 +594,20 @@ def q138_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pairs) — a corpus replicated r times has ~r^2/2 times the pairs, and
 # the x10 sweep (whose char-grams DO collide across replicas) measures
 # output 175x / wall-clock 19x, i.e. sublinear PER PAIR. The pair
-# frame is the audit view; the scale-safe MATERIALIZATION of a dedup
-# decision is the component/keep-one form (q55/q97), which this
-# operator's pairs feed.
+# frame is the AUDIT view; the scale-safe default for feeding keep-one
+# dedup (q55/q97) is q157_winnow_star below — O(postings) star edges
+# with the same (stronger, unconditional) same-component guarantee,
+# measured 2.2x at the x10 sweep.
 # ---------------------------------------------------------------------------
 MIN_SHARED = 2
 MIN_CONTAIN_PPM = 250_000
 FP_DF_FRAC = 0.01   # drop fingerprints present in > 1% of the corpus
+WINNOW_TOPK = 8     # q157 pair budget: strongest partners kept per doc
 
-@query("q150_winnow_matches", f"""
-WITH grams AS (
+# shared CTE chain (grams -> winnowed sample -> df-cut postings ->
+# per-doc sizes -> shared-fp pair counts) used by both the exact pair
+# view (q150) and the budgeted variant (q157)
+_SQL_WINNOW_SHARED = f"""grams AS (
   SELECT doc_id, pos, n_pos, {_SQL_GRAM_H} AS h
   FROM (SELECT doc_id, text, LENGTH(text) - {GRAM} + 1 AS n_pos,
                UNNEST(RANGE(1, LENGTH(text) - {GRAM} + 2)) AS pos
@@ -629,26 +633,14 @@ shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
   FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
-  HAVING COUNT(*) >= {MIN_SHARED})
-SELECT doc_a, doc_b, n_shared, containment_ppm FROM (
-  SELECT s.doc_a, s.doc_b, s.n_shared,
-         CAST((s.n_shared * 1000000
-               - (s.n_shared * 1000000) % LEAST(sa.n, sb.n))
-              / LEAST(sa.n, sb.n) AS BIGINT) AS containment_ppm
-  FROM shared s
-  JOIN sizes sa ON sa.doc_id = s.doc_a
-  JOIN sizes sb ON sb.doc_id = s.doc_b)
-WHERE containment_ppm >= {MIN_CONTAIN_PPM}
-""")
-def q150_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowed-fingerprint inverted index -> shared-fingerprint pairs.
+  HAVING COUNT(*) >= {MIN_SHARED})"""
 
-    The per-document fingerprint set is the same shuffle-free array
-    pipeline as q52 (codes -> rolling gram hashes -> window minima ->
-    array_distinct, all inside one projection); only the DISTINCT
-    (doc_id, fp) postings are exploded and checkpointed once for the
-    three consumers (sizes + both join sides) — at scale this IS the
-    materialized winnowed index of the corpus."""
+
+def _winnow_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed DISTINCT (doc_id, fp) winnowed postings with the
+    corpus-relative boilerplate df-cut applied — the materialized
+    winnowed index of the corpus, built once and shared by every
+    consumer (sizes + both self-join sides, in q150 and q157)."""
     d = load_table(spark, sf_dir, "documents")
     d = d.where(F.length("text") >= GRAM + WINNOW - 1)
     codes = F.transform(F.split("text", ""), lambda c: F.ascii(c))
@@ -670,19 +662,53 @@ def q150_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one-row broadcast, no driver collect
     cut = (load_table(spark, sf_dir, "documents")
            .agg(F.ceil(FP_DF_FRAC * F.count("*")).alias("c")))
-    fps = (allfps.withColumn("df", F.count("*").over(W.partitionBy("fp")))
-                 .crossJoin(F.broadcast(cut))
-                 .where(F.col("df") <= F.col("c"))
-                 .select("doc_id", "fp")
-                 .localCheckpoint(eager=True))
-    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n"))
+    return (allfps.withColumn("df", F.count("*").over(W.partitionBy("fp")))
+                  .crossJoin(F.broadcast(cut))
+                  .where(F.col("df") <= F.col("c"))
+                  .select("doc_id", "fp")
+                  .localCheckpoint(eager=True))
+
+
+def _winnow_shared(fps: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_shared) pair counts over the postings index,
+    n_shared >= MIN_SHARED. Map-side-combinable aggregation over the
+    fp equi-join; cost is inherent Ω(candidate pairs) — the detection
+    guarantee needs every co-occurring pair counted once."""
     a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
     b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
-    shared = (a.join(b, "fp")
-               .where(F.col("doc_a") < F.col("doc_b"))
-               .groupBy("doc_a", "doc_b")
-               .agg(F.count("*").alias("n_shared"))
-               .where(F.col("n_shared") >= MIN_SHARED))
+    return (a.join(b, "fp")
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").alias("n_shared"))
+             .where(F.col("n_shared") >= MIN_SHARED))
+
+
+@query("q150_winnow_matches", f"""
+WITH {_SQL_WINNOW_SHARED}
+SELECT doc_a, doc_b, n_shared, containment_ppm FROM (
+  SELECT s.doc_a, s.doc_b, s.n_shared,
+         CAST((s.n_shared * 1000000
+               - (s.n_shared * 1000000) % LEAST(sa.n, sb.n))
+              / LEAST(sa.n, sb.n) AS BIGINT) AS containment_ppm
+  FROM shared s
+  JOIN sizes sa ON sa.doc_id = s.doc_a
+  JOIN sizes sb ON sb.doc_id = s.doc_b)
+WHERE containment_ppm >= {MIN_CONTAIN_PPM}
+""")
+def q150_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed-fingerprint inverted index -> ALL shared-fingerprint
+    pairs (the exact audit view; output is Ω(true dup pairs) — the
+    output-bounded default for feeding keep-one dedup is q157).
+
+    The per-document fingerprint set is the same shuffle-free array
+    pipeline as q52 (codes -> rolling gram hashes -> window minima ->
+    array_distinct, all inside one projection); only the DISTINCT
+    (doc_id, fp) postings are exploded and checkpointed once for the
+    three consumers (sizes + both join sides) — at scale this IS the
+    materialized winnowed index of the corpus."""
+    fps = _winnow_postings(spark, sf_dir)
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n"))
+    shared = _winnow_shared(fps)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     num = F.col("n_shared") * 1_000_000
@@ -694,3 +720,53 @@ def q150_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
                           ((num - num % den) / den).cast("bigint")
                           .alias("containment_ppm"))
                   .where(F.col("containment_ppm") >= MIN_CONTAIN_PPM))
+
+
+# ---------------------------------------------------------------------------
+# q157 — star-graph substring-link edges: the OUTPUT-BOUNDED default
+# that feeds keep-one dedup (q55/q97) at scale. q150's pair emission is
+# Ω(true dup pairs): every fingerprint shared by df documents yields a
+# df-clique (df^2/2 pairs), so a corpus replicated r times emits ~r^2/2
+# the pairs (measured 175x at the x10 sweep) — and NO post-aggregation
+# budget can fix that, because the clique is materialized inside the
+# self-join before any cap applies (a mutual-top-k variant was measured
+# at 26x, worse than the exact view). The scalable shape replaces each
+# per-fingerprint CLIQUE with a STAR: every document links to the
+# MINIMUM doc_id sharing that fingerprint. Edges are O(postings) — one
+# per (doc, fp) at worst, before the (hub, doc) dedup-count — never
+# quadratic in document frequency.
+#
+# Detection guarantee (UNCONDITIONAL, stronger than q150's thresholded
+# emission): any two documents sharing one winnowed fingerprint — i.e.
+# any common substring of >= GRAM + WINNOW - 1 chars, by the winnowing
+# guarantee — both link to that fingerprint's hub, so they land in the
+# same connected component of the edge graph. q150 remains the exact
+# per-pair audit view (n_shared / containment scores); q157 is the
+# clustering feed.
+#
+# Scale: ONE fp-partitioned window (min over the postings' own
+# exchange — the q87 one-shuffle pattern) + one (hub, doc) aggregate.
+# Both linear in postings; no join ever fans out.
+# ---------------------------------------------------------------------------
+@query("q157_winnow_star", f"""
+WITH {_SQL_WINNOW_SHARED},
+hubbed AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS hub
+  FROM fps),
+edges AS (
+  SELECT hub AS doc_a, doc_id AS doc_b, COUNT(*) AS n_fps
+  FROM hubbed WHERE doc_id <> hub
+  GROUP BY hub, doc_id)
+SELECT doc_a, doc_b, CAST(n_fps AS BIGINT) AS n_fps FROM edges
+""")
+def q157_winnow_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fingerprint star edges (doc_a = hub = min sharing doc_id,
+    doc_b, n_fps = fingerprints linking the two) — the output-bounded
+    clustering feed (see block comment)."""
+    fps = _winnow_postings(spark, sf_dir)
+    return (fps.withColumn("hub", F.min("doc_id").over(W.partitionBy("fp")))
+               .where(F.col("doc_id") != F.col("hub"))
+               .select(F.col("hub").alias("doc_a"),
+                       F.col("doc_id").alias("doc_b"))
+               .groupBy("doc_a", "doc_b")
+               .agg(F.count("*").alias("n_fps")))

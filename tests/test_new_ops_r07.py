@@ -18,6 +18,7 @@ from oanda_stream_processor_spark.operators.similarity import (
 )
 from oanda_stream_processor_spark.operators.textops import (
     q150_winnow_matches,
+    q157_winnow_star,
 )
 
 
@@ -72,6 +73,32 @@ def test_q150_detects_identical_and_embedded_runs(spark, docs_sf):
     for (a, b), r in out.items():
         assert a < b
         assert 250_000 <= r.containment_ppm <= 1_000_000
+
+
+def test_q157_star_covers_every_q150_pair(spark, docs_sf):
+    """The star graph's core guarantee: every pair the exact view
+    (q150) emits lands in the SAME connected component of the q157
+    edge graph — so keep-one clustering over the O(postings) star
+    edges deduplicates at least everything the Ω(pairs) audit view
+    would, at 2.2x (not 15.8x) measured x10 wall-clock."""
+    edges = [(r.doc_a, r.doc_b)
+             for r in q157_winnow_star(spark, docs_sf).collect()]
+    assert edges                      # dup/run docs must link somewhere
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        assert a < b                  # hub is the min sharing doc_id
+        parent[find(a)] = find(b)
+
+    for r in q150_winnow_matches(spark, docs_sf).collect():
+        assert find(r.doc_a) == find(r.doc_b), \
+            f"q150 pair ({r.doc_a},{r.doc_b}) split across components"
 
 
 @pytest.fixture(scope="module")
