@@ -472,24 +472,36 @@ JOIN intervals v
  AND CAST(l.l_shipdate AS DATE) < v.valid_to
 """)
 def q96_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The generic SCD2 interval build uses LEAD over the version chain
+    # (the oracle's spelling).  HERE the successor is derivable from
+    # the SAME row — an order has a v2 iff it satisfies the update
+    # predicate, and v2 starts exactly 30 days after v1 — so valid_to
+    # is a CASE projection and the whole interval table is a union of
+    # two PROJECTIONS of orders: zero shuffles before the equi-join
+    # (the window spelling paid one full orderkey exchange + sort of
+    # the 10x-growing orders side; measured 4.5x wall at x10).
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    updates = o.where((F.col("o_orderstatus") == "O")
-                      & (F.col("o_orderkey") % 5 == 0))
+    has_v2 = ((F.col("o_orderstatus") == "O")
+              & (F.col("o_orderkey") % 5 == 0))
+    open_end = F.lit("9999-12-31").cast("date")
     v1 = o.select("o_orderkey", "o_orderstatus", "o_totalprice",
                   F.lit(1).alias("version"),
-                  F.to_date("o_orderdate").alias("valid_from"))
-    v2 = updates.select(
-        "o_orderkey", F.lit("F").alias("o_orderstatus"),
-        (F.floor(F.col("o_totalprice") * 1.1 * 100) / 100.0)
-          .alias("o_totalprice"),
-        F.lit(2).alias("version"),
-        F.date_add(F.to_date("o_orderdate"), 30).alias("valid_from"))
-    w = W.partitionBy("o_orderkey").orderBy("version")
-    intervals = (v1.unionByName(v2)
-                 .withColumn("valid_to",
-                             F.coalesce(F.lead("valid_from").over(w),
-                                        F.lit("9999-12-31").cast("date"))))
+                  F.to_date("o_orderdate").alias("valid_from"),
+                  F.when(has_v2, F.date_add(F.to_date("o_orderdate"), 30))
+                   .otherwise(open_end).alias("valid_to"))
+    v2 = (o.where(has_v2)
+          .select("o_orderkey", F.lit("F").alias("o_orderstatus"),
+                  (F.floor(F.col("o_totalprice") * 1.1 * 100) / 100.0)
+                    .alias("o_totalprice"),
+                  F.lit(2).alias("version"),
+                  F.date_add(F.to_date("o_orderdate"), 30)
+                   .alias("valid_from"),
+                  open_end.alias("valid_to")))
+    # SHUFFLE_HASH (not broadcast — both sides are fact-sized): the
+    # equi-join on orderkey needs no ordering, so hashing the interval
+    # side beats two full sorts of 10x-growing inputs
+    intervals = v1.unionByName(v2).hint("shuffle_hash")
     ship = F.to_date("l_shipdate")
     return (li.select("l_orderkey", "l_linenumber", ship.alias("ship_date"))
             .join(intervals,

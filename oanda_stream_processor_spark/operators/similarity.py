@@ -723,11 +723,20 @@ ranked AS (
 SELECT anchor_id, anchor_label, neg_id, neg_label, cosine, rank
 FROM ranked WHERE rank <= {HN_K}
 """)
-def q127_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q127_hard_negatives(spark: SparkSession, sf_dir: str,
+                        n_planes: int | None = None) -> DataFrame:
+    # Corpus-growth rule ON BY DEFAULT (the q141/q139 discipline):
+    # both join sides grow with the corpus, so fixed buckets would make
+    # per-bucket pair counts QUADRATIC in corpus size (measured 4.5x
+    # wall at x10 with 6 pinned planes). n_planes=None derives
+    # N_PLANES + _growth_splits(N, 2^N_PLANES): 6 planes at oracle
+    # scale (static twin exact), 9 at the x10 sweep.
     e = load_table(spark, sf_dir, "embeddings")
+    if n_planes is None:
+        n_planes = N_PLANES + _growth_splits(_corpus_rows(e), 1 << N_PLANES)
     b = e.select(
         "vec_id", "label", "embedding",
-        _bucket(F.col("embedding")).alias("bucket"),
+        _bucket(F.col("embedding"), n_planes).alias("bucket"),
         F.sqrt(_sqnorm(F.col("embedding"))).alias("nrm"))
     a = b.select(F.col("vec_id").alias("anchor_id"),
                  F.col("label").alias("anchor_label"),

@@ -166,6 +166,9 @@ def main() -> None:
         "q141_knn_label_prop@pinned_planes6":
             (results.get("q141_knn_label_prop"),
              lambda sp, d: _sim.q141_knn_label_prop(sp, d, n_planes=6)),
+        "q127_hard_negatives@pinned_planes6":
+            (results.get("q127_hard_negatives"),
+             lambda sp, d: _sim.q127_hard_negatives(sp, d, n_planes=6)),
     }
     for vname, (base_row, vfn) in variants.items():
         if not base_row or "x1" not in base_row:
