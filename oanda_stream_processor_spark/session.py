@@ -14,9 +14,14 @@ import os
 from pyspark.sql import SparkSession
 
 
+ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming.state."
+                    "RocksDBStateStoreProvider")
+
+
 def get_spark(app_name: str = "oanda_stream_processor_spark",
               master: str | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              rocksdb_state_store: bool = False) -> SparkSession:
     """Build (or fetch) the configured SparkSession.
 
     Defaults: master from $SPARK_GRAFT_CPUS (local[N]) or local[*];
@@ -24,6 +29,15 @@ def get_spark(app_name: str = "oanda_stream_processor_spark",
     small local runs and under-parallelizes 100 TB clusters — at scale this
     is handed to AQE's coalescing, so we set initialPartitionNum high and
     let AQE shrink).
+
+    ``rocksdb_state_store=True`` (or SPARK_GRAFT_ROCKSDB=1) switches the
+    streaming state store from the default in-JVM-heap HDFS-backed
+    provider to RocksDB — the 100 TB path for stateful streaming
+    (funnel/dedup state spills to local disk instead of executor heap,
+    with changelog checkpointing to the checkpoint location). Opt-in
+    because it applies per-SparkSession, the provider must match the
+    one a checkpoint was created with, and tiny local test state is
+    faster on the heap provider.
     """
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
@@ -51,6 +65,15 @@ def get_spark(app_name: str = "oanda_stream_processor_spark",
         # -- quieter local runs ---------------------------------------
         .config("spark.ui.showConsoleProgress", "false")
     )
+    if rocksdb_state_store or os.environ.get("SPARK_GRAFT_ROCKSDB") == "1":
+        builder = (builder
+                   .config("spark.sql.streaming.stateStore.providerClass",
+                           ROCKSDB_PROVIDER)
+                   # changelog checkpointing: upload per-batch deltas
+                   # instead of full RocksDB snapshots — the setting a
+                   # large-state production job runs with
+                   .config("spark.sql.streaming.stateStore.rocksdb."
+                           "changelogCheckpointing.enabled", "true"))
     if master.startswith("local"):
         builder = builder.config("spark.driver.memory",
                                  os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

@@ -33,9 +33,14 @@ OUTPUT_SCHEMA = "user_id long, stage_n int, stage string, stage_ts timestamp"
 STATE_SCHEMA = "stage int, stage_us long"
 
 
-def _advance(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-    (user_id,) = key
-    stage, stage_us = state.get if state.exists else (0, None)
+_OUT_COLS = ["user_id", "stage_n", "stage", "stage_ts"]
+
+
+def _advance_rows(user_id, stage, stage_us, pdfs: Iterator[pd.DataFrame]):
+    """Greedy stage advance over a batch of (event_type, ts) frames:
+    the single source of funnel semantics, shared by the
+    applyInPandasWithState functions and the transformWithState
+    processor. Returns (stage, stage_us, out_rows)."""
     out = []
     for pdf in pdfs:
         pdf = pdf.sort_values("ts")
@@ -50,10 +55,16 @@ def _advance(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
                 stage += 1
                 stage_us = ts_us
                 out.append((user_id, stage, FUNNEL[stage - 1], row.ts))
+    return stage, stage_us, out
+
+
+def _advance(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    (user_id,) = key
+    stage, stage_us = state.get if state.exists else (0, None)
+    stage, stage_us, out = _advance_rows(user_id, stage, stage_us, pdfs)
     state.update((stage, stage_us))
     if out:
-        yield pd.DataFrame(out, columns=["user_id", "stage_n", "stage",
-                                         "stage_ts"])
+        yield pd.DataFrame(out, columns=_OUT_COLS)
 
 
 def _advance_with_ttl(ttl_ms: int):
@@ -76,23 +87,11 @@ def _advance_with_ttl(ttl_ms: int):
                     columns=["user_id", "stage_n", "stage", "stage_ts"])
             return
         stage, stage_us = state.get if state.exists else (0, None)
-        out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            for row in pdf.itertuples(index=False):
-                if stage >= len(FUNNEL):
-                    break
-                ts_us = int(row.ts.value // 1000)
-                if (row.event_type == FUNNEL[stage]
-                        and (stage_us is None or ts_us > stage_us)):
-                    stage += 1
-                    stage_us = ts_us
-                    out.append((user_id, stage, FUNNEL[stage - 1], row.ts))
+        stage, stage_us, out = _advance_rows(user_id, stage, stage_us, pdfs)
         state.update((stage, stage_us))
         state.setTimeoutDuration(ttl_ms)
         if out:
-            yield pd.DataFrame(out, columns=["user_id", "stage_n", "stage",
-                                             "stage_ts"])
+            yield pd.DataFrame(out, columns=_OUT_COLS)
     return fn
 
 
@@ -117,6 +116,95 @@ def funnel_progress(events: DataFrame, *, ttl_ms: int | None = None) -> DataFram
                 stateStructType=STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf=conf))
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas port (Spark 4 arbitrary state API v2,
+# SURVEY.md §2.2): identical funnel semantics, with the TTL as a
+# FIRST-CLASS timer (handle.registerTimer + handleExpiredTimer) instead
+# of applyInPandasWithState's per-call setTimeoutDuration — timers
+# survive independently of input arrival, and state variables are named
+# and individually evolvable.
+#
+# Env gate: EXECUTING this operator needs the google.protobuf wheel
+# (the Python worker speaks protobuf to the JVM state server —
+# pyspark/sql/streaming/stateful_processor_api_client.py imports the
+# generated StateMessage_pb2), which this container does not ship: the
+# same class of gap as pyzmq (K2) and protoc (B1). The processor logic
+# is therefore exercised two ways: directly against fake handles (runs
+# everywhere, asserts parity with the applyInPandasWithState path), and
+# end-to-end behind `tws_runtime_available()` (skips with the precise
+# reason when the wheel is absent).
+# ---------------------------------------------------------------------------
+def tws_runtime_available() -> bool:
+    """True when the transformWithState Python worker can actually run
+    (generated protobuf modules importable)."""
+    try:
+        import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
+        return True
+    except Exception:
+        return False
+
+
+try:
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+except Exception:                                    # pragma: no cover
+    StatefulProcessor = object                       # type: ignore[assignment]
+
+
+class FunnelProcessor(StatefulProcessor):
+    """Stateful processor: one ValueState (stage, stage_us) per user,
+    optional processing-time eviction timer re-armed on every input."""
+
+    def __init__(self, ttl_ms: int | None = None) -> None:
+        self.ttl_ms = ttl_ms
+
+    def init(self, handle) -> None:
+        self.handle = handle
+        self.state = handle.getValueState("funnel", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        stage, stage_us = (self.state.get() if self.state.exists()
+                           else (0, None))
+        stage, stage_us, out = _advance_rows(user_id, stage, stage_us, rows)
+        self.state.update((stage, stage_us))
+        if self.ttl_ms is not None:
+            # re-arm: exactly one live eviction timer per user
+            for t in list(self.handle.listTimers()):
+                self.handle.deleteTimer(t)
+            self.handle.registerTimer(
+                timerValues.getCurrentProcessingTimeInMs() + self.ttl_ms)
+        if out:
+            yield pd.DataFrame(out, columns=_OUT_COLS)
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        (user_id,) = key
+        if self.state.exists():
+            stage, stage_us = self.state.get()
+            self.state.clear()
+            if stage > 0:
+                yield pd.DataFrame(
+                    [(user_id, -stage, "expired",
+                      pd.Timestamp(stage_us * 1000))],
+                    columns=_OUT_COLS)
+
+    def close(self) -> None:
+        pass
+
+
+def funnel_progress_tws(events: DataFrame, *,
+                        ttl_ms: int | None = None) -> DataFrame:
+    """`funnel_progress` on the transformWithStateInPandas API — same
+    output contract; see the block comment for the runtime env gate."""
+    return (events
+            .select("user_id", "event_type", "ts")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=FunnelProcessor(ttl_ms),
+                outputStructType=OUTPUT_SCHEMA,
+                outputMode="Append",
+                timeMode="ProcessingTime" if ttl_ms is not None else "None"))
 
 
 def funnel_counts(spark, progress_table: str) -> DataFrame:

@@ -415,6 +415,178 @@ def test_streaming_funnel_ttl_evicts_idle_state(spark, tmp_path):
     assert (1, -1, "expired") in got, f"user 1 state not evicted: {got}"
 
 
+class _FakeValueState:
+    def __init__(self):
+        self.v = None
+
+    def exists(self):
+        return self.v is not None
+
+    def get(self):
+        return self.v
+
+    def update(self, t):
+        self.v = tuple(t)
+
+    def clear(self):
+        self.v = None
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+        self.timers = []
+
+    def getValueState(self, name, schema):
+        return self.states.setdefault(name, _FakeValueState())
+
+    def registerTimer(self, ms):
+        self.timers.append(ms)
+
+    def deleteTimer(self, ms):
+        self.timers.remove(ms)
+
+    def listTimers(self):
+        return list(self.timers)
+
+
+class _FakeTimerValues:
+    def __init__(self, now_ms):
+        self.now_ms = now_ms
+
+    def getCurrentProcessingTimeInMs(self):
+        return self.now_ms
+
+
+def test_funnel_tws_processor_parity_with_fakes():
+    """The transformWithStateInPandas FunnelProcessor implements the
+    SAME semantics as the applyInPandasWithState path (greedy advance,
+    same-ts no-double-advance, cross-batch state carry, timer-driven
+    eviction with negative stage_n) — driven directly through its
+    lifecycle against fake handles, since EXECUTING the API needs the
+    google.protobuf wheel this container lacks."""
+    import pandas as pd
+
+    from oanda_stream_processor_spark.streaming.funnel import (
+        FunnelProcessor,
+    )
+
+    def batch(rows):
+        return iter([pd.DataFrame(
+            rows, columns=["user_id", "event_type", "ts"])])
+
+    ts = lambda m: pd.Timestamp(f"2026-08-13T10:{m:02d}:00")  # noqa: E731
+
+    p = FunnelProcessor(ttl_ms=500)
+    h = _FakeHandle()
+    p.init(h)
+
+    # batch 1: view -> click advances twice in one batch
+    out1 = list(p.handleInputRows(
+        (1,), batch([(1, "view", ts(0)), (1, "click", ts(1))]),
+        _FakeTimerValues(10_000)))
+    got1 = [(r.user_id, r.stage_n, r.stage)
+            for df in out1 for r in df.itertuples(index=False)]
+    assert got1 == [(1, 1, "view"), (1, 2, "click")]
+    assert h.timers == [10_500]           # TTL armed
+
+    # batch 2: purchase advances; same-ts duplicate click ignored;
+    # timer re-armed (old one deleted)
+    out2 = list(p.handleInputRows(
+        (1,), batch([(1, "purchase", ts(5)), (1, "click", ts(1))]),
+        _FakeTimerValues(20_000)))
+    got2 = [(r.user_id, r.stage_n, r.stage)
+            for df in out2 for r in df.itertuples(index=False)]
+    assert got2 == [(1, 3, "purchase")]
+    assert h.timers == [20_500]           # exactly one live timer
+
+    # out-of-order first stage (click before any view) emits nothing
+    assert list(p.handleInputRows(
+        (3,), batch([(3, "click", ts(3))]), _FakeTimerValues(30_000))) == []
+
+    # timer expiry: journey surfaced as negative stage_n, state cleared
+    exp = list(p.handleExpiredTimer((1,), _FakeTimerValues(30_000), None))
+    got_exp = [(r.user_id, r.stage_n, r.stage)
+               for df in exp for r in df.itertuples(index=False)]
+    assert got_exp == [(1, -3, "expired")]
+    assert not h.states["funnel"].exists()
+    # second expiry for the same key: state already gone, no output
+    assert list(p.handleExpiredTimer((1,), _FakeTimerValues(31_000),
+                                     None)) == []
+
+
+def test_streaming_funnel_tws_end_to_end(spark, tmp_path):
+    """funnel_progress_tws through a real stream — runs wherever the
+    transformWithState Python worker can (needs google.protobuf)."""
+    from oanda_stream_processor_spark.streaming.funnel import (
+        funnel_progress_tws, tws_runtime_available)
+
+    if not tws_runtime_available():
+        pytest.skip("transformWithStateInPandas worker needs the "
+                    "google.protobuf wheel (absent in this container)")
+    src = tmp_path / "ev"
+    src.mkdir()
+    line = '{"user_id": %d, "event_type": "%s", "ts": "2026-08-13T10:%02d:00"}'
+    (src / "a.ndjson").write_text("\n".join([
+        line % (1, "view", 0), line % (1, "click", 1),
+        line % (2, "view", 2), line % (3, "click", 3)]) + "\n")
+    events = (spark.readStream
+              .schema("user_id long, event_type string, ts timestamp")
+              .json(str(src)))
+    name = f"t{uuid.uuid4().hex[:8]}"
+    q = (funnel_progress_tws(events).writeStream.format("memory")
+         .queryName(name).outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.user_id, r.stage_n) for r in
+           spark.sql(f"SELECT * FROM {name}").collect()}
+    assert got == {(1, 1), (1, 2), (2, 1)}
+
+
+def test_streaming_funnel_under_rocksdb(spark, tmp_path):
+    """The stateful funnel runs with the RocksDB state-store provider
+    active (the 100 TB path session.py documents): same answers, and
+    the checkpoint's state dir contains RocksDB artifacts (changelog /
+    zip), not the default provider's .delta files."""
+    from oanda_stream_processor_spark.session import ROCKSDB_PROVIDER
+    from oanda_stream_processor_spark.streaming.funnel import funnel_progress
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        src = tmp_path / "ev"
+        src.mkdir()
+        ckpt = tmp_path / "ckpt"
+        line = ('{"user_id": %d, "event_type": "%s", '
+                '"ts": "2026-08-13T10:%02d:00"}')
+        (src / "a.ndjson").write_text("\n".join([
+            line % (1, "view", 0), line % (1, "click", 1),
+            line % (2, "view", 2)]) + "\n")
+        events = (spark.readStream
+                  .schema("user_id long, event_type string, ts timestamp")
+                  .json(str(src)))
+        name = f"t{uuid.uuid4().hex[:8]}"
+        q = (funnel_progress(events).writeStream.format("memory")
+             .queryName(name).outputMode("append")
+             .option("checkpointLocation", str(ckpt)).start())
+        q.processAllAvailable()
+        q.stop()
+        got = {(r.user_id, r.stage_n) for r in
+               spark.sql(f"SELECT * FROM {name}").collect()}
+        assert got == {(1, 1), (1, 2), (2, 1)}
+        state_files = [p.name for p in (ckpt / "state").rglob("*")
+                       if p.is_file()]
+        assert any(f.endswith((".changelog", ".zip")) for f in state_files), \
+            f"no RocksDB artifacts in state dir: {state_files}"
+        assert not any(f.endswith(".delta") for f in state_files)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def test_stream_static_join_enriches_ticks(spark, tick_capture):
     """Stream-static join: the routed tick stream enriched against a
     static instrument dimension (broadcast to every micro-batch; no
