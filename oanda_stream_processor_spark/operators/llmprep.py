@@ -609,6 +609,29 @@ def q155_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.split("token", ""), F.array(F.lit(_EOW))).alias("syms")) \
         .localCheckpoint(eager=True)
 
+    # greedy single-pass merge application as ONE left-to-right array
+    # fold per word (round-8 rewrite): if the previous position merged,
+    # skip this one; else merge when (syms[i], syms[i+1]) is the best
+    # pair.  Identical semantics to the oracle's run-parity windows
+    # (for lhs != rhs matches cannot overlap; for lhs == rhs the skip
+    # flag keeps exactly the even offsets of each run).  The rebuild is
+    # a pure PROJECTION — the former explode + two windows + two joins
+    # + collect_list paid three vocab shuffles and an eager checkpoint
+    # job per round (~2.9 s at sf0.1; now ~1 s, one argmax job/round).
+    merge_fold = F.expr(
+        "aggregate(sequence(1, size(syms)), "
+        "named_struct('out', cast(array() as array<string>), "
+        "'skip', false), "
+        "(acc, i) -> IF(acc.skip, "
+        "named_struct('out', acc.out, 'skip', false), "
+        "IF(i < size(syms) AND element_at(syms, i) = lhs "
+        "AND element_at(syms, i + 1) = rhs, "
+        "named_struct('out', concat(acc.out, array(concat(lhs, rhs))), "
+        "'skip', true), "
+        "named_struct('out', concat(acc.out, array(element_at(syms, i))), "
+        "'skip', false))), "
+        "acc -> acc.out)")
+
     out = None
     for k in range(1, BPE_MERGES + 1):
         pair = F.expr(
@@ -625,50 +648,16 @@ def q155_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .agg(F.sum("freq").cast("bigint").alias("c")))
         best = (counts.orderBy(F.desc("c"), F.asc("lhs"), F.asc("rhs"))
                 .limit(1).localCheckpoint(eager=True))
-        # match positions of the best pair; greedy left-to-right
-        # non-overlap = keep even offsets within each run of
-        # consecutive matches (only lhs == rhs produces runs)
-        pos_i = F.expr("explode(sequence(1, size(syms) - 1))").alias("i")
-        matches = (w.where(F.expr("size(syms) >= 2"))
-                   .select("token", "syms", pos_i)
-                   .crossJoin(F.broadcast(best))
-                   .where((F.expr("element_at(syms, i)") == F.col("lhs"))
-                          & (F.expr("element_at(syms, i + 1)")
-                             == F.col("rhs")))
-                   .select("token", "i"))
-        wrn = W.partitionBy("token").orderBy("i")
-        runs = matches.withColumn(
-            "grp", F.col("i") - F.row_number().over(wrn))
-        wrun = W.partitionBy("token", "grp")
-        kept = (runs.withColumn("run_start", F.min("i").over(wrun))
-                .where((F.col("i") - F.col("run_start")) % 2 == 0)
-                .select("token", "i"))
-        # rebuild: drop consumed positions, rewrite merge starts
-        posed = w.select(
-            "token", "freq",
-            F.expr("explode(sequence(1, size(syms)))").alias("pos"),
-            F.col("syms"))
-        posed = posed.select("token", "freq", "pos",
-                             F.expr("element_at(syms, pos)").alias("sym"))
-        km = kept.select(F.col("token").alias("mt"),
-                         F.col("i").alias("mi"))
-        kc = kept.select(F.col("token").alias("ct"),
-                         F.col("i").alias("ci"))
-        w = (posed
-             .join(km, (posed.token == km.mt) & (posed.pos == km.mi),
-                   "left")
-             .join(kc, (posed.token == kc.ct) & (posed.pos == kc.ci + 1),
-                   "left")
-             .where(F.col("ci").isNull())
-             .crossJoin(F.broadcast(best.select("lhs", "rhs")))
-             .select("token", "freq", "pos",
-                     F.when(F.col("mi").isNotNull(),
-                            F.concat(F.col("lhs"), F.col("rhs")))
-                      .otherwise(F.col("sym")).alias("sym"))
-             .groupBy("token", "freq")
-             .agg(F.expr("transform(array_sort(collect_list("
-                         "struct(pos, sym))), s -> s.sym)").alias("syms"))
-             .localCheckpoint(eager=True))
+        # re-symbolize: shuffle-free fold; lineage stays shallow (one
+        # crossJoin + projection per round on top of the w0 checkpoint)
+        # so no per-round materialization is needed — the next round's
+        # argmax job recomputes k cheap vocab-array projections
+        # lazy persist: materializes INSIDE the next round's argmax
+        # job (no job floor of its own), and later rounds read the
+        # cache instead of recomputing the fold chain
+        w = (w.crossJoin(F.broadcast(best.select("lhs", "rhs")))
+              .select("token", "freq", merge_fold.alias("syms"))
+              .persist())
         row = best.select(F.lit(k).alias("step"), "lhs", "rhs",
                           F.concat("lhs", "rhs").alias("merged"),
                           F.col("c").alias("pair_count"))
