@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from .helpers import exact_tdiv
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -190,8 +191,7 @@ def q118_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = F.col("n") * 1_000_000
     return (pairs.join(F.broadcast(rowtot), "prev_type")
             .select("prev_type", "event_type", "n",
-                    ((num - num % F.col("tot")) / F.col("tot"))
-                    .cast("bigint").alias("p_ppm")))
+                    exact_tdiv(num, F.col("tot")).alias("p_ppm")))
 
 
 # ---------------------------------------------------------------------------
@@ -373,8 +373,7 @@ def q137_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.when(F.col("late_s") > LATE_THRESHOLD_S, 1)
                        .otherwise(0)).alias("n_beyond_watermark"),
                  F.max("late_s").alias("max_late_s"),
-                 ((tot - tot % n) / n).cast("bigint")
-                    .alias("avg_late_s_floor")))
+                 exact_tdiv(tot, n).alias("avg_late_s_floor")))
 
 
 # ---------------------------------------------------------------------------

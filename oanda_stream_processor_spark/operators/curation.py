@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from .helpers import exact_tdiv
 from .dedup import HB, HM, SB, SQL_TOKS
 from .llmprep import SQL_TOKS as SQL_TOKS_LANG  # includes the lang column
 
@@ -520,5 +521,4 @@ def q154_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     waste = (F.col("padded_tokens") - F.col("real_tokens")) * 1_000_000
     return per.select(
         "bucket", "n_docs", "real_tokens", "padded_tokens",
-        ((waste - waste % F.col("padded_tokens")) / F.col("padded_tokens"))
-        .cast("bigint").alias("waste_ppm"))
+        exact_tdiv(waste, F.col("padded_tokens")).alias("waste_ppm"))

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from .helpers import exact_tdiv
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -1036,6 +1037,6 @@ def q146_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = w.crossJoin(F.broadcast(e)).crossJoin(F.broadcast(tri))
     num = 3 * F.col("n_triangles") * 1_000_000
     cc = F.when(F.col("n_wedges") == 0, F.lit(0)).otherwise(
-        ((num - num % F.col("n_wedges")) / F.col("n_wedges")).cast("bigint"))
+        exact_tdiv(num, F.col("n_wedges")))
     return j.select("n_nodes", "n_edges", "n_triangles", "n_wedges",
                     cc.alias("global_cc_ppm"))

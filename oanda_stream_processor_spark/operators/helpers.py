@@ -53,6 +53,31 @@ def sql_davg(expr: str, scale: int = 6) -> str:
             f" / {SCALE}.0 / COUNT({expr}), {scale})")
 
 
+def exact_tdiv(num: Column, den: Column) -> Column:
+    """Exact trunc-division of two integral columns, as bigint.
+
+    The mod-identity spelling ``((n - n % d) / d).cast("bigint")`` on
+    BIGINT columns divides as DOUBLE: for numerators above 2^53 the
+    quotient can land one ulp BELOW the exact integer, and Spark's
+    truncating double->BIGINT cast then loses a full unit — while
+    DuckDB's rounding cast recovers it, so the two engines diverge by
+    one (the round-7/8 advice class, first seen in q146/q151/q144).
+    Casting to DECIMAL(38,0) first makes the %, the subtraction, and
+    the division exact (Spark decimal division is BigDecimal with
+    HALF_UP to scale 6 — exact when the numerator is exactly
+    divisible, which the mod identity guarantees).  Values are
+    identical to the double path everywhere below 2^53, so oracle
+    hashes are unaffected at bench SFs; above it, this side stays
+    right at 100 TB counts.  The DuckDB twins keep the plain
+    mod-identity spelling: their ROUNDING cast is exact whenever the
+    quotient < 2^51 (see similarity._sql_tdiv), which every ppm/avg
+    quotient in this codebase satisfies.
+    """
+    n = num.cast("decimal(38,0)")
+    d = den.cast("decimal(38,0)")
+    return ((n - n % d) / d).cast("bigint")
+
+
 # DuckDB reads events.ts as TIMESTAMP_NS; Spark truncates to μs (io.py).
 # Oracle queries over events must go through this CTE body so both engines
 # see identical μs-truncated timestamps.

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from .helpers import exact_tdiv
 from .dedup import (
     HM,
     _BAND_KEYS_SQL,
@@ -753,7 +754,7 @@ def q136_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.alias("n_false_pos"),
         F.sum(F.when(F.col("bloom_hit") == 0, 1).otherwise(0))
             .alias("n_filtered"),
-        ((num - num % n) / n).cast("bigint").alias("fp_ppm"))
+        exact_tdiv(num, n).alias("fp_ppm"))
 
 
 # ---------------------------------------------------------------------------

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from .helpers import exact_tdiv
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -430,8 +431,7 @@ def _dsir_scores(bt: DataFrame, lr: DataFrame) -> DataFrame:
 
 def _dsir_avg(scores: DataFrame) -> DataFrame:
     ssum, n = F.sum("importance_fp"), F.count("*")
-    return scores.agg(((ssum - ssum % n) / n).cast("bigint")
-                      .alias("avg_fp"))
+    return scores.agg(exact_tdiv(ssum, n).alias("avg_fp"))
 
 
 def _dsir_default(bt: DataFrame) -> DataFrame:

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from .helpers import davg, sql_davg
+from .helpers import davg, exact_tdiv, sql_davg
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -717,8 +717,7 @@ def q150_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (shared.join(sa, "doc_a")
                   .join(sb, "doc_b")
                   .select("doc_a", "doc_b", "n_shared",
-                          ((num - num % den) / den).cast("bigint")
-                          .alias("containment_ppm"))
+                          exact_tdiv(num, den).alias("containment_ppm"))
                   .where(F.col("containment_ppm") >= MIN_CONTAIN_PPM))
 
 
