@@ -636,12 +636,13 @@ shared AS (
   HAVING COUNT(*) >= {MIN_SHARED})"""
 
 
-def _winnow_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Checkpointed DISTINCT (doc_id, fp) winnowed postings with the
-    corpus-relative boilerplate df-cut applied — the materialized
-    winnowed index of the corpus, built once and shared by every
-    consumer (sizes + both self-join sides, in q150 and q157)."""
-    d = load_table(spark, sf_dir, "documents")
+def winnow_fingerprints(d: DataFrame) -> DataFrame:
+    """DISTINCT (doc_id, fp) winnowed postings of a (doc_id, text)
+    frame — the shuffle-free array pipeline (codes -> rolling gram
+    hashes -> window minima -> array_distinct inside one projection),
+    WITHOUT the corpus-relative df-cut (that needs the corpus count —
+    `_winnow_postings` applies it; streaming batches skip it because
+    the STATIC index side already culled boilerplate fingerprints)."""
     d = d.where(F.length("text") >= GRAM + WINNOW - 1)
     codes = F.transform(F.split("text", ""), lambda c: F.ascii(c))
     acc = "cast(element_at(codes, p) as bigint)"
@@ -654,9 +655,17 @@ def _winnow_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps_arr = F.expr(
         f"array_distinct(transform(sequence(1, size(grams) - {WINNOW - 1}), "
         f"p -> least({winmin})))")
-    allfps = (d.select("doc_id", codes.alias("codes"))
-               .select("doc_id", grams.alias("grams"))
-               .select("doc_id", F.explode(fps_arr).alias("fp")))
+    return (d.select("doc_id", codes.alias("codes"))
+             .select("doc_id", grams.alias("grams"))
+             .select("doc_id", F.explode(fps_arr).alias("fp")))
+
+
+def _winnow_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed winnowed postings with the corpus-relative
+    boilerplate df-cut applied — the materialized winnowed index of
+    the corpus, built once and shared by every consumer (sizes + both
+    self-join sides, in q150 and q157)."""
+    allfps = winnow_fingerprints(load_table(spark, sf_dir, "documents"))
     # boilerplate df-cut via ONE window over the postings' own
     # fp-exchange (the q87 one-shuffle pattern); the cut scalar is a
     # one-row broadcast, no driver collect
