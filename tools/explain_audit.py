@@ -428,6 +428,35 @@ def main() -> int:
     check("q152 broadcast lr", q152, contains=["BroadcastHashJoin"])
     check("q152 partial agg", q152, contains=["partial_"])
 
+    # round-8 additions ----------------------------------------------------
+
+    # q96: interval build is a union of projections — NO window node
+    # (the LEAD spelling paid a full orderkey exchange + sort), and the
+    # join is hashed, never sort-merged
+    q96 = extras.q96_temporal_join(spark, SF)
+    check("q96 no window", q96, count_of=("Window", 0, 0))
+    check("q96 no sort-merge", q96, count_of=("SortMergeJoin", 0, 0))
+    check("q96 hashed join", q96, contains=["ShuffledHashJoin"])
+
+    # q156: candidate scans are cell-keyed broadcast-probe equi-joins
+    # (the q148 shape per setting); never a cartesian of the corpus
+    q156 = similarity.q156_ann_recall_curve(spark, SF)
+    check("q156 no cartesian", q156, count_of=("CartesianProduct", 0, 0))
+    check("q156 broadcast probe", q156, contains=["BroadcastHashJoin"])
+
+    # q157: star edges = ONE fp-partitioned window over the postings'
+    # own exchange + one partial-agg groupBy; no joins at all past the
+    # checkpointed postings (the clique self-join is exactly what this
+    # operator exists to avoid)
+    q157 = textops.q157_winnow_star(spark, SF)
+    check("q157 no joins", q157, count_of=("Join", 0, 0))
+    check("q157 partial agg", q157, contains=["partial_"])
+    wins157 = _window_partitions(q157)
+    if len(wins157) != 1 or not any("fp" in c for c in wins157[0]):
+        failures.append(f"q157: windows {wins157}, want one fp-window")
+    print(("FAIL " if any(f.startswith('q157:') for f in failures)
+           else "ok   ") + "q157 single fp window")
+
     # ------------------------------------------------------------------
     # GLOBAL: no broadcast-hinted unbounded aggregate in ANY query plan
     # (plan construction at sf0.001 — plan shape is SF-independent, and
