@@ -579,27 +579,35 @@ w{k} AS MATERIALIZED (
   WHERE kc.i IS NULL
   GROUP BY x.token, x.freq)""")
         prev = f"w{k}"
+    # shared WITH-body through w{BPE_MERGES}: tokd carries doc_id so the
+    # encode pass (q158) can re-join the corpus token stream; q155's
+    # merge output aggregates it away
+    chain = f"""tokd AS (
+  SELECT doc_id,
+         UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> ''))
+           AS token
+  FROM documents),
+wf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+       FROM tokd GROUP BY token),
+w0 AS MATERIALIZED (SELECT token, freq,
+              LIST_APPEND(STRING_SPLIT(token, ''), '{_EOW}') AS syms
+       FROM wf),
+{','.join(steps)}"""
     merges = "\nUNION ALL\n".join(
         f"SELECT {k} AS step, lhs, rhs, lhs || rhs AS merged, "
         f"c AS pair_count FROM b{k}"
         for k in range(1, BPE_MERGES + 1))
-    return f"""
-WITH tok AS (
-  SELECT UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> ''))
-    AS token
-  FROM documents),
-wf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
-       FROM tok GROUP BY token),
-w0 AS MATERIALIZED (SELECT token, freq,
-              LIST_APPEND(STRING_SPLIT(token, ''), '{_EOW}') AS syms
-       FROM wf),
-{','.join(steps)}
-{merges}
-"""
+    return f"WITH {chain}\n{merges}\n", chain
 
 
-@query("q155_bpe_merges", _bpe_sql())
-def q155_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+_BPE_MERGES_SQL, _BPE_CHAIN_SQL = _bpe_sql()
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """(merge_table, final_vocab): the BPE_MERGES learned merge rows
+    and the word-frequency table in its FINAL symbolization — which IS
+    the corpus encoded under the learned tokenizer (q158 re-joins it
+    onto the token stream)."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(F.explode(F.filter(F.split("text", " "),
                                       lambda x: x != "")).alias("token"))
@@ -662,4 +670,51 @@ def q155_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.concat("lhs", "rhs").alias("merged"),
                           F.col("c").alias("pair_count"))
         out = row if out is None else out.unionByName(row)
-    return out
+    return out, w
+
+
+@query("q155_bpe_merges", _BPE_MERGES_SQL)
+def q155_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bpe_train(spark, sf_dir)[0]
+
+
+# ---------------------------------------------------------------------------
+# q158 — BPE encoding / token-budget accounting: apply q155's learned
+# merge table to the corpus and report, per document, words vs emitted
+# subword tokens and the subwords-per-word rate — the number a training
+# pipeline budgets sequence lengths and packing with AFTER choosing a
+# tokenizer (completes the train->apply pair the way q156 completes
+# the IVF family). Because training operates on the word-frequency
+# table, the final symbolization IS the encoder: encoding the corpus
+# is one vocab join back onto the token stream — no per-document merge
+# application, which is exactly why production BPE trainers work on
+# word-freq dicts.
+#
+# Scale: the token explode is corpus-linear; the vocab join is
+# vocabulary-cardinality (NO broadcast hint — AQE decides, the r8
+# rule); one map-side-combinable per-doc sum. Rate ppm uses exact
+# integer trunc-division on both engines.
+# ---------------------------------------------------------------------------
+@query("q158_bpe_encode", f"""
+WITH {_BPE_CHAIN_SQL}
+SELECT t.doc_id, COUNT(*) AS n_words,
+       CAST(SUM(LEN(w.syms)) AS BIGINT) AS n_subwords,
+       CAST((SUM(LEN(w.syms)) * 1000000
+             - SUM(LEN(w.syms)) * 1000000 % COUNT(*))
+            / COUNT(*) AS BIGINT) AS subwords_per_word_ppm
+FROM tokd t JOIN w{BPE_MERGES} w USING (token)
+GROUP BY t.doc_id
+""")
+def q158_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, vocab = _bpe_train(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id",
+                   F.explode(F.filter(F.split("text", " "),
+                                      lambda x: x != "")).alias("token"))
+    n_sub = F.sum(F.size("syms")).cast("bigint")
+    return (tok.join(vocab.select("token", "syms"), "token")
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_words"),
+                    n_sub.alias("n_subwords"),
+                    exact_tdiv(n_sub * 1_000_000, F.count("*"))
+                     .alias("subwords_per_word_ppm")))
