@@ -302,9 +302,14 @@ def q93_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     nll_fp = F.round(-F.log(F.col("c").cast("double") / F.col("n"))
                      * 1_000_000).cast("bigint")
     # vocab is vocabulary cardinality (Heaps-law growth) — no forced
-    # broadcast hint; AQE converts when the measured size permits.
-    # Only the one-row scal frame keeps its (bounded) hint.
-    scored = (tok.join(vocab.crossJoin(F.broadcast(scal)), "token")
+    # broadcast hint (AQE converts when measured size permits); the
+    # SHUFFLE_HASH hint keeps the fallback a hash join — sort-merging
+    # would sort the corpus-sized exploded token stream (measured 5.2x
+    # at x10 once the grown vocab passed the broadcast threshold; the
+    # per-partition vocab build side cannot OOM). scal's one-row hint
+    # stays.
+    scored = (tok.join(vocab.crossJoin(F.broadcast(scal))
+                            .hint("shuffle_hash"), "token")
               .select("doc_id", nll_fp.alias("nll_fp")))
     avg = F.col("sum_fp") / (F.col("n_tokens") * 1_000_000.0)
     return (scored.groupBy("doc_id")
@@ -429,8 +434,9 @@ def q99_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     vn = vocab.agg(F.sum("c").alias("n"))
     nll_fp = F.round(-F.log(F.col("c").cast("double") / F.col("n"))
                      * 1_000_000).cast("bigint")
-    # vocab: unhinted (see q93) — AQE decides; vn's one-row hint stays
-    nll = (tok3.join(vocab.crossJoin(F.broadcast(vn)), "token")
+    # vocab: unhinted broadcast, SHUFFLE_HASH fallback (see q93)
+    nll = (tok3.join(vocab.crossJoin(F.broadcast(vn))
+                          .hint("shuffle_hash"), "token")
            .groupBy("doc_id")
            .agg(F.sum(nll_fp).alias("sum_fp"), F.count("*").alias("n_tok")))
     s4 = (s3.join(nll, "doc_id")
