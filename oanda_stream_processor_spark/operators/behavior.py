@@ -188,7 +188,9 @@ def q118_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy("prev_type", "event_type")
              .agg(F.count("*").alias("n")))
     rowtot = pairs.groupBy("prev_type").agg(F.sum("n").alias("tot"))
-    num = F.col("n") * 1_000_000
+    # DECIMAL(38,0) BEFORE the *1e6: a bigint product wraps past
+    # n ~ 9.2e12 transitions per prev_type (the q110 lesson)
+    num = F.col("n").cast("decimal(38,0)") * 1_000_000
     return (pairs.join(F.broadcast(rowtot), "prev_type")
             .select("prev_type", "event_type", "n",
                     exact_tdiv(num, F.col("tot")).alias("p_ppm")))

@@ -524,7 +524,10 @@ def q154_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_tokens").cast("bigint").alias("real_tokens"),
                  (F.first("bucket") * F.count("*")).cast("bigint")
                   .alias("padded_tokens")))
-    waste = (F.col("padded_tokens") - F.col("real_tokens")) * 1_000_000
+    # DECIMAL(38,0) before *1e6: token counts per bucket can pass
+    # 9.2e12 at corpus scale (the q110 lesson)
+    waste = ((F.col("padded_tokens") - F.col("real_tokens"))
+             .cast("decimal(38,0)") * 1_000_000)
     return per.select(
         "bucket", "n_docs", "real_tokens", "padded_tokens",
         exact_tdiv(waste, F.col("padded_tokens")).alias("waste_ppm"))

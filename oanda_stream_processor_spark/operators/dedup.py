@@ -1035,7 +1035,9 @@ def q146_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(wedge).alias("n_wedges"))
     e = pairs.agg(F.count("*").alias("n_edges"))
     j = w.crossJoin(F.broadcast(e)).crossJoin(F.broadcast(tri))
-    num = 3 * F.col("n_triangles") * 1_000_000
+    # DECIMAL(38,0) before *3e6: triangle counts grow superlinearly
+    # with the candidate graph (the q110 lesson)
+    num = 3 * F.col("n_triangles").cast("decimal(38,0)") * 1_000_000
     cc = F.when(F.col("n_wedges") == 0, F.lit(0)).otherwise(
         exact_tdiv(num, F.col("n_wedges")))
     return j.select("n_nodes", "n_edges", "n_triangles", "n_wedges",

@@ -746,7 +746,9 @@ def q136_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = F.sum(F.when((F.col("bloom_hit") == 1)
                       & (F.col("true_hit") == 0), 1).otherwise(0))
     n = F.count("*")
-    num = fp * 1_000_000
+    # DECIMAL(38,0) before *1e6 (the q110 lesson): probe counts are
+    # corpus-scale
+    num = fp.cast("decimal(38,0)") * 1_000_000
     return truth.agg(
         n.alias("n_probes"),
         F.sum("bloom_hit").alias("n_bloom_pos"),

@@ -720,7 +720,8 @@ def q150_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared = _winnow_shared(fps)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    num = F.col("n_shared") * 1_000_000
+    # DECIMAL(38,0) before *1e6 (the q110 lesson)
+    num = F.col("n_shared").cast("decimal(38,0)") * 1_000_000
     den = F.least(F.col("na"), F.col("nb"))
     # per-doc sizes frame: unhinted (see dedup.q44) — AQE decides
     return (shared.join(sa, "doc_a")
