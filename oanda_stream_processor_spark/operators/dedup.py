@@ -786,6 +786,80 @@ ORACLES["q97_canonical_by_quality"] = \
 
 
 # ---------------------------------------------------------------------------
+# q159 — split-leakage audit over near-dup clusters: a train/test split
+# drawn per DOCUMENT leaks whenever a near-dup cluster straddles the
+# boundary — the test set then contains (near-)copies of training docs
+# and benchmark numbers are contaminated (Lee et al. 2022 measured
+# this directly; split hygiene is why production pipelines split by
+# CLUSTER, not by doc). For every multi-member q55 component this
+# reports the naive per-doc 80/20 assignment's member counts, whether
+# it leaks (members on both sides), and the cluster-level assignment
+# (the same deterministic hash applied to the component id) that a
+# leak-free split would use.
+#
+# Determinism: both assignments reuse q77's seedless md5-mod-100 rule —
+# identical on any engine, partitioning, or cluster size. Components
+# come from the converged q55 propagation (Spark) / recursive-CTE
+# closure (DuckDB) — same fixpoint, already hash-gated by q55 itself.
+#
+# Scale: the audit runs on the COMPONENT frame (one row per doc after
+# q55's iterative joins), one projection for the hash bits and one
+# map-side-combinable groupBy on the component id (uniform md5-derived
+# minima). Output is bounded by the number of multi-member dup
+# clusters — the same cardinality q97 materializes.
+# ---------------------------------------------------------------------------
+TRAIN_PCT = 80
+
+_SQL_H100 = ("CAST('0x' || SUBSTR(MD5(CAST({col} AS VARCHAR)), 1, 15) "
+             "AS BIGINT) % 100")
+
+@query("q159_split_leakage", f"""
+WITH comp AS ({{Q55}})
+SELECT component,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN {_SQL_H100.format(col='doc_id')} < {TRAIN_PCT}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_train_naive,
+       CAST(SUM(CASE WHEN {_SQL_H100.format(col='doc_id')} >= {TRAIN_PCT}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_test_naive,
+       (SUM(CASE WHEN {_SQL_H100.format(col='doc_id')} < {TRAIN_PCT}
+            THEN 1 ELSE 0 END) > 0
+        AND SUM(CASE WHEN {_SQL_H100.format(col='doc_id')} >= {TRAIN_PCT}
+                THEN 1 ELSE 0 END) > 0) AS leaky,
+       CASE WHEN {_SQL_H100.format(col='component')} < {TRAIN_PCT}
+            THEN 'train' ELSE 'test' END AS cluster_split
+FROM comp
+GROUP BY component
+HAVING COUNT(*) >= 2
+""")
+def q159_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = q55_dedup_components(spark, sf_dir).select("doc_id", "component")
+
+    def h100(col: str) -> F.Column:
+        return (F.conv(F.substring(
+            F.md5(F.col(col).cast("string").cast("binary")), 1, 15),
+            16, 10).cast("bigint") % 100)
+
+    t = (h100("doc_id") >= TRAIN_PCT).cast("int")
+    per = comp.select("component", t.alias("t"))
+    agg = (per.groupBy("component")
+           .agg(F.count("*").alias("n_docs"),
+                (F.count("*") - F.sum("t")).cast("bigint")
+                 .alias("n_train_naive"),
+                F.sum("t").cast("bigint").alias("n_test_naive")))
+    return (agg.where(F.col("n_docs") >= 2)
+            .select("component", "n_docs", "n_train_naive", "n_test_naive",
+                    ((F.col("n_train_naive") > 0)
+                     & (F.col("n_test_naive") > 0)).alias("leaky"),
+                    F.when(h100("component") < TRAIN_PCT, "train")
+                     .otherwise("test").alias("cluster_split")))
+
+
+ORACLES["q159_split_leakage"] = \
+    ORACLES["q159_split_leakage"].replace(
+        "{Q55}", ORACLES["q55_dedup_components"])
+
+
+# ---------------------------------------------------------------------------
 # q129 — cross-source corpus overlap: estimated Jaccard similarity
 # between every pair of ingest sources' SHINGLE SETS, from per-source
 # K-minhash signatures — the curator's answer to "which feeds are
