@@ -143,3 +143,37 @@ def test_cms_merges_linearly(a, b):
     truth = Counter(a + b)
     for t, c in truth.items():
         assert _estimate(merged, t) >= c
+
+
+# ---------------------------------------------------------------------------
+# helpers.exact_tdiv: exact trunc-division on bigint columns at ANY
+# magnitude — one batched Spark job over adversarial operands (both
+# signs, exactly the >2^53 band where the old double spelling loses a
+# unit), compared against Python's exact integers.
+# ---------------------------------------------------------------------------
+def test_exact_tdiv_matches_python_ints(spark):
+    import random
+
+    from oanda_stream_processor_spark.operators.helpers import exact_tdiv
+    from pyspark.sql import functions as F
+
+    rng = random.Random(8)
+    cases = []
+    for _ in range(300):
+        mag = rng.choice([10**3, 10**9, 2**53, 2**61])
+        a = rng.randrange(-mag, mag) or 1
+        b = rng.randrange(1, max(2, abs(a))) * rng.choice([1, -1])
+        cases.append((a, b))
+    # the documented regression: exactly divisible, numerator > 2^53
+    cases += [(128000000000000007, 3), (-128000000000000007, 3),
+              (9007199254740993 * 1000, 1000), (2**62, 3), (-(2**62), 3)]
+
+    def py_trunc(a, b):   # trunc toward zero, like % -identity division
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    df = spark.createDataFrame(cases, "a long, b long")
+    got = df.select("a", "b",
+                    exact_tdiv(F.col("a"), F.col("b")).alias("q")).collect()
+    for r in got:
+        assert r.q == py_trunc(r.a, r.b), (r.a, r.b, r.q)
