@@ -440,6 +440,37 @@ pairs AS (
    AND a.doc_id < b.doc_id)
 """
 
+def propagate_min_labels(labels: DataFrame, edges: DataFrame,
+                         *, max_rounds: int = 20) -> DataFrame:
+    """Fixpoint min-label propagation: (doc_id, component) seed labels
+    + directed (src, dst) edges -> converged labels (every doc's label
+    = min seed label reachable in its component).  One localCheckpoint
+    per round materializes ``merged`` exactly once; both the next
+    round's labels AND the convergence flag are derived from the
+    checkpointed blocks, so each round is one shuffle-join + one agg.
+    Converges in O(max component diameter) rounds; exhausting the
+    budget raises rather than silently returning unconverged labels.
+    Shared by q55 (corpus bootstrap) and the streaming incremental
+    component updates (tiny per-batch subgraphs)."""
+    for _ in range(max_rounds):
+        neigh = (edges.join(labels, edges.src == labels.doc_id)
+                 .select(F.col("dst").alias("doc_id"),
+                         F.col("component").alias("n_comp")))
+        merged = (labels.join(neigh, "doc_id", "left")
+                  .groupBy("doc_id")
+                  .agg(F.least(F.min("component"), F.min("n_comp")).alias("new_comp"),
+                       F.min("component").alias("old_comp"))
+                  .localCheckpoint(eager=True))  # one materialization per round
+        labels = merged.select(
+            "doc_id", F.coalesce("new_comp", "old_comp").alias("component"))
+        if merged.where(F.col("new_comp") < F.col("old_comp")).limit(1).count() == 0:
+            return labels
+    raise RuntimeError(
+        f"components did not converge in {max_rounds} rounds; "
+        "a candidate component has diameter > max_rounds — raise "
+        "max_rounds (propagation is O(diameter))")
+
+
 @query("q55_dedup_components", f"""
 WITH RECURSIVE
 {_CANDIDATES_SQL},
@@ -455,18 +486,8 @@ FROM reach GROUP BY doc
 """)
 def q55_dedup_components(spark: SparkSession, sf_dir: str,
                          *, max_rounds: int = 20) -> DataFrame:
-    """Min-label propagation over the materialized LSH candidate graph.
-
-    One localCheckpoint per round materializes ``merged`` exactly once;
-    both the next round's labels AND the convergence flag are derived
-    from the checkpointed blocks, so each round is one shuffle-join +
-    one agg, with no second job recomputing the round's lineage.
-
-    One-hop propagation converges in O(max component diameter) rounds
-    (not O(log n)); LSH near-dup components are short-diameter in
-    practice, and exhausting the budget raises rather than silently
-    returning unconverged labels.
-    """
+    """Min-label propagation over the materialized LSH candidate graph
+    (see propagate_min_labels)."""
     pairs = _lsh_candidate_pairs(spark, sf_dir)  # already materialized
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     edges = (pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -476,25 +497,8 @@ def q55_dedup_components(spark: SparkSession, sf_dir: str,
     # Singletons keep component = doc_id and never enter the loop — at
     # corpus scale the candidate graph is a tiny fraction of the corpus.
     active = edges.select(F.col("src").alias("doc_id")).distinct()
-    labels = active.select("doc_id", F.col("doc_id").alias("component"))
-    for _ in range(max_rounds):
-        neigh = (edges.join(labels, edges.src == labels.doc_id)
-                 .select(F.col("dst").alias("doc_id"),
-                         F.col("component").alias("n_comp")))
-        merged = (labels.join(neigh, "doc_id", "left")
-                  .groupBy("doc_id")
-                  .agg(F.least(F.min("component"), F.min("n_comp")).alias("new_comp"),
-                       F.min("component").alias("old_comp"))
-                  .localCheckpoint(eager=True))  # one materialization per round
-        labels = merged.select(
-            "doc_id", F.coalesce("new_comp", "old_comp").alias("component"))
-        if merged.where(F.col("new_comp") < F.col("old_comp")).limit(1).count() == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"dedup components did not converge in {max_rounds} rounds; "
-            "a candidate component has diameter > max_rounds — raise "
-            "max_rounds (propagation is O(diameter))")
+    seed = active.select("doc_id", F.col("doc_id").alias("component"))
+    labels = propagate_min_labels(seed, edges, max_rounds=max_rounds)
     full = (docs.join(labels, "doc_id", "left")
             .select("doc_id",
                     F.coalesce("component", F.col("doc_id")).alias("component")))

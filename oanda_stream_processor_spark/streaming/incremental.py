@@ -27,6 +27,7 @@ from ..operators.dedup import (
     N_BANDS,
     _minhash_signature_from_sh,
     _spark_shingle_hashes,
+    propagate_min_labels,
 )
 
 
@@ -168,3 +169,131 @@ def bloom_filter_bands(band_rows: DataFrame, bitset: DataFrame,
             .where(F.col("bloom_hit") == 1)
             .drop("bloom_hit"))
     return kept
+
+
+# ---------------------------------------------------------------------------
+# Incremental connected-components maintenance: the streaming twin of
+# q55's keep-one clustering. Recomputing corpus-wide components per
+# ingest batch is the one thing a 100 TB dedup pipeline cannot afford;
+# the production shape (union-find service / periodic compaction) is:
+# label each ARRIVING doc immediately, and emit MERGE EVENTS whenever a
+# batch doc bridges existing components — the index rewriter applies
+# the events at compaction time (a component id is only ever RELABELED
+# DOWNWARD, so events compose by union-find in any order).
+#
+# Per micro-batch:
+#   1. matches: batch band rows equi-join the LABELED band index
+#      (band_id, band_key, component) — candidate-bounded, exactly the
+#      q109/q42 join shape.
+#   2. seed: every batch doc starts at min(own id, matched components).
+#   3. intra-batch propagation: batch-batch band collisions form a
+#      tiny subgraph; propagate_min_labels converges it (the q55 loop
+#      on a micro-batch-sized frame).
+#   4. assignments: (doc_id, component) — the final label is the min
+#      over the doc's connected batch subgraph of {batch ids} ∪
+#      {matched index component ids} = the merged component's global
+#      minimum, exactly what a full q55 over index ∪ batch assigns.
+#   5. merges: (component_keep, component_absorb) for every matched
+#      index component ≠ its group's final label — including the case
+#      where a BATCH id is the new global minimum.
+#
+# Static-index-per-stream caveat (deliberate, same as every twin
+# here): docs in DIFFERENT micro-batches link only THROUGH the index,
+# not to each other — arrival order matters for batch-batch near-dups,
+# and the periodic index rebuild (re-running q55) restores the exact
+# fixpoint. The batch-parity test proves one-batch updates reproduce
+# the full q55 labels on index ∪ batch exactly.
+# ---------------------------------------------------------------------------
+def build_component_index(docs: DataFrame, *, max_rounds: int = 20):
+    """(labels, labeled_bands) static state for a corpus frame:
+    converged (doc_id, component) labels and the DISTINCT
+    (band_id, band_key, component) rows the per-batch join probes.
+    Both eagerly checkpointed — build once, reuse per batch. In
+    production the labeled band index persists bucketed by
+    (band_id, band_key)."""
+    flat = _band_flat(docs).localCheckpoint(eager=True)
+    a = flat.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
+    b = flat.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
+    pairs = (a.join(b, ["band_id", "band_key"])
+              .where(F.col("doc_a") < F.col("doc_b"))
+              .select("doc_a", "doc_b").distinct())
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .unionByName(pairs.select(F.col("doc_b").alias("src"),
+                                       F.col("doc_a").alias("dst"))))
+    active = edges.select(F.col("src").alias("doc_id")).distinct()
+    seed = active.select("doc_id", F.col("doc_id").alias("component"))
+    conv = propagate_min_labels(seed, edges, max_rounds=max_rounds)
+    labels = (docs.select("doc_id").join(conv, "doc_id", "left")
+              .select("doc_id",
+                      F.coalesce("component", F.col("doc_id"))
+                       .alias("component"))
+              .localCheckpoint(eager=True))
+    labeled_bands = (flat.join(labels, "doc_id")
+                     .select("band_id", "band_key", "component")
+                     .distinct()
+                     .localCheckpoint(eager=True))
+    return labels, labeled_bands
+
+
+def incremental_component_updates(batch_docs: DataFrame,
+                                  labeled_bands: DataFrame,
+                                  *, max_rounds: int = 10):
+    """(assignments, merges) for one (micro-)batch of (doc_id, text)
+    rows against the static labeled band index — see block comment.
+
+    Labels are COMPONENT REFERENCES: a doc assigned component C where
+    C itself appears as component_absorb in the merge events resolves
+    to the event's keep side (transitively — union-find at the
+    applier, monotone because keep < absorb always). The batch-parity
+    test proves resolved(old labels + assignments) equals a full q55
+    rebuild over index ∪ batch, row for row."""
+    bands = _band_flat(batch_docs)
+    matched = (bands.join(labeled_bands, ["band_id", "band_key"])
+               .select("doc_id", "component"))
+    seed = (batch_docs.select("doc_id")
+            .join(matched.groupBy("doc_id")
+                         .agg(F.min("component").alias("mc")),
+                  "doc_id", "left")
+            .select("doc_id",
+                    F.least(F.col("doc_id"),
+                            F.coalesce("mc", F.col("doc_id")))
+                     .alias("component")))
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
+    bpairs = (a.join(b, ["band_id", "band_key"])
+               .where(F.col("doc_a") < F.col("doc_b"))
+               .select("doc_a", "doc_b").distinct())
+    edges = (bpairs.select(F.col("doc_a").alias("src"),
+                           F.col("doc_b").alias("dst"))
+             .unionByName(bpairs.select(F.col("doc_b").alias("src"),
+                                        F.col("doc_a").alias("dst"))))
+    assignments = propagate_min_labels(seed, edges,
+                                       max_rounds=max_rounds)
+    # merge events: within each batch-connected group, every matched
+    # index component above the group's final label is absorbed by it
+    # (the label can be a BATCH id when that id is the new global min)
+    grp = (matched.join(assignments.select(
+               "doc_id", F.col("component").alias("label")), "doc_id")
+           .select("label", "component"))
+    merges = (grp.where(F.col("component") != F.col("label"))
+                 .select(F.col("label").alias("component_keep"),
+                         F.col("component").alias("component_absorb"))
+                 .distinct())
+    return assignments, merges
+
+
+def run_component_stream(stream_docs: DataFrame, labeled_bands: DataFrame,
+                         sink, *, checkpoint: str | None = None):
+    """Wire a (doc_id, text) stream through per-batch component
+    updates; ``sink(assignments_df, merges_df, batch_id)`` receives
+    each micro-batch's label frame and merge events."""
+    def _each(batch: DataFrame, batch_id: int) -> None:
+        sink(*incremental_component_updates(batch, labeled_bands),
+             batch_id)
+
+    writer = stream_docs.writeStream.foreachBatch(_each) \
+        .trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -102,3 +102,18 @@ def test_format_round_trip(spark, tmp_path, fmt):
 def test_schema_on_read_requires_schema(spark, tmp_path):
     with pytest.raises(ValueError):
         layout.read_as(spark, "csv", str(tmp_path))
+
+
+def test_query_registry_names_match_keys():
+    """The @query decorator registers whatever function it directly
+    precedes — a helper inserted between decorator and def silently
+    REPLACES the query (bit three times across r7/r8). Every registered
+    callable's __name__ must equal its registry key, and every oracle
+    key must have a query."""
+    import __spark_entry__ as ent
+
+    qs = ent.queries()
+    mismatched = [(k, fn.__name__) for k, fn in qs.items()
+                  if fn.__name__ != k]
+    assert mismatched == []
+    assert set(ent.oracle_sql()) <= set(qs)
