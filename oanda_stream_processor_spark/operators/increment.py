@@ -822,3 +822,112 @@ def q143_mix_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rate_ppm.alias("rate_ppm"),
                     kept_chars.alias("kept_chars"),
                     epochs_fp2.alias("epochs_fp2"))
+
+
+# ---------------------------------------------------------------------------
+# q160/q161 — incremental connected-components, ORACLE-GATED: the
+# batch/oracle twins of `streaming/incremental.build_component_index +
+# incremental_component_updates` (see that module's block comment for
+# the production union-find-applier shape). The corpus splits q109's
+# way (doc_id % 10: index vs today's batch); q160 emits each batch
+# doc's assigned component REFERENCE — min over its batch-connected
+# group of {batch ids} ∪ {matched index component ids} — and q161 the
+# merge events (group label absorbs every other matched index
+# component). Both are pure fixpoints (min reachable id), so DuckDB
+# computes them with recursive-CTE closures over the SAME band graph:
+# index-side components, batch-side connectivity groups, and the
+# matched-component join — no dependence on Spark's propagation order.
+#
+# Scale: identical joins to q109 (banded, candidate-bounded) plus the
+# q55 loop over the index (one-time build) and over the micro-batch
+# subgraph (tiny). Nothing here shuffles more than the labeled band
+# index once.
+# ---------------------------------------------------------------------------
+_INC_COMP_SQL = f"""
+sig AS (
+  SELECT doc_id, {_MINHASH_AGGS_SQL}
+  FROM ({SQL_SHINGLE_HASHES}) GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, {_BAND_KEYS_SQL} FROM sig),
+flat AS (
+  {' UNION ALL '.join(f'SELECT doc_id, {b} AS band_id, band{b} AS band_key FROM bands'
+                      for b in range(N_BANDS))}),
+ipairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM flat a JOIN flat b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+  WHERE a.doc_id % 10 != 0 AND b.doc_id % 10 != 0),
+iedges(src, dst) AS (
+  SELECT doc_a, doc_b FROM ipairs UNION ALL SELECT doc_b, doc_a FROM ipairs),
+ireach(doc, r) AS (
+  SELECT doc_id, doc_id FROM documents WHERE doc_id % 10 != 0
+  UNION
+  SELECT e.dst, ireach.r FROM ireach JOIN iedges e ON ireach.doc = e.src),
+icomp AS (SELECT doc AS doc_id, MIN(r) AS component FROM ireach GROUP BY doc),
+ibands AS (
+  SELECT DISTINCT f.band_id, f.band_key, c.component
+  FROM flat f JOIN icomp c USING (doc_id)),
+matched AS (
+  SELECT DISTINCT bf.doc_id, ib.component
+  FROM flat bf JOIN ibands ib
+    ON bf.band_id = ib.band_id AND bf.band_key = ib.band_key
+  WHERE bf.doc_id % 10 = 0),
+bpairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM flat a JOIN flat b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 = 0),
+bedges(src, dst) AS (
+  SELECT doc_a, doc_b FROM bpairs UNION ALL SELECT doc_b, doc_a FROM bpairs),
+breach(doc, r) AS (
+  SELECT doc_id, doc_id FROM documents WHERE doc_id % 10 = 0
+  UNION
+  SELECT e.dst, breach.r FROM breach JOIN bedges e ON breach.doc = e.src),
+bgrp AS (SELECT doc AS doc_id, MIN(r) AS grp FROM breach GROUP BY doc),
+seedmin AS (
+  SELECT g.grp, MIN(LEAST(g.doc_id, COALESCE(m.component, g.doc_id)))
+           AS label
+  FROM bgrp g LEFT JOIN matched m USING (doc_id) GROUP BY g.grp)
+"""
+
+
+@query("q160_incremental_components", f"""
+WITH RECURSIVE
+{_INC_COMP_SQL}
+SELECT g.doc_id, s.label AS component
+FROM bgrp g JOIN seedmin s USING (grp)
+""")
+def q160_incremental_components(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from ..streaming.incremental import (
+        build_component_index, incremental_component_updates)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    _, lbl_bands = build_component_index(
+        docs.where(F.col("doc_id") % 10 != 0))
+    assignments, _ = incremental_component_updates(
+        docs.where(F.col("doc_id") % 10 == 0), lbl_bands)
+    return assignments
+
+
+@query("q161_component_merge_events", f"""
+WITH RECURSIVE
+{_INC_COMP_SQL}
+SELECT DISTINCT s.label AS component_keep,
+       m.component AS component_absorb
+FROM bgrp g
+JOIN seedmin s USING (grp)
+JOIN matched m USING (doc_id)
+WHERE m.component <> s.label
+""")
+def q161_component_merge_events(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from ..streaming.incremental import (
+        build_component_index, incremental_component_updates)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    _, lbl_bands = build_component_index(
+        docs.where(F.col("doc_id") % 10 != 0))
+    _, merges = incremental_component_updates(
+        docs.where(F.col("doc_id") % 10 == 0), lbl_bands)
+    return merges

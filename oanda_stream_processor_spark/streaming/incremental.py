@@ -204,13 +204,27 @@ def bloom_filter_bands(band_rows: DataFrame, bitset: DataFrame,
 # fixpoint. The batch-parity test proves one-batch updates reproduce
 # the full q55 labels on index ∪ batch exactly.
 # ---------------------------------------------------------------------------
+_INDEX_CACHE: dict = {}
+
+
 def build_component_index(docs: DataFrame, *, max_rounds: int = 20):
     """(labels, labeled_bands) static state for a corpus frame:
     converged (doc_id, component) labels and the DISTINCT
     (band_id, band_key, component) rows the per-batch join probes.
-    Both eagerly checkpointed — build once, reuse per batch. In
-    production the labeled band index persists bucketed by
-    (band_id, band_key)."""
+    Both eagerly checkpointed — BUILD ONCE, reuse per batch (the
+    production semantics): rebuilds of the same corpus frame within
+    one Spark application return the memoized checkpointed state,
+    keyed by (applicationId, analyzed-plan semanticHash, input files)
+    so different filters over the same files never collide."""
+    key = None
+    files = tuple(sorted(docs.inputFiles()))
+    if files:
+        key = (docs.sparkSession.sparkContext.applicationId,
+               docs._jdf.queryExecution().analyzed().semanticHash(),
+               files)
+        hit = _INDEX_CACHE.get(key)
+        if hit is not None:
+            return hit
     flat = _band_flat(docs).localCheckpoint(eager=True)
     a = flat.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
     b = flat.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
@@ -224,15 +238,18 @@ def build_component_index(docs: DataFrame, *, max_rounds: int = 20):
     active = edges.select(F.col("src").alias("doc_id")).distinct()
     seed = active.select("doc_id", F.col("doc_id").alias("component"))
     conv = propagate_min_labels(seed, edges, max_rounds=max_rounds)
+    # no checkpoint: conv is already materialized by the propagation
+    # loop; labels is one cheap projection-join over it per consumer
     labels = (docs.select("doc_id").join(conv, "doc_id", "left")
               .select("doc_id",
                       F.coalesce("component", F.col("doc_id"))
-                       .alias("component"))
-              .localCheckpoint(eager=True))
+                       .alias("component")))
     labeled_bands = (flat.join(labels, "doc_id")
                      .select("band_id", "band_key", "component")
                      .distinct()
                      .localCheckpoint(eager=True))
+    if key is not None:
+        _INDEX_CACHE[key] = (labels, labeled_bands)
     return labels, labeled_bands
 
 
