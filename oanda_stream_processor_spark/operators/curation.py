@@ -531,3 +531,275 @@ def q154_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.select(
         "bucket", "n_docs", "real_tokens", "padded_tokens",
         exact_tdiv(waste, F.col("padded_tokens")).alias("waste_ppm"))
+
+
+# ---------------------------------------------------------------------------
+# q162 — passage-removal rewrite (RefinedWeb/MassiveText line-level
+# dedup, applied): where q89 only SCORES the duplicated-passage ratio,
+# this operator applies the rewrite rule production pipelines run —
+# any PASSAGE-token block whose hash occurs REWRITE_T+ times anywhere
+# in the corpus is removed from EVERY document that contains it — and
+# reports the per-document token retention the rewrite leaves behind.
+# The passage grid is q89's (non-overlapping PASSAGE-token windows,
+# md5 over the joined slice), so the two operators agree on what a
+# "passage" is; the tail window can be short, and its true length
+# (not the nominal PASSAGE) is what the token accounting uses.
+#
+# Scale (100 TB): identical shape to q89 — explode to passage rows
+# (corpus-linear), one map-side-combinable count per hash, join back
+# on the uniform md5 key, aggregate per doc. The rewrite itself is
+# metadata-only here (which blocks survive + exact token accounting);
+# reconstructing the cleaned text is one more array_join over the
+# surviving slices with the same plan shape.
+# ---------------------------------------------------------------------------
+REWRITE_T = 2   # passage occurs REWRITE_T+ times corpus-wide -> removed
+
+@query("q162_passage_rewrite", f"""
+WITH t AS (SELECT doc_id, toks FROM ({SQL_TOKS}) WHERE LEN(toks) > 0),
+p AS (
+  SELECT doc_id,
+         MD5(ARRAY_TO_STRING(
+           LIST_SLICE(toks, start + 1, start + {PIPE_PASSAGE}), ' ')) AS ph,
+         LEAST({PIPE_PASSAGE}, LEN(toks) - start) AS plen
+  FROM (SELECT doc_id, toks,
+               UNNEST(RANGE(0, LEN(toks), {PIPE_PASSAGE})) AS start
+        FROM t)),
+freq AS (SELECT ph, COUNT(*) AS c FROM p GROUP BY ph),
+acc AS (
+  SELECT p.doc_id,
+         COUNT(*) AS n_passages,
+         COUNT(*) FILTER (WHERE f.c >= {REWRITE_T}) AS n_removed,
+         CAST(SUM(plen) AS BIGINT) AS tokens_before,
+         CAST(COALESCE(SUM(plen) FILTER (WHERE f.c < {REWRITE_T}), 0)
+              AS BIGINT) AS tokens_after
+  FROM p JOIN freq f USING (ph) GROUP BY p.doc_id)
+SELECT doc_id, n_passages, n_removed, tokens_before, tokens_after,
+       CAST((tokens_after * 1000000 - (tokens_after * 1000000) % tokens_before)
+            / tokens_before AS BIGINT) AS retained_ppm
+FROM acc
+""")
+def q162_passage_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    t = d.select("doc_id", toks.alias("toks")).where(F.size("toks") > 0)
+    starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(PIPE_PASSAGE))
+    ph = F.md5(F.array_join(
+        F.slice("toks", F.col("start") + 1, PIPE_PASSAGE), " ").cast("binary"))
+    plen = F.least(F.lit(PIPE_PASSAGE), F.size("toks") - F.col("start"))
+    p = (t.select("doc_id", "toks", F.explode(starts).alias("start"))
+         .select("doc_id", ph.alias("ph"), plen.alias("plen")))
+    freq = p.groupBy("ph").agg(F.count("*").alias("c"))
+    removed = F.col("c") >= REWRITE_T
+    acc = (p.join(freq, "ph")
+           .groupBy("doc_id")
+           .agg(F.count("*").alias("n_passages"),
+                F.count(F.when(removed, True)).alias("n_removed"),
+                F.sum("plen").cast("bigint").alias("tokens_before"),
+                F.coalesce(F.sum(F.when(~removed, F.col("plen"))), F.lit(0))
+                 .cast("bigint").alias("tokens_after")))
+    return acc.select(
+        "doc_id", "n_passages", "n_removed", "tokens_before", "tokens_after",
+        exact_tdiv(F.col("tokens_after").cast("decimal(38,0)") * 1_000_000,
+                   F.col("tokens_before")).alias("retained_ppm"))
+
+
+# ---------------------------------------------------------------------------
+# q163 — filter-cascade attribution: the ablation accounting a corpus
+# curation run reports alongside its keep/drop verdicts (Dolma /
+# RefinedWeb style). Four Gopher-class rules are evaluated INDEPENDENTLY
+# on every document, and each rule row carries three counts:
+#   n_fail       — docs failing the rule at all (marginal rate),
+#   n_first_fail — docs whose LOWEST-numbered failing rule is this one
+#                  (the waterfall attribution a sequential pipeline logs),
+#   n_sole_fail  — docs failing ONLY this rule (the docs this rule
+#                  uniquely removes — dropping the rule would re-admit
+#                  exactly these).
+# Row 0 reports the surviving count. All predicates are the integer
+# cross-multiplied forms of q79/q99's thresholds, so both engines agree
+# bit-for-bit.
+#
+# Scale (100 TB): per-row flag projection (array HOFs, no shuffle), one
+# map-side-combinable global agg, 5 output rows. The cheapest possible
+# audit shape — it runs at scan speed next to the filter itself.
+# ---------------------------------------------------------------------------
+_R1 = "n_tokens < 10"                                   # too short
+_R2 = "NOT (n_alpha * 10 > n_chars * 6)"                # low alpha ratio
+_R3 = ("n_tokens >= 2 AND "
+       "(n_tokens - 1 - n_unique_bigrams) * 5 > (n_tokens - 1)")
+                                                        # dup-bigram > 0.2
+_R4 = "n_chars < 3 * n_tokens OR n_chars > 12 * n_tokens"  # cpt band
+
+@query("q163_filter_attribution", f"""
+WITH feat AS (
+  SELECT doc_id,
+         LEN(toks) AS n_tokens,
+         n_chars,
+         LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[a-z]', '', 'g'))
+           AS n_alpha,
+         LEN(LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(toks)),
+             i -> LIST_EXTRACT(toks, i) || ' ' || LIST_EXTRACT(toks, i + 1))))
+           AS n_unique_bigrams
+  FROM (SELECT doc_id, text, n_chars,
+               LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS toks
+        FROM documents)),
+flags AS (
+  SELECT CASE WHEN {_R1} THEN 1 ELSE 0 END AS f1,
+         CASE WHEN {_R2} THEN 1 ELSE 0 END AS f2,
+         CASE WHEN {_R3} THEN 1 ELSE 0 END AS f3,
+         CASE WHEN {_R4} THEN 1 ELSE 0 END AS f4
+  FROM feat),
+agg AS (
+  SELECT COUNT(*) FILTER (WHERE f1 + f2 + f3 + f4 = 0) AS kept,
+         SUM(f1) AS a1, SUM(f2) AS a2, SUM(f3) AS a3, SUM(f4) AS a4,
+         SUM(f1) AS w1,
+         COUNT(*) FILTER (WHERE f1 = 0 AND f2 = 1) AS w2,
+         COUNT(*) FILTER (WHERE f1 = 0 AND f2 = 0 AND f3 = 1) AS w3,
+         COUNT(*) FILTER (WHERE f1 = 0 AND f2 = 0 AND f3 = 0 AND f4 = 1) AS w4,
+         COUNT(*) FILTER (WHERE f1 = 1 AND f2 + f3 + f4 = 0) AS s1,
+         COUNT(*) FILTER (WHERE f2 = 1 AND f1 + f3 + f4 = 0) AS s2,
+         COUNT(*) FILTER (WHERE f3 = 1 AND f1 + f2 + f4 = 0) AS s3,
+         COUNT(*) FILTER (WHERE f4 = 1 AND f1 + f2 + f3 = 0) AS s4
+  FROM flags)
+SELECT 0 AS rule_n, 'kept' AS rule,
+       CAST(kept AS BIGINT) AS n_fail, CAST(0 AS BIGINT) AS n_first_fail,
+       CAST(0 AS BIGINT) AS n_sole_fail FROM agg
+UNION ALL SELECT 1, 'min_tokens', CAST(a1 AS BIGINT), CAST(w1 AS BIGINT),
+       CAST(s1 AS BIGINT) FROM agg
+UNION ALL SELECT 2, 'alpha_ratio', CAST(a2 AS BIGINT), CAST(w2 AS BIGINT),
+       CAST(s2 AS BIGINT) FROM agg
+UNION ALL SELECT 3, 'dup_bigram', CAST(a3 AS BIGINT), CAST(w3 AS BIGINT),
+       CAST(s3 AS BIGINT) FROM agg
+UNION ALL SELECT 4, 'cpt_band', CAST(a4 AS BIGINT), CAST(w4 AS BIGINT),
+       CAST(s4 AS BIGINT) FROM agg
+""")
+def q163_filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    bigrams = F.zip_with(
+        F.slice("toks", 1, F.size("toks") - 1),
+        F.slice("toks", 2, F.size("toks") - 1),
+        lambda a, b: F.concat_ws(" ", a, b))
+    alpha = F.length("text") - F.length(F.regexp_replace("text", "[a-z]", ""))
+    feat = (d.select("doc_id", "text", "n_chars", toks.alias("toks"))
+            .select("doc_id",
+                    F.size("toks").alias("n_tokens"),
+                    "n_chars",
+                    alpha.alias("n_alpha"),
+                    F.size(F.array_distinct(bigrams))
+                     .alias("n_unique_bigrams")))
+    flags = feat.selectExpr(
+        f"CASE WHEN {_R1} THEN 1 ELSE 0 END AS f1",
+        f"CASE WHEN {_R2} THEN 1 ELSE 0 END AS f2",
+        f"CASE WHEN {_R3} THEN 1 ELSE 0 END AS f3",
+        f"CASE WHEN {_R4} THEN 1 ELSE 0 END AS f4")
+    c = F.col
+    agg = flags.agg(
+        F.count(F.when(c("f1") + c("f2") + c("f3") + c("f4") == 0, True))
+         .alias("kept"),
+        F.sum("f1").alias("a1"), F.sum("f2").alias("a2"),
+        F.sum("f3").alias("a3"), F.sum("f4").alias("a4"),
+        F.sum("f1").alias("w1"),
+        F.count(F.when((c("f1") == 0) & (c("f2") == 1), True)).alias("w2"),
+        F.count(F.when((c("f1") == 0) & (c("f2") == 0) & (c("f3") == 1),
+                       True)).alias("w3"),
+        F.count(F.when((c("f1") == 0) & (c("f2") == 0) & (c("f3") == 0)
+                       & (c("f4") == 1), True)).alias("w4"),
+        F.count(F.when((c("f1") == 1) & (c("f2") + c("f3") + c("f4") == 0),
+                       True)).alias("s1"),
+        F.count(F.when((c("f2") == 1) & (c("f1") + c("f3") + c("f4") == 0),
+                       True)).alias("s2"),
+        F.count(F.when((c("f3") == 1) & (c("f1") + c("f2") + c("f4") == 0),
+                       True)).alias("s3"),
+        F.count(F.when((c("f4") == 1) & (c("f1") + c("f2") + c("f3") == 0),
+                       True)).alias("s4"))
+    return agg.selectExpr(
+        "stack(5, "
+        "0, 'kept',        CAST(kept AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), "
+        "1, 'min_tokens',  CAST(a1 AS BIGINT), CAST(w1 AS BIGINT), CAST(s1 AS BIGINT), "
+        "2, 'alpha_ratio', CAST(a2 AS BIGINT), CAST(w2 AS BIGINT), CAST(s2 AS BIGINT), "
+        "3, 'dup_bigram',  CAST(a3 AS BIGINT), CAST(w3 AS BIGINT), CAST(s3 AS BIGINT), "
+        "4, 'cpt_band',    CAST(a4 AS BIGINT), CAST(w4 AS BIGINT), CAST(s4 AS BIGINT)) "
+        "AS (rule_n, rule, n_fail, n_first_fail, n_sole_fail)")
+
+
+# ---------------------------------------------------------------------------
+# q165 — fuzzy benchmark decontamination (bottom-k containment): q80
+# flags EXACT n-gram overlap; production decontamination also needs the
+# fuzzy variant — "what fraction of this document's shingle set appears
+# in the benchmark" — robust to partial rewording. Per corpus document
+# keep the CONTAIN_K smallest gram hashes (a bottom-k sketch: the
+# classic uniform sample of the shingle set, deterministic because the
+# hash IS the sampling order); the containment estimate is the fraction
+# of those present in the benchmark's gram-hash set. This is the
+# one-sided Jaccard containment estimator min-hash decontamination
+# pipelines use (cf. Broder's bottom-k sketches); CONTAIN_T is the drop
+# threshold.
+#
+# Scale (100 TB): bottom-k is one window over the doc_id exchange
+# (uniform key, k rows kept per doc); the benchmark gram set is a real
+# eval suite — MBs against a TB corpus — so after distinct-reduction it
+# is broadcast exactly like q80's, and the corpus side never shuffles
+# for the probe. Output is one row per corpus document.
+# ---------------------------------------------------------------------------
+CONTAIN_K = 32        # bottom-k sketch size per document
+CONTAIN_T = 200_000   # contained_ppm >= 20% -> contaminated
+
+@query("q165_fuzzy_contamination", f"""
+WITH grams AS ({_SQL_GRAMS}),
+bench AS (SELECT DISTINCT gh FROM grams WHERE doc_id % {BENCH_MOD} = 0),
+bk AS (
+  SELECT doc_id, gh FROM (
+    SELECT doc_id, gh,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY gh) AS rn
+    FROM grams WHERE doc_id % {BENCH_MOD} <> 0)
+  WHERE rn <= {CONTAIN_K}),
+acc AS (
+  SELECT bk.doc_id,
+         COUNT(*) AS k_used,
+         COUNT(b.gh) AS n_hit
+  FROM bk LEFT JOIN bench b USING (gh)
+  GROUP BY bk.doc_id)
+SELECT doc_id, k_used, n_hit,
+       CAST((n_hit * 1000000 - (n_hit * 1000000) % k_used) / k_used
+            AS BIGINT) AS contained_ppm,
+       (n_hit * 1000000 - (n_hit * 1000000) % k_used) / k_used
+         >= {CONTAIN_T} AS contaminated
+FROM acc
+""")
+def q165_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    t = (d.select("doc_id", toks.alias("toks"))
+         .where(F.size("toks") >= CONTAM_GRAM))
+    tok_h = F.expr(
+        f"transform(toks, t -> aggregate(transform(split(t, ''), "
+        f"c -> cast(ascii(c) as bigint)), 0L, "
+        f"(acc, x) -> (acc * {HB} + x) % {HM}))")
+    th = t.select("doc_id", tok_h.alias("th"))
+    gram = F.expr(
+        f"array_distinct(transform(sequence(1, size(th) - {CONTAM_GRAM - 1}), "
+        f"i -> ((((element_at(th, i) * {SB} + element_at(th, i + 1)) % {HM} "
+        f"* {SB} + element_at(th, i + 2)) % {HM} "
+        f"* {SB} + element_at(th, i + 3)) % {HM} "
+        f"* {SB} + element_at(th, i + 4)) % {HM}))")
+    grams = th.select("doc_id", F.explode(gram).alias("gh"))
+    # real benchmarks are MBs vs a TB corpus: broadcast after
+    # distinct-reduction is the right call at any corpus size (the
+    # fixture's 1/97 stand-in inflates it, same contract as q80)
+    bench = (grams.where(F.col("doc_id") % BENCH_MOD == 0)
+             .select("gh").distinct().withColumn("hit", F.lit(1)))
+    w = W.partitionBy("doc_id").orderBy("gh")
+    bk = (grams.where(F.col("doc_id") % BENCH_MOD != 0)
+          .withColumn("rn", F.row_number().over(w))
+          .where(F.col("rn") <= CONTAIN_K)
+          .select("doc_id", "gh"))
+    acc = (bk.join(F.broadcast(bench), "gh", "left")
+           .groupBy("doc_id")
+           .agg(F.count("*").alias("k_used"),
+                F.count("hit").alias("n_hit")))
+    ppm = exact_tdiv(F.col("n_hit").cast("decimal(38,0)") * 1_000_000,
+                     F.col("k_used"))
+    return acc.select("doc_id", "k_used", "n_hit",
+                      ppm.alias("contained_ppm"),
+                      (ppm >= CONTAIN_T).alias("contaminated"))

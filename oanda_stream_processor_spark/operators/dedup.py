@@ -1120,3 +1120,112 @@ def q146_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_tdiv(num, F.col("n_wedges")))
     return j.select("n_nodes", "n_edges", "n_triangles", "n_wedges",
                     cc.alias("global_cc_ppm"))
+
+
+# ---------------------------------------------------------------------------
+# q166 — dedup threshold sensitivity curve: the decision-support table a
+# corpus owner reads before PICKING the near-dup threshold. Over the
+# df-cut candidate pairs (q87's machinery — the only shape that
+# survives corpus scale), for each candidate threshold t the curve
+# reports how many pairs exceed t, how many documents a keep-lowest-id
+# rule would drop (any doc appearing as the larger id of a >= t pair),
+# how many characters that costs, and the corpus retention — i.e. "what
+# does each notch of strictness buy, and what does it spend". The
+# jaccard is fixed-point ppm (exact integer division) so the curve
+# hashes identically on both engines.
+#
+# Scale (100 TB): the pair frame is the df-cut candidate set (bounded
+# per shingle, see q87); the 5-row threshold frame cross-joins onto it
+# broadcast-side; the drop set is one distinct + one join to per-doc
+# sizes on the uniform doc key. Output is 5 rows.
+# ---------------------------------------------------------------------------
+CURVE_TS = (50_000, 100_000, 200_000, 400_000, 800_000)   # jaccard ppm
+
+@query("q166_dedup_threshold_curve", f"""
+WITH shs AS (SELECT DISTINCT doc_id, sh FROM ({SQL_SHINGLE_HASHES})),
+cut AS (SELECT CAST(CEIL({DF_CUT_FRAC} * COUNT(*)) AS BIGINT) AS c
+        FROM documents),
+keep AS (
+  SELECT sh FROM shs GROUP BY sh
+  HAVING COUNT(*) <= (SELECT c FROM cut)),
+fsh AS (SELECT s.doc_id, s.sh FROM shs s JOIN keep USING (sh)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM fsh GROUP BY doc_id),
+pairs AS (
+  SELECT doc_a, doc_b,
+         CAST((i * 1000000 - (i * 1000000) % u) / u AS BIGINT) AS jac_ppm
+  FROM (
+    SELECT i.doc_a, i.doc_b, i.i, sa.n + sb.n - i.i AS u
+    FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+          FROM fsh a JOIN fsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id) i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b)),
+ts(t_ppm) AS (VALUES {", ".join(f"({t})" for t in CURVE_TS)}),
+pp AS (
+  SELECT t_ppm, COUNT(*) AS n_pairs, COUNT(DISTINCT doc_b) AS n_dropped
+  FROM ts JOIN pairs ON jac_ppm >= t_ppm GROUP BY t_ppm),
+dd AS (
+  SELECT t_ppm, CAST(SUM(n_chars) AS BIGINT) AS chars_dropped
+  FROM (SELECT DISTINCT t_ppm, doc_b FROM ts JOIN pairs ON jac_ppm >= t_ppm) x
+  JOIN documents d ON d.doc_id = x.doc_b GROUP BY t_ppm),
+tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS corpus_chars FROM documents)
+SELECT CAST(t.t_ppm AS BIGINT) AS t_ppm,
+       COALESCE(pp.n_pairs, 0) AS n_pairs,
+       COALESCE(pp.n_dropped, 0) AS n_dropped,
+       COALESCE(dd.chars_dropped, 0) AS chars_dropped,
+       tot.corpus_chars,
+       CAST(((corpus_chars - COALESCE(dd.chars_dropped, 0)) * 1000000
+             - ((corpus_chars - COALESCE(dd.chars_dropped, 0)) * 1000000)
+               % corpus_chars) / corpus_chars AS BIGINT) AS retained_ppm
+FROM ts t LEFT JOIN pp USING (t_ppm) LEFT JOIN dd USING (t_ppm)
+CROSS JOIN tot
+""")
+def q166_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (_spark_shingle_hashes(docs)
+          .distinct().localCheckpoint(eager=True))
+    cut = docs.agg(F.ceil(DF_CUT_FRAC * F.count("*")).alias("c"))
+    fsh = (sh.withColumn("df", F.count("*").over(W.partitionBy("sh")))
+             .crossJoin(F.broadcast(cut))
+             .where(F.col("df") <= F.col("c"))
+             .select("doc_id", "sh"))
+    sizes = fsh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = fsh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = fsh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (a.join(b, "sh")
+              .where(F.col("doc_a") < F.col("doc_b"))
+              .groupBy("doc_a", "doc_b").agg(F.count("*").alias("i")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    u = F.col("na") + F.col("nb") - F.col("i")
+    # per-doc sizes frames: unhinted (see q44) — AQE decides
+    pairs = (inter.join(sa, "doc_a").join(sb, "doc_b")
+             .select("doc_a", "doc_b",
+                     exact_tdiv(F.col("i").cast("decimal(38,0)") * 1_000_000,
+                                u).alias("jac_ppm"))
+             .localCheckpoint(eager=True))
+    ts = spark.range(1).select(F.explode(F.array(
+        *[F.lit(t).cast("long") for t in CURVE_TS])).alias("t_ppm"))
+    pt = pairs.join(F.broadcast(ts), F.col("jac_ppm") >= F.col("t_ppm"))
+    pp = (pt.groupBy("t_ppm")
+          .agg(F.count("*").alias("n_pairs"),
+               F.countDistinct("doc_b").alias("n_dropped")))
+    dd = (pt.select("t_ppm", "doc_b").distinct()
+          .join(docs.select(F.col("doc_id").alias("doc_b"), "n_chars"),
+                "doc_b")
+          .groupBy("t_ppm")
+          .agg(F.sum("n_chars").cast("bigint").alias("chars_dropped")))
+    tot = docs.agg(F.sum("n_chars").cast("bigint").alias("corpus_chars"))
+    base = (ts.join(pp, "t_ppm", "left").join(dd, "t_ppm", "left")
+            .crossJoin(F.broadcast(tot)))
+    kept = (F.col("corpus_chars")
+            - F.coalesce(F.col("chars_dropped"), F.lit(0)))
+    return base.select(
+        "t_ppm",
+        F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
+        F.coalesce(F.col("n_dropped"), F.lit(0)).alias("n_dropped"),
+        F.coalesce(F.col("chars_dropped"), F.lit(0)).alias("chars_dropped"),
+        "corpus_chars",
+        exact_tdiv(kept.cast("decimal(38,0)") * 1_000_000,
+                   F.col("corpus_chars")).alias("retained_ppm"))

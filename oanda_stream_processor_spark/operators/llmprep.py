@@ -718,3 +718,84 @@ def q158_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     n_sub.alias("n_subwords"),
                     exact_tdiv(n_sub * 1_000_000, F.count("*"))
                      .alias("subwords_per_word_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# q164 — temperature-flattened mixture weights: the sampling-weight
+# table a multi-source pretraining run derives before building its data
+# mix (cf. multilingual temperature sampling and Pile-style source
+# upweighting): at temperature alpha = 0.5 each source's probability is
+# proportional to sqrt of its token mass, flattening the natural
+# distribution toward small sources. Per source the plan reports the
+# natural share, the flattened share, the token allotment when the
+# TOTAL corpus token mass is re-spent under the flattened shares, and
+# the resulting epoch multiplier (allotment / own mass, fp2) — small
+# sources repeat (epochs > 1.00), large ones are subsampled.
+#
+# Determinism: sqrt over a BIGINT-cast double is a single
+# correctly-rounded IEEE op — bit-identical on both engines — and is
+# immediately FLOORed into the fixed-point integer s = floor(sqrt(n) *
+# 1e3); every share/allotment/epoch after that is exact integer
+# arithmetic (DECIMAL(38,0) mod-identity on the Spark side, rounding
+# cast exactness on the DuckDB side, both documented in helpers).
+#
+# Scale (100 TB): one map-side-combinable groupBy(source) over the
+# corpus; the per-source frame (hundreds of rows) then carries one
+# 1-row global agg broadcast back. Same shape as q143.
+# ---------------------------------------------------------------------------
+@query("q164_mixture_weights", """
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+s AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1000) AS BIGINT) AS sq
+  FROM per_src),
+tot AS (SELECT SUM(n_tokens) AS t_tok, SUM(sq) AS t_sq FROM s),
+w AS (
+  SELECT source, n_docs, n_tokens,
+         CAST((n_tokens * 1000000 - (n_tokens * 1000000) % t_tok) / t_tok
+              AS BIGINT) AS natural_ppm,
+         CAST((sq * 1000000 - (sq * 1000000) % t_sq) / t_sq
+              AS BIGINT) AS temp_ppm,
+         t_tok
+  FROM s CROSS JOIN tot),
+a AS (
+  SELECT source, n_docs, n_tokens, natural_ppm, temp_ppm,
+         CAST((t_tok * temp_ppm - (t_tok * temp_ppm) % 1000000) / 1000000
+              AS BIGINT) AS alloc_tokens
+  FROM w)
+SELECT source, n_docs, n_tokens, natural_ppm, temp_ppm, alloc_tokens,
+       CAST((alloc_tokens * 100 - (alloc_tokens * 100) % n_tokens) / n_tokens
+            AS BIGINT) AS epochs_fp2
+FROM a
+""")
+def q164_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    per_src = (d.groupBy("source")
+               .agg(F.count("*").alias("n_docs"),
+                    F.sum(n_tok).cast("bigint").alias("n_tokens")))
+    sq = F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000) \
+          .cast("bigint")
+    s = per_src.withColumn("sq", sq)
+    tot = s.agg(F.sum("n_tokens").alias("t_tok"), F.sum("sq").alias("t_sq"))
+    w = s.crossJoin(F.broadcast(tot))
+    natural_ppm = exact_tdiv(
+        F.col("n_tokens").cast("decimal(38,0)") * 1_000_000, F.col("t_tok"))
+    temp_ppm = exact_tdiv(
+        F.col("sq").cast("decimal(38,0)") * 1_000_000, F.col("t_sq"))
+    w2 = w.select("source", "n_docs", "n_tokens", "t_tok",
+                  natural_ppm.alias("natural_ppm"),
+                  temp_ppm.alias("temp_ppm"))
+    alloc = exact_tdiv(
+        F.col("t_tok").cast("decimal(38,0)") * F.col("temp_ppm"),
+        F.lit(1_000_000))
+    a = w2.withColumn("alloc_tokens", alloc)
+    epochs = exact_tdiv(
+        F.col("alloc_tokens").cast("decimal(38,0)") * 100, F.col("n_tokens"))
+    return a.select("source", "n_docs", "n_tokens", "natural_ppm",
+                    "temp_ppm", "alloc_tokens",
+                    epochs.alias("epochs_fp2"))
