@@ -629,6 +629,71 @@ _R3 = ("n_tokens >= 2 AND "
                                                         # dup-bigram > 0.2
 _R4 = "n_chars < 3 * n_tokens OR n_chars > 12 * n_tokens"  # cpt band
 
+
+def attribution_flags(d: DataFrame) -> DataFrame:
+    """Per-document independent rule flags (doc_id, f1..f4) — the shared
+    per-row projection behind batch q163 and the streaming quality gate
+    (streaming/qualitygate.py). Scan-speed: array HOFs only, no shuffle."""
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    bigrams = F.zip_with(
+        F.slice("toks", 1, F.size("toks") - 1),
+        F.slice("toks", 2, F.size("toks") - 1),
+        lambda a, b: F.concat_ws(" ", a, b))
+    alpha = F.length("text") - F.length(F.regexp_replace("text", "[a-z]", ""))
+    feat = (d.select("doc_id", "text", "n_chars", toks.alias("toks"))
+            .select("doc_id",
+                    F.size("toks").alias("n_tokens"),
+                    "n_chars",
+                    alpha.alias("n_alpha"),
+                    F.size(F.array_distinct(bigrams))
+                     .alias("n_unique_bigrams")))
+    return feat.selectExpr(
+        "doc_id",
+        f"CASE WHEN {_R1} THEN 1 ELSE 0 END AS f1",
+        f"CASE WHEN {_R2} THEN 1 ELSE 0 END AS f2",
+        f"CASE WHEN {_R3} THEN 1 ELSE 0 END AS f3",
+        f"CASE WHEN {_R4} THEN 1 ELSE 0 END AS f4")
+
+
+def attribution_partial(flags: DataFrame) -> DataFrame:
+    """One 13-count row over a flag frame. Every count is a SUM over
+    disjoint documents, so partials over document partitions (or
+    micro-batches) merge by columnwise addition — the property the
+    streaming twin rides."""
+    c = F.col
+    return flags.agg(
+        F.count(F.when(c("f1") + c("f2") + c("f3") + c("f4") == 0, True))
+         .alias("kept"),
+        F.sum("f1").alias("a1"), F.sum("f2").alias("a2"),
+        F.sum("f3").alias("a3"), F.sum("f4").alias("a4"),
+        F.sum("f1").alias("w1"),
+        F.count(F.when((c("f1") == 0) & (c("f2") == 1), True)).alias("w2"),
+        F.count(F.when((c("f1") == 0) & (c("f2") == 0) & (c("f3") == 1),
+                       True)).alias("w3"),
+        F.count(F.when((c("f1") == 0) & (c("f2") == 0) & (c("f3") == 0)
+                       & (c("f4") == 1), True)).alias("w4"),
+        F.count(F.when((c("f1") == 1) & (c("f2") + c("f3") + c("f4") == 0),
+                       True)).alias("s1"),
+        F.count(F.when((c("f2") == 1) & (c("f1") + c("f3") + c("f4") == 0),
+                       True)).alias("s2"),
+        F.count(F.when((c("f3") == 1) & (c("f1") + c("f2") + c("f4") == 0),
+                       True)).alias("s3"),
+        F.count(F.when((c("f4") == 1) & (c("f1") + c("f2") + c("f3") == 0),
+                       True)).alias("s4"))
+
+
+def attribution_rows(agg: DataFrame) -> DataFrame:
+    """Render the 13-count row as the 5-row attribution table."""
+    return agg.selectExpr(
+        "stack(5, "
+        "0, 'kept',        CAST(kept AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), "
+        "1, 'min_tokens',  CAST(a1 AS BIGINT), CAST(w1 AS BIGINT), CAST(s1 AS BIGINT), "
+        "2, 'alpha_ratio', CAST(a2 AS BIGINT), CAST(w2 AS BIGINT), CAST(s2 AS BIGINT), "
+        "3, 'dup_bigram',  CAST(a3 AS BIGINT), CAST(w3 AS BIGINT), CAST(s3 AS BIGINT), "
+        "4, 'cpt_band',    CAST(a4 AS BIGINT), CAST(w4 AS BIGINT), CAST(s4 AS BIGINT)) "
+        "AS (rule_n, rule, n_fail, n_first_fail, n_sole_fail)")
+
+
 @query("q163_filter_attribution", f"""
 WITH feat AS (
   SELECT doc_id,
@@ -674,52 +739,7 @@ UNION ALL SELECT 4, 'cpt_band', CAST(a4 AS BIGINT), CAST(w4 AS BIGINT),
 """)
 def q163_filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", " "), lambda x: x != "")
-    bigrams = F.zip_with(
-        F.slice("toks", 1, F.size("toks") - 1),
-        F.slice("toks", 2, F.size("toks") - 1),
-        lambda a, b: F.concat_ws(" ", a, b))
-    alpha = F.length("text") - F.length(F.regexp_replace("text", "[a-z]", ""))
-    feat = (d.select("doc_id", "text", "n_chars", toks.alias("toks"))
-            .select("doc_id",
-                    F.size("toks").alias("n_tokens"),
-                    "n_chars",
-                    alpha.alias("n_alpha"),
-                    F.size(F.array_distinct(bigrams))
-                     .alias("n_unique_bigrams")))
-    flags = feat.selectExpr(
-        f"CASE WHEN {_R1} THEN 1 ELSE 0 END AS f1",
-        f"CASE WHEN {_R2} THEN 1 ELSE 0 END AS f2",
-        f"CASE WHEN {_R3} THEN 1 ELSE 0 END AS f3",
-        f"CASE WHEN {_R4} THEN 1 ELSE 0 END AS f4")
-    c = F.col
-    agg = flags.agg(
-        F.count(F.when(c("f1") + c("f2") + c("f3") + c("f4") == 0, True))
-         .alias("kept"),
-        F.sum("f1").alias("a1"), F.sum("f2").alias("a2"),
-        F.sum("f3").alias("a3"), F.sum("f4").alias("a4"),
-        F.sum("f1").alias("w1"),
-        F.count(F.when((c("f1") == 0) & (c("f2") == 1), True)).alias("w2"),
-        F.count(F.when((c("f1") == 0) & (c("f2") == 0) & (c("f3") == 1),
-                       True)).alias("w3"),
-        F.count(F.when((c("f1") == 0) & (c("f2") == 0) & (c("f3") == 0)
-                       & (c("f4") == 1), True)).alias("w4"),
-        F.count(F.when((c("f1") == 1) & (c("f2") + c("f3") + c("f4") == 0),
-                       True)).alias("s1"),
-        F.count(F.when((c("f2") == 1) & (c("f1") + c("f3") + c("f4") == 0),
-                       True)).alias("s2"),
-        F.count(F.when((c("f3") == 1) & (c("f1") + c("f2") + c("f4") == 0),
-                       True)).alias("s3"),
-        F.count(F.when((c("f4") == 1) & (c("f1") + c("f2") + c("f3") == 0),
-                       True)).alias("s4"))
-    return agg.selectExpr(
-        "stack(5, "
-        "0, 'kept',        CAST(kept AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), "
-        "1, 'min_tokens',  CAST(a1 AS BIGINT), CAST(w1 AS BIGINT), CAST(s1 AS BIGINT), "
-        "2, 'alpha_ratio', CAST(a2 AS BIGINT), CAST(w2 AS BIGINT), CAST(s2 AS BIGINT), "
-        "3, 'dup_bigram',  CAST(a3 AS BIGINT), CAST(w3 AS BIGINT), CAST(s3 AS BIGINT), "
-        "4, 'cpt_band',    CAST(a4 AS BIGINT), CAST(w4 AS BIGINT), CAST(s4 AS BIGINT)) "
-        "AS (rule_n, rule, n_fail, n_first_fail, n_sole_fail)")
+    return attribution_rows(attribution_partial(attribution_flags(d)))
 
 
 # ---------------------------------------------------------------------------
