@@ -1,0 +1,151 @@
+"""100x scale-up measurement for the corpus/embedding family — turns
+SCALE.md's "would hold at 100x" claims from extrapolation into numbers.
+
+Same honest-replication recipe as tools/scale_bench.py (which measures
+the whole suite at 10x), but two decades up: documents and embeddings
+are replicated 100x with per-replica token tags / id+label offsets, so
+replicas share NO shingles and label blocks keep their density — the
+shape of a corpus that genuinely grew 100x with distinct content. Only
+the documents+embeddings tables are built (the TPC-H facts are the
+10x sweep's job); the default query set is every dedup / similarity /
+text / curation operator that reads only those two tables.
+
+With the x1 and x10 numbers already recorded in SCALE_SWEEP_r08.json,
+the x100 point gives each operator a three-point scaling curve; the
+interesting read-out is factor100 vs 100x-ideal-linear work growth on
+a fixed 32-thread box: factor100 well under ~100 means the operator is
+sublinear-per-core and cluster headroom is real; factor100 >> 100
+means super-linear work (the thing the growth rules exist to prevent).
+
+Usage: python tools/scale100_bench.py [runs_x1] [query ...]
+Prints one JSON line; x100 data cached at /tmp/spark_graft_x100.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+X100_DIR = "/tmp/spark_graft_x100"
+RUNS = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+ONLY = set(sys.argv[2:])
+
+# every operator below reads ONLY documents and/or embeddings
+DEFAULT_SET = [
+    "q40_dedup_exact",
+    "q41_minhash_signature",
+    "q42_lsh_candidates",
+    "q43_simhash",
+    "q45_cosine_topk",
+    "q49_lang_id",
+    "q50_quality_score",
+    "q55_dedup_components",
+    "q56_ann_ivf",
+    "q57_lsh_verified_pairs",
+    "q87_jaccard_dfcut",
+    "q92_ann_ivf_sq",
+    "q97_canonical_by_quality",
+    "q139_semantic_dedup",
+    "q141_knn_label_prop",
+    "q157_winnow_star",
+    "q162_passage_rewrite",
+    "q163_filter_attribution",
+    "q164_mixture_weights",
+    "q165_fuzzy_contamination",
+]
+
+
+def build_x100(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from oanda_stream_processor_spark.io import load_table
+
+    if os.path.exists(os.path.join(X100_DIR, "_DONE")):
+        return
+    shutil.rmtree(X100_DIR, ignore_errors=True)
+    os.makedirs(X100_DIR, exist_ok=True)
+
+    docs = load_table(spark, SF_DIR, "documents")
+    reps = []
+    for k in range(100):
+        text = (F.col("text") if k == 0 else
+                F.regexp_replace("text", " ", f" {k}x"))
+        reps.append(docs.select(
+            (F.col("doc_id") + k * 10_000_000).alias("doc_id"),
+            text.alias("text"), "lang", "source", "n_chars"))
+    out = reps[0]
+    for r in reps[1:]:
+        out = out.unionByName(r)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(X100_DIR, "documents.parquet"))
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    reps = [emb.select((F.col("vec_id") + k * 10_000_000).alias("vec_id"),
+                       "embedding",
+                       (F.col("label") + k * 1000).alias("label"))
+            for k in range(100)]
+    out = reps[0]
+    for r in reps[1:]:
+        out = out.unionByName(r)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(X100_DIR, "embeddings.parquet"))
+    open(os.path.join(X100_DIR, "_DONE"), "w").close()
+
+
+def main() -> None:
+    from oanda_stream_processor_spark.session import get_spark
+
+    import __spark_entry__ as ent
+
+    spark = get_spark(app_name="scale100_bench")
+    t0 = time.perf_counter()
+    build_x100(spark)
+    build_s = round(time.perf_counter() - t0, 1)
+
+    queries = ent.queries()
+    names = sorted(ONLY) if ONLY else DEFAULT_SET
+    results = {}
+    for name in names:
+        fn = queries[name]
+        row = {}
+        try:
+            times = []
+            for _ in range(RUNS):
+                t1 = time.perf_counter()
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                times.append(time.perf_counter() - t1)
+            row["x1"] = round(min(times), 3)
+            t1 = time.perf_counter()
+            fn(spark, X100_DIR).write.format("noop").mode("overwrite").save()
+            row["x100"] = round(time.perf_counter() - t1, 3)
+        except Exception as exc:   # keep sweeping; a broken query is a row
+            row["error"] = f"{type(exc).__name__}: {exc}"[:200]
+            results[name] = row
+            print(f"# {name}: ERROR {row['error']}", file=sys.stderr,
+                  flush=True)
+            continue
+        row["factor100"] = (round(row["x100"] / row["x1"], 2)
+                            if row["x1"] else None)
+        results[name] = row
+        print(f"# {name}: x1={row['x1']}s x100={row['x100']}s "
+              f"factor100={row['factor100']}", file=sys.stderr, flush=True)
+
+    print(json.dumps({
+        "metric": "corpus_family_scaleup_x100",
+        "runs_x1": RUNS, "runs_x100": 1,
+        "sf_dir": SF_DIR, "build_s": build_s,
+        "queries": results,
+        "note": ("x100 on a fixed 32-thread box; factor100 ~< 100 = "
+                 "at-most-linear work (cluster headroom real), "
+                 ">> 100 = super-linear work"),
+    }))
+
+
+if __name__ == "__main__":
+    main()
