@@ -737,9 +737,8 @@ def q95_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # winner is one window over component — shuffle key = component id,
 # uniform (md5-derived minima).
 # ---------------------------------------------------------------------------
-@query("q97_canonical_by_quality", f"""
-WITH comp AS ({{Q55}}),
-qual AS (
+# SQL tail shared with q168 (textops) — prepend `WITH comp AS ({...}),`
+SQL_KEEP_ONE_TAIL = f"""qual AS (
   SELECT doc_id,
          {_idiv("(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[a-z]', "
                 "'', 'g'))) * 1000000", "LENGTH(text)")} AS alpha_ppm,
@@ -755,10 +754,19 @@ ranked AS (
   JOIN qual q USING (doc_id))
 SELECT component, doc_id AS canonical_id, n_members, alpha_ppm, n_tokens
 FROM ranked WHERE rn = 1
-""")
-def q97_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    comp = q55_dedup_components(spark, sf_dir).select("doc_id", "component")
-    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+"""
+
+
+def keep_one_by_quality(comp: DataFrame, d: DataFrame) -> DataFrame:
+    """The keep-one materialization a dedup pipeline ends with: given
+    (doc_id, component) labels and the documents frame, rank members by
+    an integer quality key (alpha-character density in ppm, then token
+    count, then doc_id — bit-deterministic on any engine) and emit one
+    row per component with its canonical doc and member count. Shared
+    by q97 (LSH band components) and q168 (substring star components).
+
+    Scale: quality is a per-row projection; the winner is one window
+    over component — shuffle key = component id, uniform."""
     alpha = F.length("text") - F.length(F.regexp_replace("text", "[a-z]", ""))
     # integer ppm quality via `div` (not double-divide-then-cast):
     # bit-exact vs the oracle's // at any magnitude
@@ -782,6 +790,15 @@ def q97_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ranked.where(F.col("rn") == 1)
             .select("component", F.col("doc_id").alias("canonical_id"),
                     "n_members", "alpha_ppm", "n_tokens"))
+
+
+@query("q97_canonical_by_quality", f"""
+WITH comp AS ({{Q55}}),
+{SQL_KEEP_ONE_TAIL}""")
+def q97_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = q55_dedup_components(spark, sf_dir).select("doc_id", "component")
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    return keep_one_by_quality(comp, d)
 
 
 ORACLES["q97_canonical_by_quality"] = \

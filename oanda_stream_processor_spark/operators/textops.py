@@ -779,3 +779,149 @@ def q157_winnow_star(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("doc_id").alias("doc_b"))
                .groupBy("doc_a", "doc_b")
                .agg(F.count("*").alias("n_fps")))
+
+
+# ---------------------------------------------------------------------------
+# q167 — connected components over VERIFIED q157 star edges: the
+# consumer that closes the substring-dedup loop (q157 -> q167 -> q168).
+# The raw star graph is the unconditional DETECTION feed — any two docs
+# sharing one winnowed fingerprint land in the same raw component — but
+# a single shared >= GRAM+WINNOW-1-char substring is far too weak a
+# link for keep-one dedup (on this corpus the ungated closure collapses
+# 496/500 docs into one blob via chance 11-char matches). So q167 is
+# the q57 production shape transplanted to substrings: the star edges
+# are the RECALL stage (O(postings) candidates, never a clique), and
+# each candidate pair is then VERIFIED with q150's exact criterion
+# (true shared-fp count >= MIN_SHARED and containment >= MIN_CONTAIN_PPM,
+# computed only for candidate pairs). Components run over the verified
+# edges.
+#
+# Guarantee (documented trade): every candidate pair adjacent in the
+# star graph that passes the exact gate is linked. Pairs passing the
+# gate but NOT star-adjacent (both members link to a hub that is itself
+# not their dup) can be split — measured at sf0.001: 481/500 labels and
+# 61 vs 59 multi-member clusters agree with the full q150-pair closure,
+# at O(postings) candidates instead of Ω(per-fp cliques). q150 remains
+# the exact per-pair audit view.
+#
+# Same output shape and fixpoint semantics as q55 (min reachable doc_id
+# per doc; singletons keep their own id), so the oracle is the same
+# recursive-CTE reachability closure over the identically-verified
+# edge set.
+#
+# Scale: candidates are O(postings) by q157's construction; the verify
+# join touches |candidates| x per-doc fp sets (q57's verify shape, never
+# n^2); propagation iterates ONLY the active subgraph via the q55
+# min-label loop — one shuffle-join + one agg per round, O(component
+# diameter) rounds, and verified-dup components are shallow.
+# ---------------------------------------------------------------------------
+@query("q167_winnow_components", f"""
+WITH RECURSIVE {_SQL_WINNOW_SHARED},
+hubbed AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS hub
+  FROM fps),
+cand AS (
+  SELECT DISTINCT hub AS doc_a, doc_id AS doc_b
+  FROM hubbed WHERE doc_id <> hub),
+ver AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN shared s ON s.doc_a = c.doc_a AND s.doc_b = c.doc_b
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+  WHERE CAST((s.n_shared * 1000000
+              - (s.n_shared * 1000000) % LEAST(sa.n, sb.n))
+             / LEAST(sa.n, sb.n) AS BIGINT) >= {MIN_CONTAIN_PPM}),
+edges(src, dst) AS (
+  SELECT doc_a, doc_b FROM ver UNION ALL SELECT doc_b, doc_a FROM ver),
+reach(doc, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.doc = e.src)
+SELECT doc AS doc_id, MIN(r) AS component,
+       (doc = MIN(r)) AS is_canonical
+FROM reach GROUP BY doc
+""")
+def q167_winnow_components(spark: SparkSession, sf_dir: str,
+                           *, max_rounds: int = 20) -> DataFrame:
+    """Min-label propagation over the verified q157 star-edge graph
+    (see block comment); reuses dedup.propagate_min_labels.
+
+    NOTE on the oracle: its ``ver`` CTE joins the candidate edges
+    against the full ``shared`` pair counts, which DuckDB computes via
+    the pair clique — fine for an oracle, but the Spark side computes
+    the exact counts ONLY for candidate pairs (the q57 verify shape),
+    which is the scalable plan."""
+    from .dedup import propagate_min_labels
+    fps = _winnow_postings(spark, sf_dir)
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # recall stage: distinct (hub, doc) star candidates, O(postings)
+    cand = (fps.withColumn("hub", F.min("doc_id").over(W.partitionBy("fp")))
+               .where(F.col("doc_id") != F.col("hub"))
+               .select(F.col("hub").alias("doc_a"),
+                       F.col("doc_id").alias("doc_b"))
+               .distinct())
+    # verify stage: exact shared-fp count for candidate pairs only —
+    # the join expands each candidate by doc_a's fp set, then matches
+    # doc_b's postings on (doc_b, fp); cost |cand| x fps/doc, never n^2
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    ns = (cand.join(a, "doc_a").join(b, ["doc_b", "fp"])
+              .groupBy("doc_a", "doc_b")
+              .agg(F.count("*").alias("n_shared"))
+              .where(F.col("n_shared") >= MIN_SHARED))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    num = F.col("n_shared").cast("decimal(38,0)") * 1_000_000
+    den = F.least(F.col("na"), F.col("nb"))
+    pairs = (ns.join(sa, "doc_a").join(sb, "doc_b")
+               .where(exact_tdiv(num, den) >= MIN_CONTAIN_PPM)
+               .select("doc_a", "doc_b")
+               .localCheckpoint(eager=True))  # both union sides below
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .unionByName(pairs.select(F.col("doc_b").alias("src"),
+                                       F.col("doc_a").alias("dst"))))
+    # iterate only the active subgraph; singletons never enter the loop
+    active = edges.select(F.col("src").alias("doc_id")).distinct()
+    seed = active.select("doc_id", F.col("doc_id").alias("component"))
+    labels = propagate_min_labels(seed, edges, max_rounds=max_rounds)
+    full = (docs.join(labels, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("component", F.col("doc_id"))
+                     .alias("component")))
+    return full.select(
+        "doc_id", "component",
+        (F.col("doc_id") == F.col("component")).alias("is_canonical"))
+
+
+# ---------------------------------------------------------------------------
+# q168 — keep-one canonical view over the substring clusters: q97's
+# quality-ranked winner materialization applied to q167's components.
+# Together q157 -> q167 -> q168 is the full substring-dedup pipeline:
+# O(postings) edge feed -> cluster labels -> one surviving doc per
+# cluster, each stage oracle-gated.
+# ---------------------------------------------------------------------------
+@query("q168_winnow_canonical", """
+WITH comp AS ({Q167}),
+{KEEP_ONE}""")
+def q168_winnow_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highest-quality member per substring-dup component (shared
+    dedup.keep_one_by_quality ranking: alpha_ppm desc, n_tokens desc,
+    doc_id)."""
+    from .dedup import keep_one_by_quality
+    comp = q167_winnow_components(spark, sf_dir).select("doc_id", "component")
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    return keep_one_by_quality(comp, d)
+
+
+def _fill_q168_oracle() -> None:
+    from .dedup import SQL_KEEP_ONE_TAIL
+    ORACLES["q168_winnow_canonical"] = (
+        ORACLES["q168_winnow_canonical"]
+        .replace("{Q167}", ORACLES["q167_winnow_components"])
+        .replace("{KEEP_ONE}", SQL_KEEP_ONE_TAIL))
+
+
+_fill_q168_oracle()
