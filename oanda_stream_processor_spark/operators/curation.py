@@ -140,19 +140,14 @@ FROM (SELECT doc_id, {_SQL_TOKH} AS th FROM ({SQL_TOKS})
       WHERE LEN(toks) >= {CONTAM_GRAM})
 """
 
-@query("q80_contamination", f"""
-WITH grams AS ({_SQL_GRAMS}),
-bench AS (SELECT DISTINCT doc_id AS bench_id, gh FROM grams
-          WHERE doc_id % {BENCH_MOD} = 0),
-corpus AS (SELECT doc_id, gh FROM grams WHERE doc_id % {BENCH_MOD} <> 0)
-SELECT c.doc_id,
-       COUNT(DISTINCT c.gh) AS n_overlap_grams,
-       COUNT(DISTINCT b.bench_id) AS n_bench_docs
-FROM corpus c JOIN bench b USING (gh)
-GROUP BY c.doc_id
-""")
-def q80_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+def gram_array(d: DataFrame) -> DataFrame:
+    """(doc_id, ghs) — the DISTINCT CONTAM_GRAM-token gram hashes of
+    each document as an array column (polynomial char fold per token,
+    SB-base fold across the gram; pure int64 arithmetic, array HOFs
+    only — a per-row projection with no shuffle). Shared by q80 / q165
+    and the streaming contamination gate, where the array form lets
+    the bottom-k sketch be computed per row (array_sort + slice)
+    instead of via a window."""
     toks = F.filter(F.split("text", " "), lambda x: x != "")
     t = (d.select("doc_id", toks.alias("toks"))
          .where(F.size("toks") >= CONTAM_GRAM))
@@ -167,7 +162,27 @@ def q80_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"* {SB} + element_at(th, i + 2)) % {HM} "
         f"* {SB} + element_at(th, i + 3)) % {HM} "
         f"* {SB} + element_at(th, i + 4)) % {HM}))")
-    grams = th.select("doc_id", F.explode(gram).alias("gh"))
+    return th.select("doc_id", gram.alias("ghs"))
+
+
+def gram_hashes(d: DataFrame) -> DataFrame:
+    """Exploded (doc_id, gh) view of gram_array."""
+    return gram_array(d).select("doc_id", F.explode("ghs").alias("gh"))
+
+
+@query("q80_contamination", f"""
+WITH grams AS ({_SQL_GRAMS}),
+bench AS (SELECT DISTINCT doc_id AS bench_id, gh FROM grams
+          WHERE doc_id % {BENCH_MOD} = 0),
+corpus AS (SELECT doc_id, gh FROM grams WHERE doc_id % {BENCH_MOD} <> 0)
+SELECT c.doc_id,
+       COUNT(DISTINCT c.gh) AS n_overlap_grams,
+       COUNT(DISTINCT b.bench_id) AS n_bench_docs
+FROM corpus c JOIN bench b USING (gh)
+GROUP BY c.doc_id
+""")
+def q80_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grams = gram_hashes(load_table(spark, sf_dir, "documents"))
     bench = (grams.where(F.col("doc_id") % BENCH_MOD == 0)
              .select(F.col("doc_id").alias("bench_id"), "gh").distinct())
     corpus = grams.where(F.col("doc_id") % BENCH_MOD != 0)
@@ -787,33 +802,36 @@ SELECT doc_id, k_used, n_hit,
 FROM acc
 """)
 def q165_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
     d = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", " "), lambda x: x != "")
-    t = (d.select("doc_id", toks.alias("toks"))
-         .where(F.size("toks") >= CONTAM_GRAM))
-    tok_h = F.expr(
-        f"transform(toks, t -> aggregate(transform(split(t, ''), "
-        f"c -> cast(ascii(c) as bigint)), 0L, "
-        f"(acc, x) -> (acc * {HB} + x) % {HM}))")
-    th = t.select("doc_id", tok_h.alias("th"))
-    gram = F.expr(
-        f"array_distinct(transform(sequence(1, size(th) - {CONTAM_GRAM - 1}), "
-        f"i -> ((((element_at(th, i) * {SB} + element_at(th, i + 1)) % {HM} "
-        f"* {SB} + element_at(th, i + 2)) % {HM} "
-        f"* {SB} + element_at(th, i + 3)) % {HM} "
-        f"* {SB} + element_at(th, i + 4)) % {HM}))")
-    grams = th.select("doc_id", F.explode(gram).alias("gh"))
     # real benchmarks are MBs vs a TB corpus: broadcast after
     # distinct-reduction is the right call at any corpus size (the
     # fixture's 1/97 stand-in inflates it, same contract as q80)
-    bench = (grams.where(F.col("doc_id") % BENCH_MOD == 0)
-             .select("gh").distinct().withColumn("hit", F.lit(1)))
-    w = W.partitionBy("doc_id").orderBy("gh")
-    bk = (grams.where(F.col("doc_id") % BENCH_MOD != 0)
-          .withColumn("rn", F.row_number().over(w))
-          .where(F.col("rn") <= CONTAIN_K)
-          .select("doc_id", "gh"))
+    bench = benchmark_gram_set(d)
+    corpus = gram_array(d).where(F.col("doc_id") % BENCH_MOD != 0)
+    return contamination_scores(corpus, bench)
+
+
+def benchmark_gram_set(d: DataFrame) -> DataFrame:
+    """Distinct gram hashes of the benchmark subset, flagged for the
+    left-join probe — the STATIC side the gate broadcasts."""
+    return (gram_hashes(d.where(F.col("doc_id") % BENCH_MOD == 0))
+            .select("gh").distinct().withColumn("hit", F.lit(1)))
+
+
+def contamination_scores(corpus: DataFrame, bench: DataFrame) -> DataFrame:
+    """Bottom-k containment scores for a (doc_id, ghs) corpus frame
+    against a benchmark gram set. The sketch is computed PER ROW
+    (array_sort + slice — the distinct gram array is already in hand,
+    so no window/shuffle; bit-identical to the q165 oracle's
+    row_number-over-gh spelling); only the <= CONTAIN_K sketch rows
+    are exploded for the broadcast probe, then one map-side-combinable
+    groupBy(doc_id) folds the verdict. Shared by batch q165 and the
+    streaming contamination gate (same per-doc math on either side —
+    verdicts cannot depend on trigger boundaries)."""
+    bk = (corpus.select(
+            "doc_id",
+            F.explode(F.slice(F.array_sort("ghs"), 1, CONTAIN_K))
+             .alias("gh")))
     acc = (bk.join(F.broadcast(bench), "gh", "left")
            .groupBy("doc_id")
            .agg(F.count("*").alias("k_used"),

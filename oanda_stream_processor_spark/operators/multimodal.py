@@ -136,6 +136,67 @@ def q54_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q54b — the SAME Python/Arrow decode path, but emitting an INTEGER
+# digest table the oracle can reproduce: the decode digests the
+# lowercase-hex string of the media bytes (hex(media) == MD5(text), so
+# DuckDB computes the identical digest as MD5(MD5(text)) — VARCHAR-only
+# md5 is version-proof; BLOB md5 is not). This converts the mapInPandas
+# decode plumbing from a rows-only check to a full hash-gated one: any
+# batching bug, schema drift, or byte-order mistake in the Arrow path
+# now fails the value gate, not just the row count.
+# ---------------------------------------------------------------------------
+DIGEST_SCHEMA = ("doc_id bigint, width int, height int, "
+                 "chan_r int, chan_g int, chan_b int, decode_ok boolean")
+
+
+def digest_media(m: DataFrame) -> DataFrame:
+    """mapInPandas media digest: Arrow-batched, partition-preserving,
+    per-row failure capture (decode_ok=False) like decode_media."""
+
+    def digest_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"], "width": pdf["width"],
+                   "height": pdf["height"]}
+            chans, ok = [], []
+            for media in pdf["media"]:
+                try:
+                    if not media:
+                        raise ValueError("empty media payload")
+                    dig = hashlib.md5(bytes(media).hex().encode()).digest()
+                    chans.append((dig[0], dig[1], dig[2]))
+                    ok.append(True)
+                except (ValueError, TypeError):
+                    chans.append((None, None, None))
+                    ok.append(False)
+            out["chan_r"] = pd.array([c[0] for c in chans], dtype="Int32")
+            out["chan_g"] = pd.array([c[1] for c in chans], dtype="Int32")
+            out["chan_b"] = pd.array([c[2] for c in chans], dtype="Int32")
+            out["decode_ok"] = ok
+            yield pd.DataFrame(out)
+
+    flat = m.select("doc_id", "media", "meta.width", "meta.height")
+    return flat.mapInPandas(digest_batches, schema=DIGEST_SCHEMA)
+
+
+@query("q54b_media_digest", """
+WITH m AS (
+  SELECT doc_id, MD5(MD5(text)) AS dig,
+         CAST(n_chars % 640 + 1 AS INTEGER) AS width,
+         CAST(doc_id % 480 + 1 AS INTEGER) AS height
+  FROM documents)
+SELECT doc_id, width, height,
+       CAST('0x' || SUBSTR(dig, 1, 2) AS INTEGER) AS chan_r,
+       CAST('0x' || SUBSTR(dig, 3, 2) AS INTEGER) AS chan_g,
+       CAST('0x' || SUBSTR(dig, 5, 2) AS INTEGER) AS chan_b,
+       TRUE AS decode_ok
+FROM m
+""")
+def q54b_media_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _with_fake_media(load_table(spark, sf_dir, "documents"))
+    return digest_media(m)
+
+
+# ---------------------------------------------------------------------------
 # Resize planning: aspect-preserving fit to MAX_SIDE, pure integer math
 # (exact on both engines). The pixel resample itself is the q54-style
 # Arrow/mapInPandas path; planning the geometry is where Spark does the
