@@ -37,6 +37,24 @@ def _sf_from_dir(d: str) -> float:
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
 
+def _floor_calibration(spark) -> float:
+    """Measured per-query floor: the trivial single-job plan
+    (range->sum->noop) from BASELINE.md's floor experiment, min-of-5
+    warm in-process. Emitted into every BENCH sidecar under the key
+    ``_floor_calibration`` so cross-day/host runs can be normalized —
+    driver BENCH_r08's uniform +21% tail over identical plans showed
+    host drift is large enough to swamp round-over-round comparisons
+    without an in-run yardstick. Excluded from the aggregate total."""
+    best = None
+    for _ in range(5):
+        t0 = time.perf_counter()
+        (spark.range(0, 1_000_000).selectExpr("sum(id) AS s")
+         .write.format("noop").mode("overwrite").save())
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
 def run_spark(names: list[str] | None) -> dict[str, float]:
     import __spark_entry__ as ent
     from oanda_stream_processor_spark.session import get_spark
@@ -48,6 +66,7 @@ def run_spark(names: list[str] | None) -> dict[str, float]:
     # warm the JVM/codegen once with the cheapest full pipeline
     next(iter(qs.values()))(spark, SF_DIR).write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
+    timings["_floor_calibration"] = _floor_calibration(spark)
     for name, fn in sorted(qs.items()):
         # min-of-N: the host VM exhibits sporadic multi-10s freezes
         # (all JVM threads parked, wall clock stretches); min is the
@@ -97,12 +116,14 @@ def main() -> None:
     names = args.queries.split(",") if args.queries else None
 
     timings = run_spark(names)
+    floor = timings.pop("_floor_calibration", None)
     out = {
         "metric": "total_query_wall_clock",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
+        "floor_calibration_sec": floor,
     }
     if args.duckdb:
         out["duckdb_baseline"] = run_duckdb(names)
