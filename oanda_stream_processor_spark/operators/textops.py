@@ -358,10 +358,17 @@ def q125_word_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Scale: per-doc shingle sets are built in-array (no duplicate-position
 # blowup), exploded once -> groupBy shingle (map-side-combinable count,
-# one shuffle on the shingle key), then the SAME exchange feeds the
-# annotate join back to (doc, shingle) and a final doc_id agg. No
-# all-pairs anything; the df frame is the only corpus-wide state and it
-# is bounded by the distinct-shingle count, never collected.
+# one shuffle on the shingle key). The boilerplate SET is then bounded
+# corpus-independently: sum(dfc) = n_docs * avg_shingles_per_doc and
+# every boiler shingle has dfc >= n_docs/100, so |boiler| <= 100 *
+# avg_shingles_per_doc regardless of corpus size. That bound lets the
+# survivors fold into ONE row (collect_list after the filter — the q74/
+# q164 one-row-agg pattern, no driver collect) that crossJoins back so
+# n_boiler is per-doc array_intersect math. Total: one postings shuffle
+# + a 1-row broadcast — no postings-cardinality join fan-out and no
+# second shuffle on doc_id (r9; the previous join-back-and-regroup
+# spelling was 1.45 s / 4.61 s x1/x10 — the 3.2x was the re-shuffled
+# annotate join, not the frequency table).
 # ---------------------------------------------------------------------------
 BOILER_SH = 3              # shingle width (words)
 BOILER_DF_PCT = 1          # boilerplate if df >= this % of all docs
@@ -393,17 +400,20 @@ def q126_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     ws = F.expr("filter(split(text, ' '), x -> x != '')")
     w = d.select("doc_id", ws.alias("ws")).where(F.size("ws") >= BOILER_SH)
-    sh = w.select("doc_id", F.explode(F.expr(
+    shs = w.select("doc_id", F.expr(
         f"array_distinct(transform(sequence(1, size(ws) - {BOILER_SH - 1}), "
-        f"i -> concat_ws(' ', slice(ws, i, {BOILER_SH}))))")).alias("s"))
+        f"i -> concat_ws(' ', slice(ws, i, {BOILER_SH}))))").alias("shs"))
     n_docs = d.agg(F.count("*").alias("n_docs"))
-    dfreq = sh.groupBy("s").agg(F.count("*").alias("dfc"))
-    annotated = (sh.join(dfreq, "s")
-                   .join(F.broadcast(n_docs)))
-    is_boiler = F.col("dfc") * (100 // BOILER_DF_PCT) >= F.col("n_docs")
-    return (annotated.groupBy("doc_id")
-            .agg(F.count("*").alias("n_shingles"),
-                 F.count(F.when(is_boiler, 1)).alias("n_boiler"))
+    dfreq = (shs.select(F.explode("shs").alias("s"))
+             .groupBy("s").agg(F.count("*").alias("dfc")))
+    boiler = (dfreq.join(F.broadcast(n_docs))
+              .where(F.col("dfc") * (100 // BOILER_DF_PCT)
+                     >= F.col("n_docs"))
+              .agg(F.collect_list("s").alias("boiler_set")))
+    return (shs.join(F.broadcast(boiler))
+            .select("doc_id", F.size("shs").alias("n_shingles"),
+                    F.size(F.array_intersect("shs", "boiler_set"))
+                     .alias("n_boiler"))
             .select("doc_id", "n_shingles", "n_boiler",
                     F.round(F.col("n_boiler").cast("double")
                             / F.col("n_shingles"), 6).alias("boiler_ratio")))
