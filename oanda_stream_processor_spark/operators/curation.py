@@ -140,29 +140,32 @@ FROM (SELECT doc_id, {_SQL_TOKH} AS th FROM ({SQL_TOKS})
       WHERE LEN(toks) >= {CONTAM_GRAM})
 """
 
-def gram_array(d: DataFrame) -> DataFrame:
+def gram_array(d: DataFrame, *keep: str) -> DataFrame:
     """(doc_id, ghs) — the DISTINCT CONTAM_GRAM-token gram hashes of
     each document as an array column (polynomial char fold per token,
     SB-base fold across the gram; pure int64 arithmetic, array HOFs
     only — a per-row projection with no shuffle). Shared by q80 / q165
     and the streaming contamination gate, where the array form lets
     the bottom-k sketch be computed per row (array_sort + slice)
-    instead of via a window."""
+    instead of via a window. Extra ``keep`` columns ride along
+    (default doc_id only) — q169's HLL needs (source, ghs) without a
+    join back to the corpus."""
+    cols = list(keep) or ["doc_id"]
     toks = F.filter(F.split("text", " "), lambda x: x != "")
-    t = (d.select("doc_id", toks.alias("toks"))
+    t = (d.select(*cols, toks.alias("toks"))
          .where(F.size("toks") >= CONTAM_GRAM))
     tok_h = F.expr(
         f"transform(toks, t -> aggregate(transform(split(t, ''), "
         f"c -> cast(ascii(c) as bigint)), 0L, "
         f"(acc, x) -> (acc * {HB} + x) % {HM}))")
-    th = t.select("doc_id", tok_h.alias("th"))
+    th = t.select(*cols, tok_h.alias("th"))
     gram = F.expr(
         f"array_distinct(transform(sequence(1, size(th) - {CONTAM_GRAM - 1}), "
         f"i -> ((((element_at(th, i) * {SB} + element_at(th, i + 1)) % {HM} "
         f"* {SB} + element_at(th, i + 2)) % {HM} "
         f"* {SB} + element_at(th, i + 3)) % {HM} "
         f"* {SB} + element_at(th, i + 4)) % {HM}))")
-    return th.select("doc_id", gram.alias("ghs"))
+    return th.select(*cols, gram.alias("ghs"))
 
 
 def gram_hashes(d: DataFrame) -> DataFrame:

@@ -935,3 +935,231 @@ def _fill_q168_oracle() -> None:
 
 
 _fill_q168_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q169 — HyperLogLog distinct-gram cardinality per source, from
+# scratch and hash-gated: the cardinality member of the sketch family
+# (CMS q132 counts frequencies, Bloom bands membership, bottom-k q165
+# containment — HLL counts DISTINCTs in fixed memory). Spark's native
+# approx_count_distinct (q38) stays rows-only because its sketch
+# internals are engine-private; this operator derives the registers
+# from the parity-proven polynomial folds so BOTH engines compute
+# bit-identical register tables, estimates, and error — the full value
+# gate, not a tolerance check. The counted stream is the CONTAM_GRAM
+# token-gram hashes (curation.gram_array — distinct 5-gram contexts
+# per source, the vocabulary-diversity read a mixture designer wants;
+# thousands per source at bench SFs, so the sketch operates in its
+# real regime rather than at toy cardinalities).
+#
+# Construction (Flajolet et al., HLL): gram hash gh -> one affine
+# transform picks the bucket (gh*a1+b1 mod HM mod 512), a second
+# supplies the rho bits (w = gh*a2+b2 mod HM < 2^30;
+# rho = 31 - LENGTH(BIN(w)) = leading zeros of w in 30-bit width + 1;
+# w = 0 folds into rho 30 on both engines — harmless at 1e-9
+# probability). Registers are MAX(rho) per (source, bucket): the one
+# aggregation in the op, map-side combinable, output bounded by
+# |sources| x 512 REGARDLESS of corpus size. Merge across partitions,
+# batches, or sources is elementwise MAX — idempotent, associative,
+# commutative — which the '__all__' row proves in-query by merging the
+# per-source register sets into the global estimate.
+#
+# Exactness discipline — no floats anywhere:
+# * the harmonic denominator is S = sum(2^(31-rho)) + n_zero * 2^31
+#   (exact bigint, <= 512 * 2^31 < 2^40); the raw estimate
+#   alpha_512 * 512^2 * 2^31 / S is one exact_tdiv of the precomputed
+#   21-digit integer numerator (DECIMAL(38,0) on Spark, HUGEINT on
+#   DuckDB; quotient < 2^51 so the DuckDB rounding cast is exact per
+#   the _idiv contract);
+# * the small-range linear-counting correction (raw <= 2.5m and
+#   empty registers exist -> m*ln(m/V)) would put ln() inside the
+#   value gate — instead V has only 512 possible values, so the
+#   corrected estimates are a 512-entry INTEGER TABLE precomputed once
+#   in this module and embedded as the same array literal in both
+#   engines' plans. element_at/[] by V — zero libm calls at query
+#   time, bit-identical by construction.
+# * err_ppm against the exact distinct (the q142 est-vs-exact QA
+#   pattern) reads the accuracy directly.
+#
+# The 30-bit hash bounds the countable range at ~2^30 distincts per
+# source; past that, widen to two independent 30-bit folds (the same
+# widening CMS would need). Registers themselves stay 512 x 6 bits.
+#
+# Scale: one scan; probes are per-row integer projections; the
+# register aggregation is the only sketch-side shuffle and its output
+# cardinality is fixed; everything after runs on <= |sources|+1 rows.
+# This is the 100 TB "distinct grams/urls per source" answer that
+# exact COUNT(DISTINCT) — a corpus-wide shuffle of every distinct
+# value — cannot be. (The exact side HERE is the QA yardstick the
+# bench SFs can afford, kept so the gate hash-checks the estimate
+# against truth.)
+# ---------------------------------------------------------------------------
+import math as _math
+
+HLL_M = 512                 # registers per source (2^9)
+_HLL_A1, _HLL_B1 = 479_001_599, 199          # bucket affine (primes)
+_HLL_A2, _HLL_B2 = 87_178_291, 32_452_843    # rho-bits affine
+# round(0.7213/(1 + 1.079/512) * 1e6) * 512^2 * 2^31 — exact integer
+_HLL_NUMER = "405201806323452215296"         # alpha_ppm * m^2 * 2^31
+_HLL_DEN_PPM = 1_000_000
+# linear-counting table: lc[V] = round(m * ln(m / V)), V = 1..512 —
+# the only place ln() appears, evaluated ONCE here and shipped to both
+# engines as the same integer literal array
+_HLL_LC = [round(HLL_M * _math.log(HLL_M / v)) for v in range(1, HLL_M + 1)]
+_HLL_LC_SPARK = "array(" + ", ".join(f"{v}L" for v in _HLL_LC) + ")"
+_HLL_LC_SQL = "[" + ", ".join(str(v) for v in _HLL_LC) + "]"
+
+
+def hll_probes(docs: DataFrame) -> DataFrame:
+    """(source, bucket, rho) for every distinct-in-doc gram — per-row
+    integer projections over curation.gram_array (no shuffle). Shared
+    by batch q169 and the streaming register gate."""
+    from .curation import gram_array
+    g = gram_array(docs, "source").select(
+        "source", F.explode("ghs").alias("gh"))
+    w = (F.col("gh") * _HLL_A2 + _HLL_B2) % HASH_MOD
+    return g.select(
+        "source",
+        (((F.col("gh") * _HLL_A1 + _HLL_B1) % HASH_MOD) % HLL_M)
+        .alias("bucket"),
+        (F.lit(31) - F.length(F.bin(w))).alias("rho"))
+
+
+def hll_registers(probes: DataFrame) -> DataFrame:
+    """MAX(rho) per (source, bucket) — the bounded sketch state."""
+    return probes.groupBy("source", "bucket").agg(F.max("rho").alias("rho"))
+
+
+def merge_hll_registers(regs: DataFrame) -> DataFrame:
+    """Merge register partials (any partitioning of the input stream):
+    elementwise MAX — the HLL merge semiring."""
+    return regs.groupBy("source", "bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimates(regs: DataFrame) -> DataFrame:
+    """(source, m, n_present, n_zero, reg_sum, raw_est, hll_est,
+    method) from a merged register table. Integer-only: reg_sum is the
+    2^31-scaled harmonic denominator, the raw estimate one exact
+    decimal division, the small-range correction a table lookup."""
+    per = regs.groupBy("source").agg(
+        F.count("*").alias("n_present"),
+        F.sum(F.expr("shiftleft(1L, cast(31 - rho as int))"))
+         .alias("s_present"))
+    n_zero = F.lit(HLL_M) - F.col("n_present")
+    reg_sum = (F.col("s_present")
+               + n_zero.cast("long") * F.lit(1 << 31)).alias("reg_sum")
+    out = per.select("source", F.lit(HLL_M).alias("m"),
+                     "n_present", n_zero.alias("n_zero"), reg_sum)
+    raw = exact_tdiv(F.lit(_HLL_NUMER).cast("decimal(38,0)"),
+                     F.col("reg_sum") * _HLL_DEN_PPM)
+    out = out.withColumn("raw_est", raw)
+    lc_applies = ((F.col("n_zero") > 0)
+                  & (F.col("raw_est") * 2 <= 5 * HLL_M))
+    lc_val = F.expr(f"element_at({_HLL_LC_SPARK}, cast(n_zero as int))")
+    return out.select(
+        "*",
+        F.when(lc_applies, lc_val).otherwise(F.col("raw_est"))
+         .alias("hll_est"),
+        F.when(lc_applies, F.lit("linear_counting")).otherwise(F.lit("raw"))
+         .alias("method"))
+
+
+_SQL_HLL_IDIV = "CAST(({n} - ({n}) % ({d})) / ({d}) AS BIGINT)"
+
+
+def _sql_hll_grams() -> str:
+    """DuckDB twin of hll_probes' gram stream, carrying source."""
+    from .curation import CONTAM_GRAM, _SQL_TOKH
+    from .dedup import SB
+    return f"""
+SELECT source, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+         RANGE(LEN(th) - {CONTAM_GRAM - 1}),
+         i -> ((((th[i+1] * {SB} + th[i+2]) % {HASH_MOD} * {SB} + th[i+3])
+                % {HASH_MOD} * {SB} + th[i+4]) % {HASH_MOD} * {SB} + th[i+5])
+              % {HASH_MOD}))) AS gh
+FROM (SELECT source, {_SQL_TOKH} AS th
+      FROM (SELECT source,
+                   LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS toks
+            FROM documents)
+      WHERE LEN(toks) >= {CONTAM_GRAM})
+"""
+
+
+@query("q169_hll_distinct")
+def q169_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    regs = hll_registers(hll_probes(d))
+    gregs = merge_hll_registers(regs.withColumn("source", F.lit("__all__")))
+    est = hll_estimates(regs.unionByName(gregs))
+    # exact baseline over the SAME gh stream the sketch sees (q142
+    # est-vs-exact QA discipline); the exact distinct is the expensive
+    # path the sketch replaces — here it is the yardstick, not the
+    # product
+    from .curation import gram_array
+    ghs = (gram_array(d, "source")
+           .select("source", F.explode("ghs").alias("gh")))
+    ex = (ghs.groupBy("source")
+          .agg(F.countDistinct("gh").alias("exact_distinct"))
+          .unionByName(ghs.agg(F.countDistinct("gh").alias("exact_distinct"))
+                       .select(F.lit("__all__").alias("source"),
+                               "exact_distinct")))
+    err = exact_tdiv(F.abs(F.col("hll_est") - F.col("exact_distinct"))
+                     * 1_000_000, F.col("exact_distinct"))
+    return (est.join(ex, "source")
+            .select("source", "m", "n_present", "n_zero", "reg_sum",
+                    "raw_est", "hll_est", "method", "exact_distinct",
+                    err.alias("err_ppm")))
+
+
+def _fill_q169_oracle() -> None:
+    ORACLES["q169_hll_distinct"] = f"""
+WITH grams AS ({_sql_hll_grams()}),
+pr AS (
+  SELECT source,
+         ((gh * {_HLL_A1} + {_HLL_B1}) % {HASH_MOD}) % {HLL_M} AS bucket,
+         31 - LENGTH(BIN((gh * {_HLL_A2} + {_HLL_B2}) % {HASH_MOD})) AS rho
+  FROM grams),
+regs AS (SELECT source, bucket, MAX(rho) AS rho FROM pr
+         GROUP BY source, bucket),
+allregs AS (
+  SELECT * FROM regs
+  UNION ALL
+  SELECT '__all__' AS source, bucket, MAX(rho) AS rho FROM regs
+  GROUP BY bucket),
+per AS (
+  SELECT source, COUNT(*) AS n_present,
+         SUM(1::BIGINT << CAST(31 - rho AS INTEGER)) AS s_present
+  FROM allregs GROUP BY source),
+hll AS (
+  SELECT source, {HLL_M} AS m, CAST(n_present AS BIGINT) AS n_present,
+         CAST({HLL_M} - n_present AS BIGINT) AS n_zero,
+         CAST(s_present + ({HLL_M} - n_present) * (1::BIGINT << 31)
+              AS BIGINT) AS reg_sum
+  FROM per),
+est AS (
+  SELECT source, m, n_present, n_zero, reg_sum,
+         {_SQL_HLL_IDIV.format(n=_HLL_NUMER,
+                               d=f"reg_sum * {_HLL_DEN_PPM}")} AS raw_est
+  FROM hll),
+corr AS (
+  SELECT source, m, n_present, n_zero, reg_sum, raw_est,
+         CASE WHEN n_zero > 0 AND raw_est * 2 <= 5 * {HLL_M}
+              THEN CAST(({_HLL_LC_SQL})[CAST(n_zero AS INTEGER)] AS BIGINT)
+              ELSE raw_est END AS hll_est,
+         CASE WHEN n_zero > 0 AND raw_est * 2 <= 5 * {HLL_M}
+              THEN 'linear_counting' ELSE 'raw' END AS method
+  FROM est),
+ex AS (
+  SELECT source, COUNT(DISTINCT gh) AS exact_distinct FROM grams
+  GROUP BY source
+  UNION ALL
+  SELECT '__all__', COUNT(DISTINCT gh) FROM grams)
+SELECT c.source, m, n_present, n_zero, reg_sum, raw_est, hll_est, method,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       {_SQL_HLL_IDIV.format(n="ABS(hll_est - exact_distinct) * 1000000",
+                             d="exact_distinct")} AS err_ppm
+FROM corr c JOIN ex USING (source)
+"""
+
+
+_fill_q169_oracle()
