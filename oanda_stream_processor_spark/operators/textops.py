@@ -1163,3 +1163,146 @@ FROM corr c JOIN ex USING (source)
 
 
 _fill_q169_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q170 — KMV source-overlap matrix: estimated distinct-gram Jaccard
+# between every pair of sources from bottom-k (KMV / k-minimum-values)
+# sketches, with the exact overlap as the QA yardstick. The corpus-
+# design read before mixing sources (q164's weights, q122's drift KL):
+# "how much of source A's vocabulary is also B's" — pairwise across
+# all sources, from sketches whose size is FIXED (k hashes per source)
+# no matter how large the corpus grows. Same sketch family as q165's
+# bottom-k containment, upgraded from doc-vs-benchmark to
+# source-vs-source with the standard KMV Jaccard estimator:
+# est_J = |A ∩ B ∩ M_k| / k_used, where M_k is the k smallest of
+# A ∪ B and k_used = min(k, |A ∪ B|) (Beyer et al., "On synopses for
+# distinct-value estimation under multiset operations").
+#
+# Determinism: the hash IS the sampling order (bottom-k of the
+# parity-proven gram fold), so sketches, merged sketches, estimator
+# counts, and ppm divisions are all integers — bit-identical across
+# engines, no rounding discipline needed.
+#
+# Scale: the sketch build is the ONLY corpus-sized stage, and the
+# naive spelling (one window per source) would put an entire source's
+# postings in one task — a skew bomb at 100 TB. Spelled instead as
+# two-level bottom-k: rank within (source, gh % KMV_SALTS) salted
+# sub-partitions, keep <= k per sub-partition, then rank the
+# KMV_SALTS * k survivors per source. Exact-equivalent (the global
+# k-minimum set is contained in the union of per-salt k-minimum
+# sets) and every window partition is bounded. After that: |sources|
+# rows of k-arrays, |sources|^2/2 pairs of pure array math — driver-
+# free, broadcast-free. The EXACT side (a postings self-join on gh
+# with per-gh fan-out bounded by |sources|^2) is affordable because
+# sources are bounded; it is the yardstick, the sketch is the product.
+# ---------------------------------------------------------------------------
+KMV_K = 256          # sketch size (hashes kept per source)
+KMV_SALTS = 32       # first-level sub-partitions per source
+
+
+def kmv_sketches(docs: DataFrame) -> DataFrame:
+    """(source, sk[], d_exact) — bottom-KMV_K distinct-gram sketch and
+    exact distinct count per source, via the two-level bottom-k."""
+    from .curation import gram_array
+    ds = (gram_array(docs, "source")
+          .select("source", F.explode("ghs").alias("gh"))
+          .distinct())
+    w1 = W.partitionBy("source", F.col("gh") % KMV_SALTS).orderBy("gh")
+    w2 = W.partitionBy("source").orderBy("gh")
+    lvl1 = (ds.withColumn("rn", F.row_number().over(w1))
+            .where(F.col("rn") <= KMV_K).drop("rn"))
+    sk = (lvl1.withColumn("rn", F.row_number().over(w2))
+          .where(F.col("rn") <= KMV_K)
+          .groupBy("source")
+          .agg(F.array_sort(F.collect_list("gh")).alias("sk")))
+    sizes = ds.groupBy("source").agg(F.count("*").alias("d_exact"))
+    return sk.join(sizes, "source")
+
+
+@query("q170_source_overlap_kmv", f"""
+WITH grams AS ({{GRAMS}}),
+ds AS (SELECT DISTINCT source, gh FROM grams),
+rk AS (
+  SELECT source, gh,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY gh) AS rn
+  FROM ds),
+sk AS (
+  SELECT source, LIST_SORT(LIST(gh)) AS sk
+  FROM rk WHERE rn <= {KMV_K} GROUP BY source),
+sizes AS (SELECT source, COUNT(*) AS d_exact FROM ds GROUP BY source),
+sketches AS (SELECT s.source, sk, d_exact FROM sk s
+             JOIN sizes USING (source)),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         a.sk AS ska, b.sk AS skb, a.d_exact AS da, b.d_exact AS db,
+         (LIST_SORT(LIST_DISTINCT(a.sk || b.sk)))[1:{KMV_K}] AS mk
+  FROM sketches a JOIN sketches b ON a.source < b.source),
+est AS (
+  SELECT source_a, source_b, da, db,
+         CAST(LEN(mk) AS BIGINT) AS k_used,
+         CAST(LEN(LIST_FILTER(mk, x -> LIST_CONTAINS(ska, x)
+                                   AND LIST_CONTAINS(skb, x)))
+              AS BIGINT) AS k_shared
+  FROM pairs),
+ex AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         COUNT(*) AS exact_inter
+  FROM ds a JOIN ds b ON a.gh = b.gh AND a.source < b.source
+  GROUP BY a.source, b.source)
+SELECT e.source_a, e.source_b, k_used, k_shared,
+       CAST((k_shared * 1000000 - k_shared * 1000000 % k_used) / k_used
+            AS BIGINT) AS est_j_ppm,
+       CAST(COALESCE(exact_inter, 0) AS BIGINT) AS exact_inter,
+       CAST(da + db - COALESCE(exact_inter, 0) AS BIGINT) AS exact_union,
+       CAST((COALESCE(exact_inter, 0) * 1000000
+             - COALESCE(exact_inter, 0) * 1000000
+               % (da + db - COALESCE(exact_inter, 0)))
+            / (da + db - COALESCE(exact_inter, 0)) AS BIGINT) AS exact_j_ppm
+FROM est e LEFT JOIN ex ON e.source_a = ex.source_a
+                       AND e.source_b = ex.source_b
+""")
+def q170_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .curation import gram_array
+    d = load_table(spark, sf_dir, "documents")
+    sketches = kmv_sketches(d)
+    a = sketches.select(F.col("source").alias("source_a"),
+                        F.col("sk").alias("ska"),
+                        F.col("d_exact").alias("da"))
+    b = sketches.select(F.col("source").alias("source_b"),
+                        F.col("sk").alias("skb"),
+                        F.col("d_exact").alias("db"))
+    pairs = (a.join(b, F.col("source_a") < F.col("source_b"))
+             .withColumn("mk", F.slice(
+                 F.array_sort(F.array_union("ska", "skb")), 1, KMV_K)))
+    k_used = F.size("mk").cast("bigint")
+    k_shared = F.size(F.array_intersect(
+        "mk", F.array_intersect("ska", "skb"))).cast("bigint")
+    est = pairs.select("source_a", "source_b", "da", "db",
+                       k_used.alias("k_used"), k_shared.alias("k_shared"))
+    ds = (gram_array(d, "source")
+          .select("source", F.explode("ghs").alias("gh")).distinct())
+    ex = (ds.select(F.col("source").alias("source_a"), "gh")
+          .join(ds.select(F.col("source").alias("source_b"), "gh"), "gh")
+          .where(F.col("source_a") < F.col("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(F.count("*").alias("exact_inter")))
+    j = est.join(ex, ["source_a", "source_b"], "left")
+    inter0 = F.coalesce(F.col("exact_inter"), F.lit(0)).cast("bigint")
+    uni = F.col("da") + F.col("db") - inter0
+    return j.select(
+        "source_a", "source_b", "k_used", "k_shared",
+        exact_tdiv(F.col("k_shared") * 1_000_000, F.col("k_used"))
+            .alias("est_j_ppm"),
+        inter0.alias("exact_inter"),
+        uni.cast("bigint").alias("exact_union"),
+        exact_tdiv(inter0 * 1_000_000, uni).alias("exact_j_ppm"))
+
+
+def _fill_q170_oracle() -> None:
+    ORACLES["q170_source_overlap_kmv"] = (
+        ORACLES["q170_source_overlap_kmv"]
+        .replace("{GRAMS}", _sql_hll_grams()))
+
+
+_fill_q170_oracle()
