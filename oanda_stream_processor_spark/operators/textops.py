@@ -1201,9 +1201,11 @@ KMV_K = 256          # sketch size (hashes kept per source)
 KMV_SALTS = 32       # first-level sub-partitions per source
 
 
-def kmv_sketches(docs: DataFrame) -> DataFrame:
-    """(source, sk[], d_exact) — bottom-KMV_K distinct-gram sketch and
-    exact distinct count per source, via the two-level bottom-k."""
+def kmv_sketch_arrays(docs: DataFrame) -> DataFrame:
+    """(source, sk[]) — the bottom-KMV_K distinct-gram sketch per
+    source via the two-level bottom-k. Shared by batch q170 and the
+    streaming KMV gate (the sketch is the bounded state; the exact
+    columns are batch-only QA)."""
     from .curation import gram_array
     ds = (gram_array(docs, "source")
           .select("source", F.explode("ghs").alias("gh"))
@@ -1212,12 +1214,55 @@ def kmv_sketches(docs: DataFrame) -> DataFrame:
     w2 = W.partitionBy("source").orderBy("gh")
     lvl1 = (ds.withColumn("rn", F.row_number().over(w1))
             .where(F.col("rn") <= KMV_K).drop("rn"))
-    sk = (lvl1.withColumn("rn", F.row_number().over(w2))
-          .where(F.col("rn") <= KMV_K)
-          .groupBy("source")
-          .agg(F.array_sort(F.collect_list("gh")).alias("sk")))
-    sizes = ds.groupBy("source").agg(F.count("*").alias("d_exact"))
-    return sk.join(sizes, "source")
+    return (lvl1.withColumn("rn", F.row_number().over(w2))
+            .where(F.col("rn") <= KMV_K)
+            .groupBy("source")
+            .agg(F.array_sort(F.collect_list("gh")).alias("sk")))
+
+
+def merge_kmv_sketches(parts: DataFrame) -> DataFrame:
+    """Merge per-batch sketch partials: k smallest of the DISTINCT
+    union per source — the min-k semiring (associative, commutative,
+    idempotent like the HLL MAX merge; a duplicated partial changes
+    nothing). flatten -> array_distinct -> array_sort -> slice, all
+    per-source array math over |sources| rows."""
+    return (parts.groupBy("source")
+            .agg(F.slice(F.array_sort(F.array_distinct(
+                F.flatten(F.collect_list("sk")))), 1, KMV_K).alias("sk")))
+
+
+def kmv_overlap_estimates(sketches: DataFrame) -> DataFrame:
+    """(source_a, source_b, k_used, k_shared, est_j_ppm) for every
+    source pair from a (source, sk[]) frame — the estimator half of
+    q170, shared with the streaming gate's read side."""
+    a = sketches.select(F.col("source").alias("source_a"),
+                        F.col("sk").alias("ska"))
+    b = sketches.select(F.col("source").alias("source_b"),
+                        F.col("sk").alias("skb"))
+    pairs = (a.join(b, F.col("source_a") < F.col("source_b"))
+             .withColumn("mk", F.slice(
+                 F.array_sort(F.array_union("ska", "skb")), 1, KMV_K)))
+    k_used = F.size("mk").cast("bigint")
+    k_shared = F.size(F.array_intersect(
+        "mk", F.array_intersect("ska", "skb"))).cast("bigint")
+    return pairs.select(
+        "source_a", "source_b",
+        k_used.alias("k_used"), k_shared.alias("k_shared"),
+        exact_tdiv(k_shared * 1_000_000, k_used).alias("est_j_ppm"))
+
+
+def kmv_cardinality(sketches: DataFrame) -> DataFrame:
+    """(source, k, kth_min, d_est) — the KMV distinct-count estimate
+    (k-1)/U(k) with U(k) = kth smallest hash / HASH_MOD, spelled as
+    one integer division: d_est = (k-1) * HASH_MOD div kth_min. The
+    state-only cardinality read the streaming gate can serve without
+    any exact-distinct state (the HLL gate's q169 sibling from a
+    different sketch)."""
+    k = F.size("sk").cast("bigint")
+    kth = F.element_at("sk", F.size("sk")).cast("bigint")
+    return sketches.select(
+        "source", k.alias("k"), kth.alias("kth_min"),
+        exact_tdiv((k - 1) * HASH_MOD, kth).alias("d_est"))
 
 
 @query("q170_source_overlap_kmv", f"""
@@ -1265,23 +1310,14 @@ FROM est e LEFT JOIN ex ON e.source_a = ex.source_a
 def q170_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .curation import gram_array
     d = load_table(spark, sf_dir, "documents")
-    sketches = kmv_sketches(d)
-    a = sketches.select(F.col("source").alias("source_a"),
-                        F.col("sk").alias("ska"),
-                        F.col("d_exact").alias("da"))
-    b = sketches.select(F.col("source").alias("source_b"),
-                        F.col("sk").alias("skb"),
-                        F.col("d_exact").alias("db"))
-    pairs = (a.join(b, F.col("source_a") < F.col("source_b"))
-             .withColumn("mk", F.slice(
-                 F.array_sort(F.array_union("ska", "skb")), 1, KMV_K)))
-    k_used = F.size("mk").cast("bigint")
-    k_shared = F.size(F.array_intersect(
-        "mk", F.array_intersect("ska", "skb"))).cast("bigint")
-    est = pairs.select("source_a", "source_b", "da", "db",
-                       k_used.alias("k_used"), k_shared.alias("k_shared"))
+    est = kmv_overlap_estimates(kmv_sketch_arrays(d))
     ds = (gram_array(d, "source")
           .select("source", F.explode("ghs").alias("gh")).distinct())
+    sizes = ds.groupBy("source").agg(F.count("*").alias("d_exact"))
+    est = (est.join(sizes.select(F.col("source").alias("source_a"),
+                                 F.col("d_exact").alias("da")), "source_a")
+           .join(sizes.select(F.col("source").alias("source_b"),
+                              F.col("d_exact").alias("db")), "source_b"))
     ex = (ds.select(F.col("source").alias("source_a"), "gh")
           .join(ds.select(F.col("source").alias("source_b"), "gh"), "gh")
           .where(F.col("source_a") < F.col("source_b"))
@@ -1291,9 +1327,7 @@ def q170_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter0 = F.coalesce(F.col("exact_inter"), F.lit(0)).cast("bigint")
     uni = F.col("da") + F.col("db") - inter0
     return j.select(
-        "source_a", "source_b", "k_used", "k_shared",
-        exact_tdiv(F.col("k_shared") * 1_000_000, F.col("k_used"))
-            .alias("est_j_ppm"),
+        "source_a", "source_b", "k_used", "k_shared", "est_j_ppm",
         inter0.alias("exact_inter"),
         uni.cast("bigint").alias("exact_union"),
         exact_tdiv(inter0 * 1_000_000, uni).alias("exact_j_ppm"))
