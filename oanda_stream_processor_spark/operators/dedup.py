@@ -891,6 +891,62 @@ ORACLES["q159_split_leakage"] = \
 
 
 # ---------------------------------------------------------------------------
+# q171 — leak-free split ASSIGNMENT: the constructive half of q159's
+# audit. Every document (singletons included) gets its train/val/test
+# split from the hash of its q55 COMPONENT id, so a near-dup cluster
+# can never straddle a boundary — leakage is zero by construction, not
+# by measurement. Alongside, the naive per-doc assignment and a
+# `moved` flag report exactly which documents the cluster-aware rule
+# relocated (the reviewable diff a pipeline wants before swapping
+# split rules). Same seedless md5-mod-100 hash as q77/q159; the 3-way
+# boundaries are 0-79 train / 80-89 val / 90-99 test.
+#
+# Scale: one projection over the component frame — the hash bits and
+# CASE are per-row; no aggregation at all beyond what q55 already did.
+# ---------------------------------------------------------------------------
+VAL_PCT = 90     # h in [TRAIN_PCT, VAL_PCT) -> val; >= VAL_PCT -> test
+
+
+def _sql_split3(col: str) -> str:
+    h = _SQL_H100.format(col=col)
+    return (f"CASE WHEN {h} < {TRAIN_PCT} THEN 'train' "
+            f"WHEN {h} < {VAL_PCT} THEN 'val' ELSE 'test' END")
+
+
+@query("q171_leakfree_splits", f"""
+WITH comp AS ({{Q55}})
+SELECT doc_id, component,
+       {_sql_split3('component')} AS split,
+       {_sql_split3('doc_id')} AS naive_split,
+       {_sql_split3('component')} <> {_sql_split3('doc_id')} AS moved
+FROM comp
+""")
+def q171_leakfree_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = q55_dedup_components(spark, sf_dir).select("doc_id", "component")
+
+    def h100(col: str) -> F.Column:
+        return (F.conv(F.substring(
+            F.md5(F.col(col).cast("string").cast("binary")), 1, 15),
+            16, 10).cast("bigint") % 100)
+
+    def split3(col: str) -> F.Column:
+        h = h100(col)
+        return (F.when(h < TRAIN_PCT, "train")
+                .when(h < VAL_PCT, "val").otherwise("test"))
+
+    return comp.select(
+        "doc_id", "component",
+        split3("component").alias("split"),
+        split3("doc_id").alias("naive_split"),
+        (split3("component") != split3("doc_id")).alias("moved"))
+
+
+ORACLES["q171_leakfree_splits"] = \
+    ORACLES["q171_leakfree_splits"].replace(
+        "{Q55}", ORACLES["q55_dedup_components"])
+
+
+# ---------------------------------------------------------------------------
 # q129 — cross-source corpus overlap: estimated Jaccard similarity
 # between every pair of ingest sources' SHINGLE SETS, from per-source
 # K-minhash signatures — the curator's answer to "which feeds are
