@@ -257,3 +257,177 @@ def q120_mad_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("med", 6).alias("med"),
                     F.round("mad", 6).alias("mad"),
                     "n_outliers"))
+
+
+# ---------------------------------------------------------------------------
+# q172 — fixed-domain histogram quantile sketch: the MERGEABLE,
+# hash-gated alternative to the engine-native quantile sketches (q108
+# GK stays rows-only because its compaction state is engine-private).
+# The domain is declared up front (HIST_LO/HIST_HI cents — the
+# production pattern for a known value domain like prices), the value
+# is bucketed by pure integer arithmetic into HIST_NB equi-width
+# cells, and the sketch state is just the bucket-count vector:
+# SUM-mergeable across partitions, batches, and corpora with no
+# coordination, which is what q108's GK state cannot offer and why a
+# 100 TB pipeline ships histogram counts to the driver instead of raw
+# percentile state. Out-of-domain values clamp into the edge buckets
+# (counted, never dropped).
+#
+# For each target percentile the sketch answer is the first bucket
+# whose cumulative count reaches ceil(p*n/100), refined by integer
+# midpoint interpolation within the bucket:
+#   est = lo + (hi - lo) * (rank_into_bucket) / bucket_count
+# — every term exact int64 via the tdiv spelling. The EXACT kth value
+# (ORDER BY + the k-th element, the global-sort cost the sketch
+# exists to avoid) rides along as the QA yardstick with err columns,
+# the q142/q169/q170 est-vs-exact discipline.
+#
+# Scale: one scan -> groupBy(bucket) with HIST_NB=1024 keys
+# (map-side combinable, bounded state); the quantile walk is a window
+# over <= 1024 rows. The exact side is the one global TakeOrdered —
+# yardstick-only, bench-SF affordable, documented like q135's exact
+# cutoff. Streaming twin: streaming/histgate.py SUM-merges per-batch
+# bucket vectors and serves identical quantile reads.
+# ---------------------------------------------------------------------------
+HIST_LO = 0               # domain lower edge, cents
+HIST_HI = 16_777_216      # domain upper edge, cents (2^24; prices fit)
+HIST_NB = 1024            # buckets
+HIST_PCTS = (50, 90, 99)
+
+
+def _cents() -> F.Column:
+    return F.round(F.col("l_extendedprice") * 100).cast("bigint")
+
+
+def hist_buckets(li: DataFrame) -> DataFrame:
+    """(bucket, n) — the sketch state for a lineitem frame: clamp to
+    the declared domain, integer equi-width bucket, one bounded
+    groupBy. This is the SUM-mergeable partial the streaming gate
+    persists per batch."""
+    c = _cents()
+    clamped = F.greatest(F.lit(HIST_LO),
+                         F.least(F.lit(HIST_HI - 1), c))
+    width = (HIST_HI - HIST_LO) // HIST_NB
+    bucket = ((clamped - HIST_LO) - (clamped - HIST_LO) % width) / width
+    return (li.select(bucket.cast("bigint").alias("bucket"))
+            .groupBy("bucket").agg(F.count("*").alias("n")))
+
+
+def hist_quantiles(buckets: DataFrame) -> DataFrame:
+    """(pct, n_total, target_rank, bucket, bucket_lo, bucket_hi,
+    cum_before, bucket_n, est_cents) for HIST_PCTS from a merged
+    (bucket, n) frame — window over <= HIST_NB rows, integer math
+    only. Shared by batch q172 and the streaming gate read."""
+    from pyspark.sql import Window as W
+    from .helpers import exact_tdiv
+    width = (HIST_HI - HIST_LO) // HIST_NB
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    cum = (buckets
+           .withColumn("cum_before",
+                       F.coalesce(F.sum("n").over(w), F.lit(0)))
+           .withColumn("n_total",
+                       F.sum("n").over(W.partitionBy())))
+    pcts = buckets.sparkSession.createDataFrame(
+        [(p,) for p in HIST_PCTS], "pct int")
+    tgt = (F.col("pct") * F.col("n_total")
+           + (100 - F.col("pct") * F.col("n_total") % 100) % 100) / 100
+    j = (cum.crossJoin(F.broadcast(pcts))
+         .withColumn("target_rank", tgt.cast("bigint"))
+         .where((F.col("cum_before") < F.col("target_rank"))
+                & (F.col("cum_before") + F.col("n")
+                   >= F.col("target_rank"))))
+    lo = HIST_LO + F.col("bucket") * width
+    est = lo + exact_tdiv((F.col("target_rank") - F.col("cum_before"))
+                          * width, F.col("n"))
+    return j.select(
+        "pct", "n_total", "target_rank", "bucket",
+        lo.cast("bigint").alias("bucket_lo"),
+        (lo + width).cast("bigint").alias("bucket_hi"),
+        "cum_before", F.col("n").alias("bucket_n"),
+        est.cast("bigint").alias("est_cents"))
+
+
+_SQL_HIST_W = (HIST_HI - HIST_LO) // HIST_NB
+
+@query("q172_histogram_quantiles", f"""
+WITH c AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem),
+cl AS (
+  SELECT GREATEST({HIST_LO}, LEAST({HIST_HI - 1}, cents)) AS cents,
+         cents AS raw FROM c),
+b AS (
+  SELECT CAST(((cents - {HIST_LO}) - (cents - {HIST_LO}) % {_SQL_HIST_W})
+              / {_SQL_HIST_W} AS BIGINT) AS bucket, COUNT(*) AS n
+  FROM cl GROUP BY 1),
+cum AS (
+  SELECT bucket, n,
+         COALESCE(SUM(n) OVER (ORDER BY bucket
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS cum_before,
+         SUM(n) OVER () AS n_total
+  FROM b),
+pcts AS (SELECT UNNEST([{", ".join(str(p) for p in HIST_PCTS)}]) AS pct),
+tgt AS (
+  SELECT pct, bucket, n, cum_before, CAST(n_total AS BIGINT) AS n_total,
+         CAST((pct * n_total
+               + (100 - pct * n_total % 100) % 100) / 100 AS BIGINT)
+           AS target_rank
+  FROM cum CROSS JOIN pcts),
+hit AS (
+  SELECT * FROM tgt
+  WHERE cum_before < target_rank AND cum_before + n >= target_rank),
+sk AS (
+  SELECT pct, n_total, target_rank, bucket,
+         CAST({HIST_LO} + bucket * {_SQL_HIST_W} AS BIGINT) AS bucket_lo,
+         CAST({HIST_LO} + (bucket + 1) * {_SQL_HIST_W} AS BIGINT)
+           AS bucket_hi,
+         CAST(cum_before AS BIGINT) AS cum_before,
+         CAST(n AS BIGINT) AS bucket_n,
+         CAST({HIST_LO} + bucket * {_SQL_HIST_W}
+              + ((target_rank - cum_before) * {_SQL_HIST_W}
+                 - (target_rank - cum_before) * {_SQL_HIST_W} % n) / n
+              AS BIGINT) AS est_cents
+  FROM hit),
+ranked AS (
+  SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rk
+  FROM (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem)),
+ex AS (
+  SELECT s.pct, r.cents AS exact_cents
+  FROM sk s JOIN ranked r ON r.rk = s.target_rank)
+SELECT s.pct, n_total, target_rank, bucket, bucket_lo, bucket_hi,
+       cum_before, bucket_n, est_cents,
+       CAST(exact_cents AS BIGINT) AS exact_cents,
+       CAST(est_cents - exact_cents AS BIGINT) AS err_cents
+FROM sk s JOIN ex ON s.pct = ex.pct
+""")
+def q172_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = hist_quantiles(hist_buckets(li))
+    # exact kth values (QA yardstick): per target rank, take the
+    # smaller of (k asc / n-k+1 desc) through TakeOrderedAndProject —
+    # never a full global sort. Driver traffic is three (pct, rank)
+    # rows + three scalars (yardstick orchestration only, ledgered
+    # like q135's exact cutoff); the SKETCH path above collects
+    # nothing
+    cents = li.select(_cents().alias("cents"))
+    targets = [r for r in sk.select("pct", "target_rank", "n_total")
+               .collect()]
+    rows = []
+    for r in targets:
+        k, n = r.target_rank, r.n_total
+        if k <= n - k + 1:
+            v = (cents.orderBy(F.asc("cents")).limit(int(k))
+                 .agg(F.max("cents").alias("v")).collect()[0].v)
+        else:
+            v = (cents.orderBy(F.desc("cents")).limit(int(n - k + 1))
+                 .agg(F.min("cents").alias("v")).collect()[0].v)
+        rows.append((int(r.pct), int(v)))
+    ex = spark.createDataFrame(rows, "pct int, exact_cents bigint")
+    return (sk.join(F.broadcast(ex), "pct")
+            .select("pct", "n_total", "target_rank", "bucket",
+                    "bucket_lo", "bucket_hi", "cum_before", "bucket_n",
+                    "est_cents", "exact_cents",
+                    (F.col("est_cents") - F.col("exact_cents"))
+                    .cast("bigint").alias("err_cents")))
