@@ -299,21 +299,26 @@ def _cents() -> F.Column:
     return F.round(F.col("l_extendedprice") * 100).cast("bigint")
 
 
-def hist_buckets(li: DataFrame) -> DataFrame:
-    """(bucket, n) — the sketch state for a lineitem frame: clamp to
-    the declared domain, integer equi-width bucket, one bounded
-    groupBy. This is the SUM-mergeable partial the streaming gate
-    persists per batch."""
-    c = _cents()
+def hist_buckets_of(vals: DataFrame, col: str) -> DataFrame:
+    """(bucket, n) histogram state for any integer column over the
+    declared domain: clamp, integer equi-width bucket, one bounded
+    groupBy. The SUM-mergeable partial the streaming gate persists
+    per batch; also the deviation-histogram builder for q173."""
+    c = F.col(col)
     clamped = F.greatest(F.lit(HIST_LO),
                          F.least(F.lit(HIST_HI - 1), c))
     width = (HIST_HI - HIST_LO) // HIST_NB
     bucket = ((clamped - HIST_LO) - (clamped - HIST_LO) % width) / width
-    return (li.select(bucket.cast("bigint").alias("bucket"))
+    return (vals.select(bucket.cast("bigint").alias("bucket"))
             .groupBy("bucket").agg(F.count("*").alias("n")))
 
 
-def hist_quantiles(buckets: DataFrame) -> DataFrame:
+def hist_buckets(li: DataFrame) -> DataFrame:
+    """q172's sketch state: the price histogram of a lineitem frame."""
+    return hist_buckets_of(li.select(_cents().alias("cents")), "cents")
+
+
+def hist_quantiles(buckets: DataFrame, pcts=HIST_PCTS) -> DataFrame:
     """(pct, n_total, target_rank, bucket, bucket_lo, bucket_hi,
     cum_before, bucket_n, est_cents) for HIST_PCTS from a merged
     (bucket, n) frame — window over <= HIST_NB rows, integer math
@@ -328,7 +333,7 @@ def hist_quantiles(buckets: DataFrame) -> DataFrame:
            .withColumn("n_total",
                        F.sum("n").over(W.partitionBy())))
     pcts = buckets.sparkSession.createDataFrame(
-        [(p,) for p in HIST_PCTS], "pct int")
+        [(p,) for p in pcts], "pct int")
     tgt = (F.col("pct") * F.col("n_total")
            + (100 - F.col("pct") * F.col("n_total") % 100) % 100) / 100
     j = (cum.crossJoin(F.broadcast(pcts))
@@ -431,3 +436,140 @@ def q172_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "est_cents", "exact_cents",
                     (F.col("est_cents") - F.col("exact_cents"))
                     .cast("bigint").alias("err_cents")))
+
+
+# ---------------------------------------------------------------------------
+# q173 — MAD outliers on the histogram sketch: the bounded-state,
+# hash-gated sibling of q120 (whose GK-sketch internals are
+# engine-private and therefore rows-only) and the sketch-regime
+# counterpart of q117's exact grouped median/MAD. Median and MAD both
+# come from the q172 fixed-domain bucket vector — robust-fence
+# monitoring (|x - med| > K * MAD) with state that never exceeds
+# HIST_NB counts no matter the corpus, the shape a 100 TB telemetry
+# pipeline actually ships. With this, every rows-only entry has an
+# oracled from-scratch sibling: q38 -> q169/q172, q54 -> q54b,
+# q108 -> q172, q120 -> q173.
+#
+# Pipeline (integer-only, both engines identical): price histogram ->
+# p50 walk = med_est; deviation |cents - med_est| histogram (same
+# declared domain; deviations <= domain width by construction) -> p50
+# walk = mad_est; fence count dev > MAD_K * mad_est is one exact
+# filter-agg pass. Exact med/MAD ride along as QA yardsticks via the
+# q172 TakeOrderedAndProject kth trick (driver traffic: two scalars).
+#
+# Scale: three scans + two bounded groupBys + two <=HIST_NB windows;
+# the med/mad scalars travel as one-row broadcast frames, never
+# driver-side in the sketch path.
+# ---------------------------------------------------------------------------
+MAD_K = 5
+
+
+@query("q173_hist_mad_outliers", f"""
+WITH c AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem),
+b AS (
+  SELECT CAST(((GREATEST({HIST_LO}, LEAST({HIST_HI - 1}, cents))
+                - {HIST_LO})
+               - (GREATEST({HIST_LO}, LEAST({HIST_HI - 1}, cents))
+                  - {HIST_LO}) % {_SQL_HIST_W})
+              / {_SQL_HIST_W} AS BIGINT) AS bucket, COUNT(*) AS n
+  FROM c GROUP BY 1),
+cum AS (
+  SELECT bucket, n,
+         COALESCE(SUM(n) OVER (ORDER BY bucket
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS cb,
+         SUM(n) OVER () AS nt
+  FROM b),
+med AS (
+  SELECT CAST({HIST_LO} + bucket * {_SQL_HIST_W}
+              + ((tr - cb) * {_SQL_HIST_W}
+                 - (tr - cb) * {_SQL_HIST_W} % n) / n AS BIGINT) AS med_est,
+         CAST(nt AS BIGINT) AS n_total, tr AS med_rank
+  FROM (SELECT *, CAST((50 * nt + (100 - 50 * nt % 100) % 100) / 100
+                       AS BIGINT) AS tr FROM cum)
+  WHERE cb < tr AND cb + n >= tr),
+dev AS (SELECT ABS(cents - med_est) AS d FROM c CROSS JOIN med),
+db AS (
+  SELECT CAST(((GREATEST({HIST_LO}, LEAST({HIST_HI - 1}, d)) - {HIST_LO})
+               - (GREATEST({HIST_LO}, LEAST({HIST_HI - 1}, d))
+                  - {HIST_LO}) % {_SQL_HIST_W})
+              / {_SQL_HIST_W} AS BIGINT) AS bucket, COUNT(*) AS n
+  FROM dev GROUP BY 1),
+dcum AS (
+  SELECT bucket, n,
+         COALESCE(SUM(n) OVER (ORDER BY bucket
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS cb,
+         SUM(n) OVER () AS nt
+  FROM db),
+mad AS (
+  SELECT CAST({HIST_LO} + bucket * {_SQL_HIST_W}
+              + ((tr - cb) * {_SQL_HIST_W}
+                 - (tr - cb) * {_SQL_HIST_W} % n) / n AS BIGINT) AS mad_est
+  FROM (SELECT *, CAST((50 * nt + (100 - 50 * nt % 100) % 100) / 100
+                       AS BIGINT) AS tr FROM dcum)
+  WHERE cb < tr AND cb + n >= tr),
+outl AS (
+  SELECT COUNT(*) AS n_outliers
+  FROM dev CROSS JOIN mad WHERE d > {MAD_K} * mad_est),
+rc AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rk FROM c),
+exm AS (SELECT cents AS exact_med FROM rc CROSS JOIN med
+        WHERE rk = med_rank),
+rd AS (SELECT d, ROW_NUMBER() OVER (ORDER BY d) AS rk FROM dev),
+exd AS (SELECT d AS exact_mad FROM rd CROSS JOIN med
+        WHERE rk = med_rank)
+SELECT n_total, med_est, CAST(exact_med AS BIGINT) AS exact_med,
+       CAST(med_est - exact_med AS BIGINT) AS err_med,
+       mad_est, CAST(exact_mad AS BIGINT) AS exact_mad,
+       CAST(mad_est - exact_mad AS BIGINT) AS err_mad,
+       {MAD_K} AS mad_k, CAST(n_outliers AS BIGINT) AS n_outliers,
+       CAST((n_outliers * 1000000 - n_outliers * 1000000 % n_total)
+            / n_total AS BIGINT) AS outlier_ppm
+FROM med CROSS JOIN mad CROSS JOIN outl
+CROSS JOIN exm CROSS JOIN exd
+""")
+def q173_hist_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .helpers import exact_tdiv
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select(_cents().alias("cents"))
+    med = (hist_quantiles(hist_buckets(li), pcts=(50,))
+           .select(F.col("est_cents").alias("med_est"),
+                   F.col("n_total"),
+                   F.col("target_rank").alias("med_rank")))
+    dev = (cents.join(F.broadcast(med))
+           .select(F.abs(F.col("cents") - F.col("med_est")).alias("d")))
+    mad = (hist_quantiles(hist_buckets_of(dev, "d"), pcts=(50,))
+           .select(F.col("est_cents").alias("mad_est")))
+    outl = (dev.join(F.broadcast(mad))
+            .where(F.col("d") > MAD_K * F.col("mad_est"))
+            .agg(F.count("*").alias("n_outliers")))
+    # exact med / MAD QA yardsticks: kth via TakeOrderedAndProject on
+    # the smaller rank side (two driver scalars, q172 discipline)
+    r = med.collect()[0]
+    k, n = int(r.med_rank), int(r.n_total)
+
+    def kth(df, col):
+        if k <= n - k + 1:
+            return (df.orderBy(F.asc(col)).limit(k)
+                    .agg(F.max(col).alias("v")).collect()[0].v)
+        return (df.orderBy(F.desc(col)).limit(n - k + 1)
+                .agg(F.min(col).alias("v")).collect()[0].v)
+
+    exact_med = int(kth(cents, "cents"))
+    exact_mad = int(kth(dev, "d"))
+    ex = spark.createDataFrame(
+        [(exact_med, exact_mad)], "exact_med bigint, exact_mad bigint")
+    return (med.crossJoin(F.broadcast(mad))
+            .crossJoin(F.broadcast(outl))
+            .crossJoin(F.broadcast(ex))
+            .select("n_total", "med_est", "exact_med",
+                    (F.col("med_est") - F.col("exact_med")).cast("bigint")
+                    .alias("err_med"),
+                    "mad_est", "exact_mad",
+                    (F.col("mad_est") - F.col("exact_mad")).cast("bigint")
+                    .alias("err_mad"),
+                    F.lit(MAD_K).alias("mad_k"), "n_outliers",
+                    exact_tdiv(F.col("n_outliers") * 1_000_000,
+                               F.col("n_total")).alias("outlier_ppm")))

@@ -58,6 +58,11 @@ DEFAULT_SET = [
     "q163_filter_attribution",
     "q164_mixture_weights",
     "q165_fuzzy_contamination",
+    "q167_winnow_components",
+    "q168_winnow_canonical",
+    "q169_hll_distinct",
+    "q170_source_overlap_kmv",
+    "q171_leakfree_splits",
 ]
 
 
