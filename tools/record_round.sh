@@ -29,7 +29,7 @@ tail -1 "ORACLE_LOCAL_r${N}.txt"
 } >> ORACLE_VERSIONS.txt
 
 python tools/scale_bench.py 2 2> "SCALE_SWEEP_r${N}.log" > "SCALE_SWEEP_r${N}.json"
-python bench.py > "BENCH_LOCAL_r${N}.json"
+python bench.py --duckdb > "BENCH_LOCAL_r${N}.json"
 python tools/parallelism_check.py /root/testdata/sf0.01 2>&1 \
   | grep -E '^(ok|MISMATCH|[0-9]+ invariant)' > "PARALLELISM_r${N}.txt"
 python tools/explain_audit.py 2>&1 | tail -1
