@@ -18,6 +18,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import signal
 import sys
 import time
 
@@ -55,6 +56,34 @@ def _floor_calibration(spark) -> float:
     return round(best, 3)
 
 
+# Mutable accumulator so a SIGTERM/SIGINT mid-suite still emits a
+# partial (but valid) JSON line instead of losing the whole record —
+# the round-9 driver bench died in one query and left zero timings.
+_PARTIAL: dict = {"queries": {}, "errors": {}}
+
+
+def _emit(extra: dict | None = None) -> None:
+    timings = _PARTIAL["queries"]
+    out = {
+        "metric": "total_query_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+        "floor_calibration_sec": _PARTIAL.get("floor"),
+    }
+    if _PARTIAL["errors"]:
+        out["errors"] = _PARTIAL["errors"]
+    if extra:
+        out.update(extra)
+    print(json.dumps(out), flush=True)
+
+
+def _on_signal(signum, frame):  # pragma: no cover - exercised manually
+    _emit({"partial": True, "signal": signum})
+    raise SystemExit(1)
+
+
 def run_spark(names: list[str] | None) -> dict[str, float]:
     import __spark_entry__ as ent
     from oanda_stream_processor_spark.session import get_spark
@@ -64,20 +93,31 @@ def run_spark(names: list[str] | None) -> dict[str, float]:
     if names:
         qs = {n: qs[n] for n in names}
     # warm the JVM/codegen once with the cheapest full pipeline
-    next(iter(qs.values()))(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-    timings: dict[str, float] = {}
-    timings["_floor_calibration"] = _floor_calibration(spark)
+    try:
+        next(iter(qs.values()))(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass  # warm-up failure is the query's own err row below
+    timings: dict[str, float] = _PARTIAL["queries"]
+    _PARTIAL["floor"] = _floor_calibration(spark)
     for name, fn in sorted(qs.items()):
         # min-of-N: the host VM exhibits sporadic multi-10s freezes
         # (all JVM threads parked, wall clock stretches); min is the
         # noise-robust per-query statistic. Each run still executes the
         # full plan end-to-end into a noop sink.
+        #
+        # Per-query fault isolation: one broken query costs ONE err row,
+        # never the suite — round 9 lost its entire bench record to a
+        # single raising query.
         best = None
-        for _ in range(max(1, N_RUNS)):
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+        try:
+            for _ in range(max(1, N_RUNS)):
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+        except Exception as exc:  # noqa: BLE001 - isolate and continue
+            _PARTIAL["errors"][name] = f"{type(exc).__name__}: {exc}"[:300]
+            continue
         timings[name] = round(best, 3)
     spark.stop()
     return timings
@@ -97,11 +137,17 @@ def run_duckdb(names: list[str] | None) -> dict[str, float]:
     timings: dict[str, float] = {}
     for name, sql in sorted(oracles.items()):
         best = None
-        for _ in range(max(1, N_RUNS)):  # min-of-N, same as the Spark side
-            t0 = time.perf_counter()
-            con.execute(sql).fetchall()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+        try:
+            for _ in range(max(1, N_RUNS)):  # min-of-N, same as Spark side
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+        except Exception as exc:  # noqa: BLE001 - isolate and continue
+            timings[name] = None
+            _PARTIAL["errors"][f"duckdb:{name}"] = (
+                f"{type(exc).__name__}: {exc}"[:300])
+            continue
         timings[name] = round(best, 3)
     return timings
 
@@ -115,19 +161,12 @@ def main() -> None:
     args = ap.parse_args()
     names = args.queries.split(",") if args.queries else None
 
-    timings = run_spark(names)
-    floor = timings.pop("_floor_calibration", None)
-    out = {
-        "metric": "total_query_wall_clock",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": _sf_from_dir(SF_DIR),
-        "floor_calibration_sec": floor,
-    }
-    if args.duckdb:
-        out["duckdb_baseline"] = run_duckdb(names)
-    print(json.dumps(out))
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+
+    run_spark(names)
+    extra = {"duckdb_baseline": run_duckdb(names)} if args.duckdb else None
+    _emit(extra)
 
 
 if __name__ == "__main__":

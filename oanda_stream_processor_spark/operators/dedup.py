@@ -442,21 +442,53 @@ pairs AS (
 
 def propagate_min_labels(labels: DataFrame, edges: DataFrame,
                          *, max_rounds: int = 20) -> DataFrame:
-    """Fixpoint min-label propagation: (doc_id, component) seed labels
-    + directed (src, dst) edges -> converged labels (every doc's label
-    = min seed label reachable in its component).  One localCheckpoint
-    per round materializes ``merged`` exactly once; both the next
-    round's labels AND the convergence flag are derived from the
-    checkpointed blocks, so each round is one shuffle-join + one agg.
-    Converges in O(max component diameter) rounds; exhausting the
-    budget raises rather than silently returning unconverged labels.
-    Shared by q55 (corpus bootstrap) and the streaming incremental
-    component updates (tiny per-batch subgraphs)."""
+    """Fixpoint min-label propagation WITH pointer-doubling:
+    (doc_id, component) seed labels + directed (src, dst) edges ->
+    converged labels (every doc's label = min seed label reachable in
+    its component).
+
+    Each round combines TWO candidate-label feeds before the min-agg:
+      1. one-hop neighbor min (edges ⋈ labels, the classic BFS step);
+      2. pointer-doubling (labels ⋈ labels on component == doc_id:
+         ``label ← label[label]``) — every seed label is itself an
+         active doc_id (all call sites seed component = doc_id over the
+         active node set and labels only ever take the min over such
+         ids), so a node whose label is k hops from the component min
+         jumps to that node's current label, roughly doubling the
+         propagated distance per round.
+    Together convergence takes O(log diameter) rounds instead of
+    O(diameter) — the only shape that survives a 100 TB corpus whose
+    substring-dup chains can be thousands of docs long (cf. Kiveris et
+    al. "Connected Components in MapReduce and Beyond", large-star /
+    small-star, which has the same O(log d) round bound).
+
+    Correctness: labels are monotone non-increasing, every candidate
+    label is a node id inside the same component, and the combined
+    operator's fixpoint implies the one-hop fixpoint (labels constant
+    across every edge ⇒ constant per component ⇒ equal to the
+    component min, the only reachable lower bound).  One
+    localCheckpoint per round materializes ``merged`` exactly once;
+    both the next round's labels AND the convergence flag read the
+    checkpointed blocks, so each round is two shuffle-joins + one agg
+    over the ACTIVE subgraph only.  Exhausting the budget raises
+    rather than silently returning unconverged labels (with doubling,
+    20 rounds covers diameters ~2^20 — unreachable in practice).
+    Shared by q55/q167/q174 (corpus bootstrap) and the streaming
+    incremental component updates (tiny per-batch subgraphs)."""
     for _ in range(max_rounds):
         neigh = (edges.join(labels, edges.src == labels.doc_id)
                  .select(F.col("dst").alias("doc_id"),
                          F.col("component").alias("n_comp")))
-        merged = (labels.join(neigh, "doc_id", "left")
+        # pointer-doubling feed: my label's current label.  Inner join —
+        # a label value absent from the frame (impossible for the
+        # doc_id-seeded call sites, but harmless) simply contributes no
+        # candidate and the row falls back to one-hop propagation.
+        ptr = (labels.alias("pa")
+               .join(labels.alias("pb"),
+                     F.col("pa.component") == F.col("pb.doc_id"))
+               .select(F.col("pa.doc_id").alias("doc_id"),
+                       F.col("pb.component").alias("n_comp")))
+        merged = (labels.join(neigh.unionByName(ptr), "doc_id", "left")
                   .groupBy("doc_id")
                   .agg(F.least(F.min("component"), F.min("n_comp")).alias("new_comp"),
                        F.min("component").alias("old_comp"))
@@ -467,8 +499,8 @@ def propagate_min_labels(labels: DataFrame, edges: DataFrame,
             return labels
     raise RuntimeError(
         f"components did not converge in {max_rounds} rounds; "
-        "a candidate component has diameter > max_rounds — raise "
-        "max_rounds (propagation is O(diameter))")
+        "with pointer-doubling that implies a component diameter "
+        f"around 2^{max_rounds} — almost certainly a bug, not data")
 
 
 @query("q55_dedup_components", f"""

@@ -1035,6 +1035,15 @@ def hll_probes(docs: DataFrame) -> DataFrame:
     from .curation import gram_array
     g = gram_array(docs, "source").select(
         "source", F.explode("ghs").alias("gh"))
+    # NOTE (known, documented bias): w is uniform over [0, HASH_MOD) =
+    # [0, 1e9+7), not the exact power-of-two domain [0, 2^30) that
+    # rho = 31 - bitlen(w) assumes, so P(rho = 1) ≈ 1 - 2^29/HASH_MOD
+    # ≈ 0.463 instead of 0.5 (deeper rho levels are near-exact). The
+    # effect is a small systematic underestimate in raw_est that the
+    # err_ppm QA column exposes; engine parity is unaffected because
+    # oracle and Spark share the identical integer math. Kept as-is
+    # deliberately: folding into an exact 2^30 domain would need a
+    # wider intermediate hash on BOTH engines for no parity gain.
     w = (F.col("gh") * _HLL_A2 + _HLL_B2) % HASH_MOD
     return g.select(
         "source",
@@ -1272,15 +1281,19 @@ def kmv_overlap_estimates(sketches: DataFrame) -> DataFrame:
 def kmv_cardinality(sketches: DataFrame) -> DataFrame:
     """(source, k, kth_min, d_est) — the KMV distinct-count estimate
     (k-1)/U(k) with U(k) = kth smallest hash / HASH_MOD, spelled as
-    one integer division: d_est = (k-1) * HASH_MOD div kth_min. The
-    state-only cardinality read the streaming gate can serve without
-    any exact-distinct state (the HLL gate's q169 sibling from a
-    different sketch)."""
+    one integer division: d_est = (k-1) * HASH_MOD div kth_min. A
+    NON-FULL sketch (|sk| < KMV_K) saw every distinct hash, so the
+    exact count |sk| is returned instead of the noisy estimator —
+    standard KMV small-cardinality regime. The state-only cardinality
+    read the streaming gate can serve without any exact-distinct state
+    (the HLL gate's q169 sibling from a different sketch)."""
     k = F.size("sk").cast("bigint")
     kth = F.element_at("sk", F.size("sk")).cast("bigint")
     return sketches.select(
         "source", k.alias("k"), kth.alias("kth_min"),
-        exact_tdiv((k - 1) * HASH_MOD, kth).alias("d_est"))
+        F.when(k < KMV_K, k)
+         .otherwise(exact_tdiv((k - 1) * HASH_MOD, kth))
+         .alias("d_est"))
 
 
 @query("q170_source_overlap_kmv", f"""

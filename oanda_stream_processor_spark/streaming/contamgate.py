@@ -52,14 +52,19 @@ def score_batch(docs: DataFrame, bench: DataFrame) -> DataFrame:
     return contamination_scores(gram_array(docs), bench)
 
 
-def batch_partial(docs: DataFrame, bench: DataFrame) -> DataFrame:
-    """The 4-count mergeable ledger partial for one batch."""
-    s = score_batch(docs, bench)
-    return s.agg(
+def partial_from_scored(scored: DataFrame) -> DataFrame:
+    """The 4-count mergeable ledger partial from an already-scored
+    frame (lets the stream body score once and feed both sinks)."""
+    return scored.agg(
         F.count("*").alias("n_docs"),
         F.sum(F.col("contaminated").cast("bigint")).alias("n_contaminated"),
         F.sum("n_hit").alias("n_hits"),
         F.sum("k_used").alias("n_k"))
+
+
+def batch_partial(docs: DataFrame, bench: DataFrame) -> DataFrame:
+    """The 4-count mergeable ledger partial for one batch."""
+    return partial_from_scored(score_batch(docs, bench))
 
 
 def read_ledger(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -88,12 +93,17 @@ def start_contamination_stream(stream_docs: DataFrame, bench: DataFrame,
     (b) overwrites its own partial under batch_id=<id> so replays are
     idempotent and the ledger sum is exactly-once."""
     def body(batch_df: DataFrame, batch_id: int) -> None:
+        # score ONCE per batch; both the clean feed and the 4-count
+        # partial read the same materialized scored frame (gram hashing
+        # + broadcast probe are the batch's dominant cost — don't pay
+        # them twice when clean_dir is set).
+        scored = score_batch(batch_df, bench)
         if clean_dir is not None:
-            (score_batch(batch_df, bench)
-             .where(~F.col("contaminated")).select("doc_id")
+            scored = scored.localCheckpoint(eager=True)
+            (scored.where(~F.col("contaminated")).select("doc_id")
              .write.mode("overwrite")
              .parquet(os.path.join(clean_dir, f"batch_id={batch_id}")))
-        (batch_partial(batch_df, bench)
+        (partial_from_scored(scored)
          .write.mode("overwrite")
          .parquet(os.path.join(state_dir, f"batch_id={batch_id}")))
 

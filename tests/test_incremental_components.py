@@ -150,3 +150,49 @@ def test_component_stream_replay(spark, constructed, tmp_path):
     exp_a, exp_m = incremental_component_updates(batch_docs, lbl_bands)
     assert sorted(got_a) == sorted(map(tuple, exp_a.collect()))
     assert sorted(got_m) == sorted(map(tuple, exp_m.collect()))
+
+
+def test_propagate_min_labels_long_chain(spark):
+    """Pointer-doubling convergence: a 300-node path graph (diameter
+    299 — 15x the round budget) must converge within the default
+    max_rounds=20 because each round roughly doubles the propagated
+    distance.  This is the regression fixture for the round-9 q167
+    sf0.1 failure (one-hop propagation capped at 20 rounds)."""
+    from oanda_stream_processor_spark.operators.dedup import (
+        propagate_min_labels,
+    )
+    n = 300
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    fwd = (spark.range(n - 1)
+           .select(F.col("id").alias("src"),
+                   (F.col("id") + 1).alias("dst")))
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seed = nodes.select("doc_id", F.col("doc_id").alias("component"))
+    out = propagate_min_labels(seed, edges)   # default max_rounds=20
+    got = {r.doc_id: r.component for r in out.collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_propagate_min_labels_two_components_star_chain(spark):
+    """Mixed shapes: a chained-hubs graph (stars whose hubs form a
+    path, the q167 sf0.1 failure shape) plus a disjoint component with
+    a non-zero minimum; labels must not bleed across components."""
+    from oanda_stream_processor_spark.operators.dedup import (
+        propagate_min_labels,
+    )
+    # component A: 30 hubs 0..29 chained, each hub h also linked to
+    # leaves 1000+10h .. 1000+10h+9 -> min label 0, diameter ~60
+    pairs = [(h, h + 1) for h in range(29)]
+    pairs += [(h, 1000 + 10 * h + j) for h in range(30) for j in range(10)]
+    # component B: path 5000..5040 -> min label 5000
+    pairs += [(i, i + 1) for i in range(5000, 5040)]
+    e = spark.createDataFrame(pairs, "src: long, dst: long")
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    nodes = (edges.select(F.col("src").alias("doc_id")).distinct())
+    seed = nodes.select("doc_id", F.col("doc_id").alias("component"))
+    got = {r.doc_id: r.component
+           for r in propagate_min_labels(seed, edges).collect()}
+    for d, c in got.items():
+        assert c == (5000 if d >= 5000 else 0), (d, c)

@@ -1,7 +1,8 @@
 #!/bin/bash
 # End-of-round records sequence (run each step ALONE — bench/scale
 # timings assume no concurrent Spark process). Usage:
-#   bash tools/record_round.sh <round>   # e.g. 8
+#   bash tools/record_round.sh <round>   # e.g. 8 or 08 (zero-padded
+#   automatically: round 9 -> ORACLE_LOCAL_r09.txt)
 # Produces/refreshes: ORACLE_LOCAL_r{N}.txt, SCALE_SWEEP_r{N}.json,
 # BENCH_LOCAL_r{N}.json, PARALLELISM_r{N}.txt, and appends the dtype
 # audit to ORACLE_VERSIONS.txt. After it finishes: regenerate the
@@ -9,9 +10,23 @@
 # BASELINE.md via tools/gen_baseline_table.py if bench moved, and
 # `wc -l` every record file before the final commit (background runs
 # must not leave partial output).
+#
+# On ANY failure the trap deletes every output file this run created —
+# a record either covers the full suite or does not exist (round 9
+# died mid-script and left a partial single-SF oracle record committed
+# next to the canonical tri-SF one; never again).
 set -euo pipefail
 cd "$(dirname "$0")/.."
-N=${1:?round number}
+N=$(printf '%02d' "$((10#${1:?round number}))")
+
+OUTS=("ORACLE_LOCAL_r${N}.txt" "SCALE_SWEEP_r${N}.json" \
+      "SCALE_SWEEP_r${N}.log" "BENCH_LOCAL_r${N}.json" \
+      "PARALLELISM_r${N}.txt")
+cleanup_on_fail() {
+  echo "record_round.sh FAILED — deleting partial outputs: ${OUTS[*]}" >&2
+  rm -f "${OUTS[@]}"
+}
+trap cleanup_on_fail ERR
 
 {
   echo "=== sf0.001 ==="
