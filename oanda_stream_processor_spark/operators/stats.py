@@ -318,6 +318,34 @@ def hist_buckets(li: DataFrame) -> DataFrame:
     return hist_buckets_of(li.select(_cents().alias("cents")), "cents")
 
 
+def exact_kth_by_bucket(vals: DataFrame, col: str,
+                        hits: DataFrame) -> DataFrame:
+    """Distributed exact-kth via the histogram CDF (two-phase exact
+    quantile): ``hits`` is a tiny (pct, bucket, cum_before,
+    target_rank) frame from hist_quantiles — the CDF already proves
+    the k-th overall value lives in that bucket (clamping is monotone,
+    so bucket order == value order up to ties inside one bucket), so
+    the exact value is the (target_rank - cum_before)-th smallest
+    value WITHIN the hit bucket: a broadcast join keeping only
+    ~n/HIST_NB candidate rows per pct + one bounded window. Replaces
+    the round-9 driver-sequenced TakeOrdered loop whose k ≈ n/2
+    funneled half the dataset through one reducer; zero ``.collect``,
+    no global sort."""
+    from pyspark.sql import Window as W
+    c = F.col(col)
+    clamped = F.greatest(F.lit(HIST_LO), F.least(F.lit(HIST_HI - 1), c))
+    width = (HIST_HI - HIST_LO) // HIST_NB
+    bucket = (((clamped - HIST_LO) - (clamped - HIST_LO) % width) / width
+              ).cast("bigint")
+    cand = (vals.select(c.alias("v"), bucket.alias("bucket"))
+            .join(F.broadcast(hits.select("pct", "bucket", "cum_before",
+                                          "target_rank")), "bucket"))
+    wq = W.partitionBy("pct").orderBy("v")
+    return (cand.withColumn("rk", F.row_number().over(wq))
+            .where(F.col("rk") == F.col("target_rank") - F.col("cum_before"))
+            .select("pct", F.col("v").alias("exact_v")))
+
+
 def hist_quantiles(buckets: DataFrame, pcts=HIST_PCTS) -> DataFrame:
     """(pct, n_total, target_rank, bucket, bucket_lo, bucket_hi,
     cum_before, bucket_n, est_cents) for HIST_PCTS from a merged
@@ -409,32 +437,21 @@ FROM sk s JOIN ex ON s.pct = ex.pct
 """)
 def q172_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    sk = hist_quantiles(hist_buckets(li))
-    # exact kth values (QA yardstick): per target rank, take the
-    # smaller of (k asc / n-k+1 desc) through TakeOrderedAndProject —
-    # never a full global sort. Driver traffic is three (pct, rank)
-    # rows + three scalars (yardstick orchestration only, ledgered
-    # like q135's exact cutoff); the SKETCH path above collects
-    # nothing
+    sk = hist_quantiles(hist_buckets(li)).localCheckpoint(eager=True)
+    # exact kth values (QA yardstick), fully distributed: the CDF walk
+    # above already names the hit bucket per pct, so exact_kth_by_bucket
+    # ranks only the ~n/HIST_NB rows inside it — one plan, no driver
+    # loop, no TakeOrdered funnel (round-10 rewrite of the r9 loop).
+    # The checkpoint materializes the 3-row sketch once for both
+    # consumers (output + hit-bucket broadcast).
     cents = li.select(_cents().alias("cents"))
-    targets = [r for r in sk.select("pct", "target_rank", "n_total")
-               .collect()]
-    rows = []
-    for r in targets:
-        k, n = r.target_rank, r.n_total
-        if k <= n - k + 1:
-            v = (cents.orderBy(F.asc("cents")).limit(int(k))
-                 .agg(F.max("cents").alias("v")).collect()[0].v)
-        else:
-            v = (cents.orderBy(F.desc("cents")).limit(int(n - k + 1))
-                 .agg(F.min("cents").alias("v")).collect()[0].v)
-        rows.append((int(r.pct), int(v)))
-    ex = spark.createDataFrame(rows, "pct int, exact_cents bigint")
+    ex = exact_kth_by_bucket(cents, "cents", sk)
     return (sk.join(F.broadcast(ex), "pct")
             .select("pct", "n_total", "target_rank", "bucket",
                     "bucket_lo", "bucket_hi", "cum_before", "bucket_n",
-                    "est_cents", "exact_cents",
-                    (F.col("est_cents") - F.col("exact_cents"))
+                    "est_cents",
+                    F.col("exact_v").cast("bigint").alias("exact_cents"),
+                    (F.col("est_cents") - F.col("exact_v"))
                     .cast("bigint").alias("err_cents")))
 
 
@@ -534,40 +551,36 @@ def q173_hist_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .helpers import exact_tdiv
     li = load_table(spark, sf_dir, "lineitem")
     cents = li.select(_cents().alias("cents"))
-    med = (hist_quantiles(hist_buckets(li), pcts=(50,))
-           .select(F.col("est_cents").alias("med_est"),
-                   F.col("n_total"),
-                   F.col("target_rank").alias("med_rank")))
+    med_sk = (hist_quantiles(hist_buckets(li), pcts=(50,))
+              .localCheckpoint(eager=True))  # sketch + hit-bucket feed
+    med = med_sk.select(F.col("est_cents").alias("med_est"),
+                        F.col("n_total"),
+                        F.col("target_rank").alias("med_rank"))
     dev = (cents.join(F.broadcast(med))
            .select(F.abs(F.col("cents") - F.col("med_est")).alias("d")))
-    mad = (hist_quantiles(hist_buckets_of(dev, "d"), pcts=(50,))
-           .select(F.col("est_cents").alias("mad_est")))
+    mad_sk = (hist_quantiles(hist_buckets_of(dev, "d"), pcts=(50,))
+              .localCheckpoint(eager=True))
+    mad = mad_sk.select(F.col("est_cents").alias("mad_est"))
     outl = (dev.join(F.broadcast(mad))
             .where(F.col("d") > MAD_K * F.col("mad_est"))
             .agg(F.count("*").alias("n_outliers")))
-    # exact med / MAD QA yardsticks: kth via TakeOrderedAndProject on
-    # the smaller rank side (two driver scalars, q172 discipline)
-    r = med.collect()[0]
-    k, n = int(r.med_rank), int(r.n_total)
-
-    def kth(df, col):
-        if k <= n - k + 1:
-            return (df.orderBy(F.asc(col)).limit(k)
-                    .agg(F.max(col).alias("v")).collect()[0].v)
-        return (df.orderBy(F.desc(col)).limit(n - k + 1)
-                .agg(F.min(col).alias("v")).collect()[0].v)
-
-    exact_med = int(kth(cents, "cents"))
-    exact_mad = int(kth(dev, "d"))
-    ex = spark.createDataFrame(
-        [(exact_med, exact_mad)], "exact_med bigint, exact_mad bigint")
+    # exact med / MAD QA yardsticks, fully distributed (round-10
+    # rewrite): each CDF walk names its hit bucket, exact_kth_by_bucket
+    # ranks only that bucket's rows — no driver scalars, no TakeOrdered
+    exact_med = (exact_kth_by_bucket(cents, "cents", med_sk)
+                 .select(F.col("exact_v").alias("exact_med")))
+    exact_mad = (exact_kth_by_bucket(dev, "d", mad_sk)
+                 .select(F.col("exact_v").alias("exact_mad")))
     return (med.crossJoin(F.broadcast(mad))
             .crossJoin(F.broadcast(outl))
-            .crossJoin(F.broadcast(ex))
-            .select("n_total", "med_est", "exact_med",
+            .crossJoin(F.broadcast(exact_med))
+            .crossJoin(F.broadcast(exact_mad))
+            .select("n_total", "med_est",
+                    F.col("exact_med").cast("bigint").alias("exact_med"),
                     (F.col("med_est") - F.col("exact_med")).cast("bigint")
                     .alias("err_med"),
-                    "mad_est", "exact_mad",
+                    "mad_est",
+                    F.col("exact_mad").cast("bigint").alias("exact_mad"),
                     (F.col("mad_est") - F.col("exact_mad")).cast("bigint")
                     .alias("err_mad"),
                     F.lit(MAD_K).alias("mad_k"), "n_outliers",

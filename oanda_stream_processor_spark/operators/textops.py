@@ -825,6 +825,38 @@ def q157_winnow_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 # min-label loop — one shuffle-join + one agg per round, O(component
 # diameter) rounds, and verified-dup components are shallow.
 # ---------------------------------------------------------------------------
+def winnow_verified_star_edges(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Verified (doc_a, doc_b) substring-dup star edges — q167's
+    recall+verify stages, shared with q174's unified component build.
+    Recall: one fp-partitioned window emits distinct (hub, doc) star
+    candidates, O(postings). Verify: exact shared-fp counts for
+    candidate pairs only (|cand| x fps/doc, never n^2), then the
+    MIN_SHARED / containment-ppm cuts. Returns an eagerly-checkpointed
+    frame (multiple consumers: both union directions, q174)."""
+    fps = _winnow_postings(spark, sf_dir)
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n"))
+    cand = (fps.withColumn("hub", F.min("doc_id").over(W.partitionBy("fp")))
+               .where(F.col("doc_id") != F.col("hub"))
+               .select(F.col("hub").alias("doc_a"),
+                       F.col("doc_id").alias("doc_b"))
+               .distinct())
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    ns = (cand.join(a, "doc_a").join(b, ["doc_b", "fp"])
+              .groupBy("doc_a", "doc_b")
+              .agg(F.count("*").alias("n_shared"))
+              .where(F.col("n_shared") >= MIN_SHARED))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    num = F.col("n_shared").cast("decimal(38,0)") * 1_000_000
+    den = F.least(F.col("na"), F.col("nb"))
+    return (ns.join(sa, "doc_a").join(sb, "doc_b")
+              .where(exact_tdiv(num, den) >= MIN_CONTAIN_PPM)
+              .select("doc_a", "doc_b")
+              .localCheckpoint(eager=True))
+
+
 @query("q167_winnow_components", f"""
 WITH RECURSIVE {_SQL_WINNOW_SHARED},
 hubbed AS (
@@ -863,31 +895,7 @@ def q167_winnow_components(spark: SparkSession, sf_dir: str,
     the exact counts ONLY for candidate pairs (the q57 verify shape),
     which is the scalable plan."""
     from .dedup import propagate_min_labels
-    fps = _winnow_postings(spark, sf_dir)
-    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n"))
-    # recall stage: distinct (hub, doc) star candidates, O(postings)
-    cand = (fps.withColumn("hub", F.min("doc_id").over(W.partitionBy("fp")))
-               .where(F.col("doc_id") != F.col("hub"))
-               .select(F.col("hub").alias("doc_a"),
-                       F.col("doc_id").alias("doc_b"))
-               .distinct())
-    # verify stage: exact shared-fp count for candidate pairs only —
-    # the join expands each candidate by doc_a's fp set, then matches
-    # doc_b's postings on (doc_b, fp); cost |cand| x fps/doc, never n^2
-    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
-    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
-    ns = (cand.join(a, "doc_a").join(b, ["doc_b", "fp"])
-              .groupBy("doc_a", "doc_b")
-              .agg(F.count("*").alias("n_shared"))
-              .where(F.col("n_shared") >= MIN_SHARED))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    num = F.col("n_shared").cast("decimal(38,0)") * 1_000_000
-    den = F.least(F.col("na"), F.col("nb"))
-    pairs = (ns.join(sa, "doc_a").join(sb, "doc_b")
-               .where(exact_tdiv(num, den) >= MIN_CONTAIN_PPM)
-               .select("doc_a", "doc_b")
-               .localCheckpoint(eager=True))  # both union sides below
+    pairs = winnow_verified_star_edges(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     edges = (pairs.select(F.col("doc_a").alias("src"),
                           F.col("doc_b").alias("dst"))
@@ -1371,3 +1379,108 @@ def _fill_q170_oracle() -> None:
 
 
 _fill_q170_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q174 — unified dedup components: connected components over the UNION
+# of the two verified edge families the engine produces — q57's
+# jaccard-verified LSH near-dup pairs and q167's containment-verified
+# substring star edges. A real curation pipeline wants ONE cluster set
+# ("these docs are duplicates, by either evidence"), not two parallel
+# partitions; this is that set, feeding the same keep-one ranking the
+# q55/q167 families already use.
+#
+# Scale: both edge feeds are the already-audited O(postings)-bounded
+# builders (q57 verify-only-candidates, q167 star recall + candidate
+# verify); the union is |edges_a| + |edges_b| rows; propagation is the
+# pointer-doubled O(log diameter) loop over the ACTIVE subgraph only.
+# Nothing here introduces a new corpus-sized shuffle.
+#
+# Oracle: one recursive-CTE reachability closure over the SQL union of
+# the two engines' edge CTEs (q57's verified filter spelled inline with
+# lsh_-prefixed names to avoid colliding with the winnow chain's
+# `sizes`).
+# ---------------------------------------------------------------------------
+def _q174_oracle() -> str:
+    from .dedup import _CANDIDATES_SQL, SQL_SHINGLE_HASHES
+    return f"""
+WITH RECURSIVE
+{_CANDIDATES_SQL},
+lsh_shs AS (SELECT DISTINCT doc_id, sh FROM ({SQL_SHINGLE_HASHES})),
+lsh_sizes AS (SELECT doc_id, COUNT(*) AS n FROM lsh_shs GROUP BY doc_id),
+lsh_inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+  FROM pairs p
+  JOIN lsh_shs a ON a.doc_id = p.doc_a
+  JOIN lsh_shs b ON b.doc_id = p.doc_b AND b.sh = a.sh
+  GROUP BY p.doc_a, p.doc_b),
+lsh_ver AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pairs p
+  JOIN lsh_inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+  JOIN lsh_sizes sa ON sa.doc_id = p.doc_a
+  JOIN lsh_sizes sb ON sb.doc_id = p.doc_b
+  WHERE i.i >= 1
+    AND CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.05),
+{_SQL_WINNOW_SHARED},
+hubbed AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS hub
+  FROM fps),
+wcand AS (
+  SELECT DISTINCT hub AS doc_a, doc_id AS doc_b
+  FROM hubbed WHERE doc_id <> hub),
+wver AS (
+  SELECT c.doc_a, c.doc_b
+  FROM wcand c
+  JOIN shared s ON s.doc_a = c.doc_a AND s.doc_b = c.doc_b
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+  WHERE CAST((s.n_shared * 1000000
+              - (s.n_shared * 1000000) % LEAST(sa.n, sb.n))
+             / LEAST(sa.n, sb.n) AS BIGINT) >= {MIN_CONTAIN_PPM}),
+uni AS (SELECT doc_a, doc_b FROM lsh_ver
+        UNION SELECT doc_a, doc_b FROM wver),
+edges(src, dst) AS (
+  SELECT doc_a, doc_b FROM uni UNION ALL SELECT doc_b, doc_a FROM uni),
+reach(doc, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.doc = e.src)
+SELECT doc AS doc_id, MIN(r) AS component,
+       (doc = MIN(r)) AS is_canonical
+FROM reach GROUP BY doc
+"""
+
+
+@query("q174_unified_components", "{Q174}")
+def q174_unified_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Components over verified-LSH ∪ verified-star edges (see block
+    comment); same output contract as q55/q167 so the existing
+    keep-one view consumes it unchanged."""
+    from .dedup import propagate_min_labels, q57_lsh_verified_pairs
+    lsh = (q57_lsh_verified_pairs(spark, sf_dir)
+           .where(F.col("verified")).select("doc_a", "doc_b"))
+    star = winnow_verified_star_edges(spark, sf_dir)
+    uni = lsh.unionByName(star)   # duplicates are harmless to a fixpoint
+    edges = (uni.select(F.col("doc_a").alias("src"),
+                        F.col("doc_b").alias("dst"))
+             .unionByName(uni.select(F.col("doc_b").alias("src"),
+                                     F.col("doc_a").alias("dst"))))
+    active = edges.select(F.col("src").alias("doc_id")).distinct()
+    seed = active.select("doc_id", F.col("doc_id").alias("component"))
+    labels = propagate_min_labels(seed, edges)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    full = (docs.join(labels, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("component", F.col("doc_id"))
+                     .alias("component")))
+    return full.select(
+        "doc_id", "component",
+        (F.col("doc_id") == F.col("component")).alias("is_canonical"))
+
+
+def _fill_q174_oracle() -> None:
+    ORACLES["q174_unified_components"] = _q174_oracle()
+
+
+_fill_q174_oracle()
