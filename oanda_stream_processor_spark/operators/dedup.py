@@ -440,67 +440,128 @@ pairs AS (
    AND a.doc_id < b.doc_id)
 """
 
+def _round_barrier(df: DataFrame) -> DataFrame:
+    """Per-iteration materialization barrier for loop-carried frames:
+    localCheckpoint truncates LINEAGE, and the cache on top replaces
+    the checkpoint's carried-over origin STATISTICS with the actual
+    materialized byte size.  Both are required: localCheckpoint alone
+    preserves originStats, and because Catalyst's size-in-bytes
+    estimate for a join is the PRODUCT of its children, a loop that
+    self-joins its carried frame squares that BigInt every round —
+    the bit-length grows geometrically until the driver burns minutes
+    in BigInteger.multiply on a 2k-row frame (measured round-10:
+    0.4 s/round flat with this barrier vs 0.5→37→153 s/round without).
+    The caller must materialize (any action) and later unpersist."""
+    return df.localCheckpoint(eager=True).cache()
+
+
+def star_components(edges: DataFrame, *, max_rounds: int = 20) -> DataFrame:
+    """Connected components of an undirected graph via alternating
+    large-star / small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"): per round, every node hangs
+    its larger neighbors (large-star), then its smaller neighbors
+    (small-star), onto the minimum of its neighborhood.  The edge set
+    never grows and converges to per-component stars rooted at the
+    component minimum in O(log^2 n) rounds (≤ 8 observed on
+    diameter-299 adversarial paths) — the 100 TB-correct round bound.
+    One-hop min-label flooding (the round-9 shape) and naive
+    pointer-doubling are both Θ(diameter) on adversarial id layouts:
+    doubling cannot jump past a local-minimum id, so a random id
+    permutation along a chain degrades it to flooding; star
+    contraction rewires the GRAPH instead of the labels and has no
+    such barrier.
+
+    ``edges``: directed symmetric (src, dst).  Returns (doc_id, rep)
+    for every node incident to an edge, rep = min node id of its
+    component.  Each round is two bounded groupBy-joins over the
+    current edge set; loop-carried frames go through _round_barrier."""
+    cur = _round_barrier(
+        edges.where(F.col("src") > F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .distinct())
+    n_cur = cur.count()
+    prev = None
+    for _ in range(max_rounds):
+        sym = (cur.select(F.col("a").alias("u"), F.col("b").alias("v"))
+               .unionByName(cur.select(F.col("b").alias("u"),
+                                       F.col("a").alias("v"))))
+        # large-star: center u, m = min(Γ(u) ∪ {u}); hang v > u on m
+        lm = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+              .select("u", F.least("u", "mn").alias("m")))
+        large = (sym.join(lm, "u").where(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("a"), F.col("m").alias("b"))
+                 .distinct())
+        # small-star: center a (larger endpoint), m = min smaller nbr;
+        # re-hang all smaller neighbors and the center itself on m
+        sm = large.groupBy("a").agg(F.min("b").alias("m"))
+        smj = large.join(sm, "a")
+        out = _round_barrier(
+            smj.where(F.col("b") != F.col("m"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .unionByName(smj.select("a", F.col("m").alias("b")))
+            .distinct())
+        n_out = out.count()
+        changed = (n_out != n_cur) or out.exceptAll(cur).limit(1).count() > 0
+        if prev is not None:
+            prev.unpersist()
+        prev, cur, n_cur = cur, out, n_out
+        if not changed:
+            break
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_rounds} rounds "
+            "(needs ~log^2 of the largest component — almost certainly "
+            "a bug, not data)")
+    sym = (cur.select(F.col("a").alias("u"), F.col("b").alias("v"))
+           .unionByName(cur.select(F.col("b").alias("u"),
+                                   F.col("a").alias("v"))))
+    return (sym.groupBy("u").agg(F.min("v").alias("mn"))
+            .select(F.col("u").alias("doc_id"),
+                    F.least("u", "mn").alias("rep")))
+
+
 def propagate_min_labels(labels: DataFrame, edges: DataFrame,
                          *, max_rounds: int = 20) -> DataFrame:
-    """Fixpoint min-label propagation WITH pointer-doubling:
-    (doc_id, component) seed labels + directed (src, dst) edges ->
-    converged labels (every doc's label = min seed label reachable in
-    its component).
+    """(doc_id, component) seed labels + directed symmetric (src, dst)
+    edges -> converged labels: every doc's label = min seed label
+    reachable in its component.  Seed labels may be EXTERNAL
+    references (the streaming incremental updater seeds batch docs
+    with matched index-component ids), so the component structure and
+    the label minimum are computed separately:
 
-    Each round combines TWO candidate-label feeds before the min-agg:
-      1. one-hop neighbor min (edges ⋈ labels, the classic BFS step);
-      2. pointer-doubling (labels ⋈ labels on component == doc_id:
-         ``label ← label[label]``) — every seed label is itself an
-         active doc_id (all call sites seed component = doc_id over the
-         active node set and labels only ever take the min over such
-         ids), so a node whose label is k hops from the component min
-         jumps to that node's current label, roughly doubling the
-         propagated distance per round.
-    Together convergence takes O(log diameter) rounds instead of
-    O(diameter) — the only shape that survives a 100 TB corpus whose
-    substring-dup chains can be thousands of docs long (cf. Kiveris et
-    al. "Connected Components in MapReduce and Beyond", large-star /
-    small-star, which has the same O(log d) round bound).
+      1. star_components contracts the edge graph to per-node
+         representatives in O(log^2 n) rounds (see its docstring for
+         why flooding/pointer-doubling are Θ(diameter) and rejected);
+      2. one groupBy takes the min seed label per component and one
+         join fans it back to members; isolated seeds keep their own;
+      3. a one-hop VALIDATION pass over the original edges asserts
+         the result is a flooding fixpoint (no neighbor has a smaller
+         label) — star contraction is subtle enough that the engine
+         re-proves it per run rather than trusting it; cost is one
+         extra bounded join.
 
-    Correctness: labels are monotone non-increasing, every candidate
-    label is a node id inside the same component, and the combined
-    operator's fixpoint implies the one-hop fixpoint (labels constant
-    across every edge ⇒ constant per component ⇒ equal to the
-    component min, the only reachable lower bound).  One
-    localCheckpoint per round materializes ``merged`` exactly once;
-    both the next round's labels AND the convergence flag read the
-    checkpointed blocks, so each round is two shuffle-joins + one agg
-    over the ACTIVE subgraph only.  Exhausting the budget raises
-    rather than silently returning unconverged labels (with doubling,
-    20 rounds covers diameters ~2^20 — unreachable in practice).
     Shared by q55/q167/q174 (corpus bootstrap) and the streaming
     incremental component updates (tiny per-batch subgraphs)."""
-    for _ in range(max_rounds):
-        neigh = (edges.join(labels, edges.src == labels.doc_id)
-                 .select(F.col("dst").alias("doc_id"),
-                         F.col("component").alias("n_comp")))
-        # pointer-doubling feed: my label's current label.  Inner join —
-        # a label value absent from the frame (impossible for the
-        # doc_id-seeded call sites, but harmless) simply contributes no
-        # candidate and the row falls back to one-hop propagation.
-        ptr = (labels.alias("pa")
-               .join(labels.alias("pb"),
-                     F.col("pa.component") == F.col("pb.doc_id"))
-               .select(F.col("pa.doc_id").alias("doc_id"),
-                       F.col("pb.component").alias("n_comp")))
-        merged = (labels.join(neigh.unionByName(ptr), "doc_id", "left")
-                  .groupBy("doc_id")
-                  .agg(F.least(F.min("component"), F.min("n_comp")).alias("new_comp"),
-                       F.min("component").alias("old_comp"))
-                  .localCheckpoint(eager=True))  # one materialization per round
-        labels = merged.select(
-            "doc_id", F.coalesce("new_comp", "old_comp").alias("component"))
-        if merged.where(F.col("new_comp") < F.col("old_comp")).limit(1).count() == 0:
-            return labels
-    raise RuntimeError(
-        f"components did not converge in {max_rounds} rounds; "
-        "with pointer-doubling that implies a component diameter "
-        f"around 2^{max_rounds} — almost certainly a bug, not data")
+    rep = star_components(edges, max_rounds=max_rounds)
+    lbl = (labels.join(rep, "doc_id", "left")
+           .select("doc_id", "component",
+                   F.coalesce("rep", F.col("doc_id")).alias("rep")))
+    gmin = lbl.groupBy("rep").agg(F.min("component").alias("comp_min"))
+    out = (lbl.join(gmin, "rep")
+           .select("doc_id", F.col("comp_min").alias("component"))
+           .localCheckpoint(eager=True))  # validated + multi-consumed below
+    neigh = (edges.join(out, edges.src == out.doc_id)
+             .select(F.col("dst").alias("doc_id"),
+                     F.col("component").alias("n_comp")))
+    bad = (out.join(neigh, "doc_id")
+           .where(F.col("n_comp") < F.col("component"))
+           .limit(1).count())
+    if bad:
+        raise RuntimeError(
+            "star-contraction labels failed the one-hop fixpoint "
+            "validation — component labels would be wrong; refusing "
+            "to return them")
+    return out
 
 
 @query("q55_dedup_components", f"""
