@@ -165,7 +165,17 @@ def gram_array(d: DataFrame, *keep: str) -> DataFrame:
         f"* {SB} + element_at(th, i + 2)) % {HM} "
         f"* {SB} + element_at(th, i + 3)) % {HM} "
         f"* {SB} + element_at(th, i + 4)) % {HM}))")
-    return th.select(*cols, gram.alias("ghs"))
+    # Lazy materialization barrier (round-10 finding): without it,
+    # downstream explode()/slice() consumers inline this whole chain
+    # into the Generate/probe pipeline and the per-token aggregate()
+    # char fold gets re-evaluated per OUTPUT row — measured 0.35 ms
+    # per emitted gram (one full-document fold each) = 88 s to explode
+    # a 250k-gram corpus vs 0.9 s with the barrier. The checkpoint
+    # stores exactly the (keep, ghs) rows the consumers need anyway
+    # (linear in distinct grams, spillable), evaluates once per doc on
+    # first action, and is valid inside foreachBatch bodies (all
+    # streaming consumers are foreachBatch gates).
+    return th.select(*cols, gram.alias("ghs")).localCheckpoint(eager=False)
 
 
 def gram_hashes(d: DataFrame) -> DataFrame:
