@@ -670,22 +670,29 @@ def winnow_fingerprints(d: DataFrame) -> DataFrame:
              .select("doc_id", F.explode(fps_arr).alias("fp")))
 
 
-def _winnow_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Checkpointed winnowed postings with the corpus-relative
-    boilerplate df-cut applied — the materialized winnowed index of
-    the corpus, built once and shared by every consumer (sizes + both
-    self-join sides, in q150 and q157)."""
+def _winnow_postings(spark: SparkSession, sf_dir: str,
+                     materialize: bool = True) -> DataFrame:
+    """Winnowed postings with the corpus-relative boilerplate df-cut
+    applied. ``materialize=True`` (default) eagerly checkpoints —
+    right for every MULTI-consumer plan (q150: sizes + both self-join
+    sides; q167/q174: sizes + candidates + both verify sides), where
+    it is the materialized winnowed index of the corpus built once.
+    Single-pass consumers (q157: one window + one agg) MUST pass
+    ``materialize=False``: paying a full postings write for a plan
+    that reads them once tripled q157's x10 wall-clock when the
+    checkpoint first landed unconditionally (r10 sweep: 6.7 s -> 20.4 s
+    at x10; re-measured 5.7 s / factor 1.86 after this flag)."""
     allfps = winnow_fingerprints(load_table(spark, sf_dir, "documents"))
     # boilerplate df-cut via ONE window over the postings' own
     # fp-exchange (the q87 one-shuffle pattern); the cut scalar is a
     # one-row broadcast, no driver collect
     cut = (load_table(spark, sf_dir, "documents")
            .agg(F.ceil(FP_DF_FRAC * F.count("*")).alias("c")))
-    return (allfps.withColumn("df", F.count("*").over(W.partitionBy("fp")))
-                  .crossJoin(F.broadcast(cut))
-                  .where(F.col("df") <= F.col("c"))
-                  .select("doc_id", "fp")
-                  .localCheckpoint(eager=True))
+    out = (allfps.withColumn("df", F.count("*").over(W.partitionBy("fp")))
+                 .crossJoin(F.broadcast(cut))
+                 .where(F.col("df") <= F.col("c"))
+                 .select("doc_id", "fp"))
+    return out.localCheckpoint(eager=True) if materialize else out
 
 
 def _winnow_shared(fps: DataFrame) -> DataFrame:
@@ -781,8 +788,9 @@ SELECT doc_a, doc_b, CAST(n_fps AS BIGINT) AS n_fps FROM edges
 def q157_winnow_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-fingerprint star edges (doc_a = hub = min sharing doc_id,
     doc_b, n_fps = fingerprints linking the two) — the output-bounded
-    clustering feed (see block comment)."""
-    fps = _winnow_postings(spark, sf_dir)
+    clustering feed (see block comment). Single-pass plan (one window
+    + one agg over the postings), so the index is NOT materialized."""
+    fps = _winnow_postings(spark, sf_dir, materialize=False)
     return (fps.withColumn("hub", F.min("doc_id").over(W.partitionBy("fp")))
                .where(F.col("doc_id") != F.col("hub"))
                .select(F.col("hub").alias("doc_a"),
