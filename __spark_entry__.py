@@ -24,6 +24,7 @@ from oanda_stream_processor_spark.operators import (
     llmprep,
     multimodal,
     relational,
+    retrieval,
     scalar,
     similarity,
     stats,
@@ -48,6 +49,7 @@ _MODULES = [
     llmprep,
     curation,
     behavior,
+    retrieval,
 ]
 
 

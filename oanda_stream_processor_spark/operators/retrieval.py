@@ -1,0 +1,259 @@
+"""Lexical retrieval (BM25) and rank fusion (north-star extension;
+SURVEY.md §2.2 LLM-pipeline family — the retrieval side of a training-
+data curation stack: BM25 top-k selects lexically relevant documents,
+reciprocal-rank fusion combines the lexical ranking with the embedding
+(q45-style cosine) ranking into one hybrid candidate list).
+
+Semantics
+---------
+* q175 — BM25 (Lucene/Okapi variant) doc-as-query retrieval: documents
+  with ``doc_id < N_QUERIES`` act as queries; every OTHER document is a
+  candidate.  score(q, d) = Σ_{t ∈ distinct(q)} idf(t) · tf(t,d)·(k1+1)
+  / (tf(t,d) + k1·(1 − b + b·|d|/avgdl)), idf(t) = ln(1 + (N − df + ½)
+  / (df + ½)).  Top TOP_K per query, ranked by score then cand_id.
+* q176 — reciprocal-rank fusion of the BM25 pool and the cosine pool
+  (rank lists of POOL each): rrf = Σ_ranker 1/(RRF_K + rank), a ranker
+  missing the pair contributes 0 (classic RRF, Cormack et al. 2009).
+
+Cross-engine determinism
+------------------------
+Per-term BM25 contributions are snapped to 1e-6 fixed-point BIGINTs
+(``ROUND(w · 1e6)``) BEFORE the per-(query, cand) sum, so the reduce is
+exact integer addition — order-free under any shuffle/AQE plan and
+bit-identical across Spark and DuckDB (the scalar expression trees are
+mirrored token for token; ln/÷ agree to well under the 1e-6 snap).
+RRF scores are two-term double sums over integer ranks in a fixed
+operand order — bit-identical by construction.
+
+Scale notes (100 TB)
+--------------------
+* tf / df / doc-length are map-side-combinable groupBys; corpus stats
+  (N, Σdl) are ONE-ROW broadcast frames — no driver-side count() action.
+* The query-term set is |queries|·|vocab|-bounded; AQE broadcasts it
+  from measured size (no manual hint — repo rule for aggregate-topped
+  frames), so the candidate-side tf table (the 100 TB side) probes a
+  broadcast hash table instead of shuffling for the fan-out.
+* Top-k pooling is an EXACT two-stage rank: a salted partial top-POOL
+  per (query, salt) bounds every window partition to POOL·N_SALT rows
+  before the final per-query rank — no single-reducer window over the
+  full corpus (any global top-POOL row is top-POOL inside its salt
+  bucket, so stage 1 never drops a survivor).
+* RRF joins two POOL-bounded rank lists — trivially broadcastable.
+
+Reference parity: the reference engine exposes no retrieval operators
+(src/main.rs is a tick-stream processor); this family is part of the
+north-star LLM-pipeline surface, oracled like every other query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from .similarity import sql_cosine, _cosine
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+N_QUERIES = 10   # query set = doc_id < 10 (mirrors q45's vec_id < 10)
+POOL = 20        # per-ranker candidate pool fed into the fusion
+TOP_K = 10       # rows returned per query
+RRF_K = 60       # classic RRF damping constant
+BM25_K1 = 1.2
+BM25_B = 0.75
+FP = 1_000_000.0  # fixed-point snap for the per-term contribution
+N_SALT = 32      # stage-1 salt fan-out for the exact two-stage top-k
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# --- exact two-stage top-k ranking ------------------------------------------
+
+def _pool_rank(scored: DataFrame, order_cols, pool: int) -> DataFrame:
+    """Exact top-``pool`` per query_id without a full-corpus window
+    partition: stage 1 ranks within (query_id, crc32(cand_id) % N_SALT)
+    and keeps ``pool`` rows per bucket, stage 2 ranks the ≤ pool·N_SALT
+    survivors per query.  Exact because every global top-``pool`` row is
+    also top-``pool`` within its own salt bucket."""
+    salt = F.pmod(F.crc32(F.col("cand_id").cast("string")), F.lit(N_SALT))
+    w1 = W.partitionBy("query_id", salt).orderBy(*order_cols)
+    w2 = W.partitionBy("query_id").orderBy(*order_cols)
+    return (scored
+            .withColumn("_r1", F.row_number().over(w1))
+            .where(F.col("_r1") <= pool).drop("_r1")
+            .withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= pool))
+
+
+# --- BM25 --------------------------------------------------------------------
+
+def _bm25_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, cand_id, fp_sum, rank ≤ POOL) — the BM25 candidate
+    pool.  fp_sum is the exact BIGINT sum of 1e-6-snapped per-term
+    contributions (see module docstring)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    tok = d.select("doc_id", F.explode(toks).alias("term"))
+
+    # everything below derives from the ONE (doc, term) aggregate: tf has
+    # one row per pair, so COUNT(*) per term IS the document frequency
+    # and SUM(tf) per doc IS the document length — no second pass over
+    # the exploded token stream.
+    tf = (tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+          .withColumnRenamed("doc_id", "cand_id"))
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    dl = tf.groupBy("cand_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"),
+                   F.sum("dl").alias("sum_dl"))
+    qterms = (tf.where(F.col("cand_id") < N_QUERIES)
+              .select(F.col("cand_id").alias("query_id"), "term"))
+
+    # expression trees mirror the DuckDB oracle token for token
+    idf = F.log(F.lit(1.0)
+                + ((F.col("n_docs") - F.col("df")) + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    norm = ((F.col("tf") * F.lit(BM25_K1 + 1.0))
+            / (F.col("tf")
+               + F.lit(BM25_K1) * (F.lit(1.0) - F.lit(BM25_B)
+                                   + F.lit(BM25_B) * (F.col("dl") / avgdl))))
+    fp = F.round(idf * norm * F.lit(FP)).cast("long")
+
+    # attach per-candidate stats BEFORE the ×N_QUERIES fan-out so the
+    # dl/df joins move one row per (doc, term), not per (query, doc,
+    # term). qterms is |queries|·|vocab|-bounded by its doc_id filter
+    # but UNHINTED per the repo rule (its topmost aggregate groups by a
+    # doc/term-cardinality key): AQE broadcasts it from measured size.
+    contrib = (tf
+               .join(dl, "cand_id")
+               .join(dfq, "term")
+               .join(qterms, "term")
+               .where(F.col("cand_id") != F.col("query_id"))
+               .crossJoin(F.broadcast(stats))
+               .select("query_id", "cand_id", fp.alias("fp")))
+    agg = (contrib.groupBy("query_id", "cand_id")
+           .agg(F.sum("fp").alias("fp_sum")))
+    return _pool_rank(agg, [F.desc("fp_sum"), F.asc("cand_id")], POOL)
+
+
+SQL_BM25_POOL = f"""
+WITH t AS (SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '),
+                                      x -> x <> '') AS toks
+           FROM documents),
+tok AS (SELECT doc_id, UNNEST(toks) AS term FROM t),
+tf AS (SELECT doc_id AS cand_id, term, COUNT(*) AS tf
+       FROM tok GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+dl AS (SELECT cand_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+qterms AS (SELECT cand_id AS query_id, term FROM tf
+           WHERE cand_id < {N_QUERIES}),
+contrib AS (
+  SELECT q.query_id, tf.cand_id,
+         CAST(ROUND(
+           LN(1.0 + ((s.n_docs - d.df) + 0.5) / (d.df + 0.5))
+           * ((tf.tf * {BM25_K1 + 1.0})
+              / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                   + {BM25_B} * (dl.dl / (s.sum_dl / s.n_docs)))))
+           * {FP}) AS BIGINT) AS fp
+  FROM tf
+  JOIN qterms q USING (term)
+  JOIN dfq d USING (term)
+  JOIN dl USING (cand_id)
+  CROSS JOIN stats s
+  WHERE tf.cand_id <> q.query_id),
+agg AS (SELECT query_id, cand_id, SUM(fp) AS fp_sum
+        FROM contrib GROUP BY 1, 2),
+bpool AS (SELECT query_id, cand_id, fp_sum,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY fp_sum DESC, cand_id) AS rank
+          FROM agg
+          QUALIFY rank <= {POOL})
+"""
+
+
+@query("q175_bm25_topk", f"""{SQL_BM25_POOL}
+SELECT query_id, cand_id, fp_sum / {FP} AS score, rank
+FROM bpool WHERE rank <= {TOP_K}
+""")
+def q175_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pool = _bm25_pool(spark, sf_dir)
+    return (pool.where(F.col("rank") <= TOP_K)
+            .select("query_id", "cand_id",
+                    (F.col("fp_sum") / F.lit(FP)).alias("score"),
+                    "rank"))
+
+
+# --- cosine pool (q45-shaped, self-match excluded) ---------------------------
+
+def _cosine_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, cand_id, cosine, rank ≤ POOL) — embedding ranker over
+    the same id domain (vec_id ≡ doc_id in the fixtures)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (e.where(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb")))
+    scored = (e.select(F.col("vec_id").alias("cand_id"), "embedding")
+              .crossJoin(F.broadcast(q))
+              .where(F.col("cand_id") != F.col("query_id"))
+              .select("query_id", "cand_id",
+                      F.round(_cosine(F.col("q_emb"), F.col("embedding")),
+                              6).alias("cosine")))
+    return _pool_rank(scored, [F.desc("cosine"), F.asc("cand_id")], POOL)
+
+
+SQL_COS_POOL = f"""
+q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+      WHERE vec_id < {N_QUERIES}),
+cscored AS (
+  SELECT q.query_id, e.vec_id AS cand_id,
+         ROUND({sql_cosine('q.q_emb', 'e.embedding')}, 6) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id),
+cpool AS (SELECT query_id, cand_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, cand_id) AS rank
+          FROM cscored
+          QUALIFY rank <= {POOL})
+"""
+
+
+@query("q176_rrf_fusion", f"""{SQL_BM25_POOL.rstrip()},
+{SQL_COS_POOL},
+fused AS (
+  SELECT COALESCE(b.query_id, c.query_id) AS query_id,
+         COALESCE(b.cand_id, c.cand_id) AS cand_id,
+         b.rank AS rank_b, c.rank AS rank_c,
+         COALESCE(1.0 / ({RRF_K} + b.rank), 0.0)
+           + COALESCE(1.0 / ({RRF_K} + c.rank), 0.0) AS rrf
+  FROM bpool b FULL OUTER JOIN cpool c
+    ON b.query_id = c.query_id AND b.cand_id = c.cand_id)
+SELECT query_id, cand_id, rank_b, rank_c, rrf,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY rrf DESC, cand_id) AS fused_rank
+FROM fused
+QUALIFY fused_rank <= {TOP_K}
+""")
+def q176_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = (_bm25_pool(spark, sf_dir)
+         .select("query_id", "cand_id", F.col("rank").alias("rank_b")))
+    c = (_cosine_pool(spark, sf_dir)
+         .select("query_id", "cand_id", F.col("rank").alias("rank_c")))
+    rrf = (F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_b")),
+                      F.lit(0.0))
+           + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_c")),
+                        F.lit(0.0)))
+    fused = (b.join(c, ["query_id", "cand_id"], "full_outer")
+             .select("query_id", "cand_id", "rank_b", "rank_c",
+                     rrf.alias("rrf")))
+    w = W.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("cand_id"))
+    return (fused.withColumn("fused_rank", F.row_number().over(w))
+            .where(F.col("fused_rank") <= TOP_K))

@@ -1,0 +1,104 @@
+"""BM25 top-k + RRF fusion: structural invariants at sf0.001 plus a
+full DuckDB-twin equality check (the same compare the oracle gate
+runs, inlined so a regression fails fast in pytest)."""
+
+from __future__ import annotations
+
+import duckdb
+import math
+import pytest
+
+from oanda_stream_processor_spark.operators import retrieval as R
+
+SF = "/root/testdata/sf0.001"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def _norm(v):
+    if v is None:
+        return "␀"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v)) + ".0"
+        return repr(v)
+    return str(v)
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(_norm(r[i]) for i in order) for r in rows)
+
+
+def _twin(spark, duck, name):
+    sdf = R.QUERIES[name](spark, SF)
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck.execute(R.ORACLES[name])
+    orows = res.fetchall()
+    ocols = [d[0] for d in res.description]
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert _canon(srows, sdf.columns) == _canon(orows, ocols)
+    return srows, sdf.columns
+
+
+def test_bm25_twin_and_invariants(spark, duck):
+    rows, cols = _twin(spark, duck, "q175_bm25_topk")
+    i = {c: j for j, c in enumerate(cols)}
+    by_q: dict = {}
+    for r in rows:
+        assert r[i["cand_id"]] != r[i["query_id"]], "self-match leaked"
+        by_q.setdefault(r[i["query_id"]], []).append(
+            (r[i["rank"]], r[i["score"]], r[i["cand_id"]]))
+    assert sorted(by_q) == list(range(R.N_QUERIES))
+    for q, lst in by_q.items():
+        lst.sort()
+        assert [t[0] for t in lst] == list(range(1, R.TOP_K + 1))
+        scores = [t[1] for t in lst]
+        assert scores == sorted(scores, reverse=True), f"q{q} not sorted"
+        assert all(s > 0 for s in scores)
+
+
+def test_rrf_twin_and_consistency(spark, duck):
+    rows, cols = _twin(spark, duck, "q176_rrf_fusion")
+    i = {c: j for j, c in enumerate(cols)}
+    seen_both = 0
+    for r in rows:
+        rb, rc = r[i["rank_b"]], r[i["rank_c"]]
+        assert rb is not None or rc is not None
+        expect = ((1.0 / (R.RRF_K + rb) if rb is not None else 0.0)
+                  + (1.0 / (R.RRF_K + rc) if rc is not None else 0.0))
+        assert r[i["rrf"]] == pytest.approx(expect, abs=0, rel=0), \
+            "rrf must be bit-exact re-derivable from the ranks"
+        if rb is not None and rc is not None:
+            seen_both += 1
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r[i["query_id"]], []).append(r[i["fused_rank"]])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, R.TOP_K + 1))
+    # the two rankers overlap on at least one pair somewhere in the
+    # fixture — otherwise the fusion degenerates to interleaving
+    assert seen_both > 0
+
+
+def test_pool_rank_gap_free(spark):
+    """The salted two-stage top-k yields dense ranks 1..POOL per query
+    (a stage-1 bucket dropping a global survivor would leave a gap)."""
+    pool = R._bm25_pool(spark, SF)
+    rows = [(r.query_id, r.rank) for r in
+            pool.select("query_id", "rank").collect()]
+    by_q: dict = {}
+    for q, rank in rows:
+        by_q.setdefault(q, []).append(rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, R.POOL + 1)), f"query {q}"
