@@ -95,27 +95,32 @@ def _pool_rank(scored: DataFrame, order_cols, pool: int) -> DataFrame:
 
 # --- BM25 --------------------------------------------------------------------
 
-def _bm25_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(query_id, cand_id, fp_sum, rank ≤ POOL) — the BM25 candidate
-    pool.  fp_sum is the exact BIGINT sum of 1e-6-snapped per-term
-    contributions (see module docstring)."""
-    d = load_table(spark, sf_dir, "documents")
+def corpus_term_frames(d: DataFrame):
+    """(tf, dfq, dl, stats) for a (doc_id, text) frame. Everything
+    derives from the ONE (doc, term) aggregate: tf has one row per
+    pair, so COUNT(*) per term IS the document frequency and SUM(tf)
+    per doc IS the document length — no second pass over the exploded
+    token stream. dfq/dl/stats are all SUM-decomposable over any
+    doc-disjoint partition of the corpus (the streaming bm25gate's
+    merge theorem)."""
     toks = F.filter(F.split("text", " "), lambda x: x != "")
     tok = d.select("doc_id", F.explode(toks).alias("term"))
-
-    # everything below derives from the ONE (doc, term) aggregate: tf has
-    # one row per pair, so COUNT(*) per term IS the document frequency
-    # and SUM(tf) per doc IS the document length — no second pass over
-    # the exploded token stream.
     tf = (tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
           .withColumnRenamed("doc_id", "cand_id"))
     dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
     dl = tf.groupBy("cand_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(F.count("*").alias("n_docs"),
                    F.sum("dl").alias("sum_dl"))
-    qterms = (tf.where(F.col("cand_id") < N_QUERIES)
-              .select(F.col("cand_id").alias("query_id"), "term"))
+    return tf, dfq, dl, stats
 
+
+def bm25_pool_from(tf: DataFrame, dfq: DataFrame, dl: DataFrame,
+                   stats: DataFrame, qterms: DataFrame) -> DataFrame:
+    """(query_id, cand_id, fp_sum, rank ≤ POOL) from explicit corpus
+    frames — the scoring core, shared by the one-shot q175 plan and
+    the streaming gate's stats-fed read (stats frames may come from
+    merged micro-batch partials; scores are identical because fp is a
+    pure function of (tf, df, dl, n_docs, sum_dl))."""
     # expression trees mirror the DuckDB oracle token for token
     idf = F.log(F.lit(1.0)
                 + ((F.col("n_docs") - F.col("df")) + F.lit(0.5))
@@ -142,6 +147,17 @@ def _bm25_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (contrib.groupBy("query_id", "cand_id")
            .agg(F.sum("fp").alias("fp_sum")))
     return _pool_rank(agg, [F.desc("fp_sum"), F.asc("cand_id")], POOL)
+
+
+def _bm25_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, cand_id, fp_sum, rank ≤ POOL) — the BM25 candidate
+    pool.  fp_sum is the exact BIGINT sum of 1e-6-snapped per-term
+    contributions (see module docstring)."""
+    d = load_table(spark, sf_dir, "documents")
+    tf, dfq, dl, stats = corpus_term_frames(d)
+    qterms = (tf.where(F.col("cand_id") < N_QUERIES)
+              .select(F.col("cand_id").alias("query_id"), "term"))
+    return bm25_pool_from(tf, dfq, dl, stats, qterms)
 
 
 SQL_BM25_POOL = f"""
