@@ -188,11 +188,11 @@ contrib AS (
   WHERE tf.cand_id <> q.query_id),
 agg AS (SELECT query_id, cand_id, SUM(fp) AS fp_sum
         FROM contrib GROUP BY 1, 2),
-bpool AS (SELECT query_id, cand_id, fp_sum,
-                 ROW_NUMBER() OVER (PARTITION BY query_id
-                                    ORDER BY fp_sum DESC, cand_id) AS rank
-          FROM agg
-          QUALIFY rank <= {POOL})
+branked AS (SELECT query_id, cand_id, fp_sum,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY fp_sum DESC, cand_id) AS rank
+            FROM agg),
+bpool AS (SELECT * FROM branked WHERE rank <= {POOL})
 """
 
 
@@ -234,11 +234,11 @@ cscored AS (
          ROUND({sql_cosine('q.q_emb', 'e.embedding')}, 6) AS cosine
   FROM embeddings e CROSS JOIN q
   WHERE e.vec_id <> q.query_id),
-cpool AS (SELECT query_id, cand_id, cosine,
-                 ROW_NUMBER() OVER (PARTITION BY query_id
-                                    ORDER BY cosine DESC, cand_id) AS rank
-          FROM cscored
-          QUALIFY rank <= {POOL})
+cranked AS (SELECT query_id, cand_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, cand_id) AS rank
+            FROM cscored),
+cpool AS (SELECT * FROM cranked WHERE rank <= {POOL})
 """
 
 
@@ -251,12 +251,13 @@ fused AS (
          COALESCE(1.0 / ({RRF_K} + b.rank), 0.0)
            + COALESCE(1.0 / ({RRF_K} + c.rank), 0.0) AS rrf
   FROM bpool b FULL OUTER JOIN cpool c
-    ON b.query_id = c.query_id AND b.cand_id = c.cand_id)
-SELECT query_id, cand_id, rank_b, rank_c, rrf,
-       ROW_NUMBER() OVER (PARTITION BY query_id
-                          ORDER BY rrf DESC, cand_id) AS fused_rank
-FROM fused
-QUALIFY fused_rank <= {TOP_K}
+    ON b.query_id = c.query_id AND b.cand_id = c.cand_id),
+franked AS (
+  SELECT query_id, cand_id, rank_b, rank_c, rrf,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY rrf DESC, cand_id) AS fused_rank
+  FROM fused)
+SELECT * FROM franked WHERE fused_rank <= {TOP_K}
 """)
 def q176_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = (_bm25_pool(spark, sf_dir)
