@@ -154,3 +154,51 @@ def test_approx_mad_agrees_with_exact(spark):
         # outlier counts may differ only for rows near the fence
         assert abs(ap.n_outliers - ex.n_outliers) <= max(
             2, int(0.01 * ex.n_events)), (et, ap.n_outliers, ex.n_outliers)
+
+
+def test_bm25_contribution_fp_parity(spark, duck):
+    """q175's 1e-6-snapped BM25 per-term contribution — the ONE scalar
+    fold the retrieval family's oracle parity rests on — computed by
+    Spark expressions and DuckDB SQL over an adversarial grid of
+    (tf, df, dl, n_docs, sum_dl): tiny and huge corpora, df==n_docs
+    (minimum idf), dl far from avgdl, 1-token docs. The fixture corpus
+    exercises a narrow band of these; this pins the whole domain."""
+    grid = []
+    for n_docs, sum_dl in [(3, 7), (500, 55000), (10**6, 217 * 10**6),
+                           (10**9, 43 * 10**9)]:
+        for df in {1, 2, n_docs // 2 or 1, n_docs - 1 or 1, n_docs}:
+            for tf in (1, 2, 17, 400):
+                for dl in (1, 9, 128, 5000):
+                    grid.append((tf, df, dl, n_docs, sum_dl))
+    sdf = spark.createDataFrame(
+        grid, "tf long, df long, dl long, n_docs long, sum_dl long")
+
+    from pyspark.sql import functions as F
+    from oanda_stream_processor_spark.operators.retrieval import (
+        BM25_B, BM25_K1, FP)
+    idf = F.log(F.lit(1.0)
+                + ((F.col("n_docs") - F.col("df")) + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    norm = ((F.col("tf") * F.lit(BM25_K1 + 1.0))
+            / (F.col("tf")
+               + F.lit(BM25_K1) * (F.lit(1.0) - F.lit(BM25_B)
+                                   + F.lit(BM25_B)
+                                   * (F.col("dl") / avgdl))))
+    got = [r.fp for r in sdf.select(
+        F.round(idf * norm * F.lit(FP)).cast("long").alias("fp")).collect()]
+
+    duck.execute("CREATE OR REPLACE TABLE g(i INTEGER, tf BIGINT, "
+                 "df BIGINT, dl BIGINT, n_docs BIGINT, sum_dl BIGINT)")
+    duck.executemany("INSERT INTO g VALUES (?, ?, ?, ?, ?, ?)",
+                     [(i, *row) for i, row in enumerate(grid)])
+    rows = duck.execute(f"""
+        SELECT CAST(ROUND(
+          LN(1.0 + ((n_docs - df) + 0.5) / (df + 0.5))
+          * ((tf * {BM25_K1 + 1.0})
+             / (tf + {BM25_K1} * (1.0 - {BM25_B}
+                  + {BM25_B} * (dl / (sum_dl / n_docs)))))
+          * {FP}) AS BIGINT)
+        FROM g ORDER BY i""").fetchall()
+    assert [r[0] for r in rows] == got
+    assert len(got) == len(grid) and all(v >= 0 for v in got)
