@@ -102,3 +102,29 @@ def test_pool_rank_gap_free(spark):
         by_q.setdefault(q, []).append(rank)
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, R.POOL + 1)), f"query {q}"
+
+
+def test_pool_rank_equals_global_window(spark):
+    """The salted two-stage top-k must equal a plain single-window
+    global rank on arbitrary data — including heavy score ties (the
+    id tiebreak) and queries with fewer than POOL candidates."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    rng = random.Random(20260815)
+    rows = [(q, c, rng.choice([1.0, 2.0, 3.0, rng.random()]))
+            for q in range(7)
+            for c in rng.sample(range(1000), rng.choice([5, 40, 300]))]
+    df = spark.createDataFrame(rows, "query_id int, cand_id int, s double")
+
+    pooled = R._pool_rank(df, [F.desc("s"), F.asc("cand_id")], R.POOL)
+    w = W.partitionBy("query_id").orderBy(F.desc("s"), F.asc("cand_id"))
+    plain = (df.withColumn("rank", F.row_number().over(w))
+             .where(F.col("rank") <= R.POOL))
+    got = sorted(tuple(r) for r in
+                 pooled.select("query_id", "cand_id", "rank").collect())
+    want = sorted(tuple(r) for r in
+                  plain.select("query_id", "cand_id", "rank").collect())
+    assert got == want and len(want) > 0
