@@ -37,7 +37,10 @@ Scale notes (100 TB)
   per (query, salt) bounds every window partition to POOL·N_SALT rows
   before the final per-query rank — no single-reducer window over the
   full corpus (any global top-POOL row is top-POOL inside its salt
-  bucket, so stage 1 never drops a survivor).
+  bucket, so stage 1 never drops a survivor).  Measured sf0.1 executed
+  plan: 2-column pruned scan, WindowGroupLimit Partial/Final on BOTH
+  rank stages (row_number cut applied map-side before each exchange),
+  and all three stats joins resolved to runtime BroadcastHashJoins.
 * RRF joins two POOL-bounded rank lists — trivially broadcastable.
 
 Reference parity: the reference engine exposes no retrieval operators
