@@ -144,7 +144,10 @@ def run_duckdb(names: list[str] | None) -> dict[str, float]:
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
         except Exception as exc:  # noqa: BLE001 - isolate and continue
-            timings[name] = None
+            # record ONLY in errors (mirrors the Spark side): a None
+            # in the emitted duckdb_baseline would crash every
+            # consumer that sums/compares timings (r10 ADVICE —
+            # gen_baseline_table.py's sum() and < comparisons)
             _PARTIAL["errors"][f"duckdb:{name}"] = (
                 f"{type(exc).__name__}: {exc}"[:300])
             continue

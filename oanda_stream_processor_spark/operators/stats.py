@@ -326,12 +326,29 @@ def exact_kth_by_bucket(vals: DataFrame, col: str,
     the k-th overall value lives in that bucket (clamping is monotone,
     so bucket order == value order up to ties inside one bucket), so
     the exact value is the (target_rank - cum_before)-th smallest
-    value WITHIN the hit bucket: a broadcast join keeping only
-    ~n/HIST_NB candidate rows per pct + one bounded window. Replaces
-    the round-9 driver-sequenced TakeOrdered loop whose k ≈ n/2
-    funneled half the dataset through one reducer; zero ``.collect``,
-    no global sort."""
+    value WITHIN the hit bucket. Replaces the round-9
+    driver-sequenced TakeOrdered loop whose k ≈ n/2 funneled half the
+    dataset through one reducer; zero ``.collect``, no global sort.
+
+    SKEW ROBUSTNESS (round-11 ADVICE): the final rank window
+    partitions only by pct, so its reducer sees every candidate of
+    the hit bucket — fine when buckets are ~uniform (~n/HIST_NB), but
+    out-of-domain values clamp into the two EDGE buckets, so a skewed
+    or out-of-range distribution whose target rank lands in a clamp
+    bucket would revert to a near-global single-reducer sort.  Before
+    the window this therefore REFINES once: a second equi-width
+    histogram over the hit bucket's OBSERVED per-pct [min, max]
+    (computed distributed, carried as a broadcast — the clamp bucket's
+    candidates keep their original unclamped values, so the observed
+    extent is the real one), re-locating the rank into a sub-bucket of
+    ~candidates/HIST_NB rows.  A constant sub-extent (min == max, e.g.
+    a point mass of duplicates) short-circuits to that value with no
+    window at all.  Residual: the one reducer sorts the hit
+    SUB-bucket — n/HIST_NB² under uniformity, candidates/HIST_NB
+    after skew refinement; a pathological distribution needing more
+    levels would recurse the same way, not appear silently."""
     from pyspark.sql import Window as W
+    from .helpers import exact_tdiv
     c = F.col(col)
     clamped = F.greatest(F.lit(HIST_LO), F.least(F.lit(HIST_HI - 1), c))
     width = (HIST_HI - HIST_LO) // HIST_NB
@@ -339,11 +356,36 @@ def exact_kth_by_bucket(vals: DataFrame, col: str,
               ).cast("bigint")
     cand = (vals.select(c.alias("v"), bucket.alias("bucket"))
             .join(F.broadcast(hits.select("pct", "bucket", "cum_before",
-                                          "target_rank")), "bucket"))
+                                          "target_rank")), "bucket")
+            .withColumn("r", F.col("target_rank") - F.col("cum_before"))
+            .select("pct", "v", "r"))
+    # refinement histogram over the observed per-pct extent
+    ext = (cand.groupBy("pct", "r")
+           .agg(F.min("v").alias("lo"), F.max("v").alias("hi")))
+    done = (ext.where(F.col("lo") == F.col("hi"))
+            .select("pct", F.col("lo").alias("exact_v")))
+    rest = ext.where(F.col("lo") < F.col("hi"))
+    w2 = (F.col("hi") - F.col("lo") + HIST_NB) - \
+        ((F.col("hi") - F.col("lo") + HIST_NB) % HIST_NB)
+    rest = rest.select("pct", "lo",
+                       exact_tdiv(w2, F.lit(HIST_NB)).alias("w2"))
+    sub = (cand.join(F.broadcast(rest), "pct")
+           .withColumn("sb", exact_tdiv(F.col("v") - F.col("lo"),
+                                        F.col("w2"))))
+    cum2 = (sub.groupBy("pct", "r", "sb").agg(F.count("*").alias("n"))
+            .withColumn("cum2", F.coalesce(
+                F.sum("n").over(W.partitionBy("pct").orderBy("sb")
+                                .rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0)))
+            .where((F.col("cum2") < F.col("r"))
+                   & (F.col("cum2") + F.col("n") >= F.col("r")))
+            .select("pct", "sb", "cum2"))
     wq = W.partitionBy("pct").orderBy("v")
-    return (cand.withColumn("rk", F.row_number().over(wq))
-            .where(F.col("rk") == F.col("target_rank") - F.col("cum_before"))
-            .select("pct", F.col("v").alias("exact_v")))
+    kth = (sub.join(F.broadcast(cum2), ["pct", "sb"])
+           .withColumn("rk", F.row_number().over(wq))
+           .where(F.col("rk") == F.col("r") - F.col("cum2"))
+           .select("pct", F.col("v").alias("exact_v")))
+    return kth.unionByName(done)
 
 
 def hist_quantiles(buckets: DataFrame, pcts=HIST_PCTS) -> DataFrame:

@@ -75,3 +75,33 @@ def test_stream_end_to_end(spark, tmp_path):
     # bucket totals account for every row
     total = read_buckets(spark, state).agg(F.sum("n").alias("t")).collect()
     assert total[0].t == li.count()
+
+
+def test_exact_kth_skew_refinement_and_point_mass(spark):
+    """r11 ADVICE: out-of-domain values clamp into the edge buckets, so
+    the exact-kth reducer used to see a near-global candidate set.  The
+    sub-histogram refinement and the constant-extent short-circuit must
+    both return the true order statistics anyway."""
+    from oanda_stream_processor_spark.operators.stats import (
+        HIST_HI,
+        exact_kth_by_bucket,
+        hist_buckets_of,
+        hist_quantiles,
+    )
+
+    # all values far above HIST_HI -> everything clamps into the top
+    # bucket; exact kth must still be the true sorted[k-1]
+    skew = [HIST_HI * 10 + ((i * 7919) % 1000) for i in range(500)]
+    vals = spark.createDataFrame([(v,) for v in skew], "cents long")
+    hits = hist_quantiles(hist_buckets_of(vals, "cents"))
+    got = {r.pct: r.exact_v
+           for r in exact_kth_by_bucket(vals, "cents", hits).collect()}
+    s = sorted(skew)
+    for r in hits.collect():
+        assert got[r.pct] == s[r.target_rank - 1]
+
+    # point mass: constant column exercises the min==max short-circuit
+    const = spark.createDataFrame([(42,)] * 100, "cents long")
+    hits_c = hist_quantiles(hist_buckets_of(const, "cents"))
+    out = exact_kth_by_bucket(const, "cents", hits_c).collect()
+    assert len(out) == hits_c.count() and all(r.exact_v == 42 for r in out)
