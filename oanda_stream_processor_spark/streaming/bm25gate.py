@@ -28,8 +28,30 @@ exactly (integer sums, no floats in state).
 Scale notes (100 TB): per-batch state is |vocab_batch| + 1 rows;
 merged state is |vocab| rows (Heaps-law, ~millions at web scale —
 a broadcastable frame, refreshed per trigger, never a shuffle of the
-corpus). The heavy side (tf of candidate documents) never enters the
-gate: it stays where the documents land.
+corpus).
+
+SERVING HALF (round 11; the round-10 verdict's named gap): the gate
+now also persists the per-document LOCAL side — the (cand_id, term,
+tf) postings and the (cand_id, dl) lengths of each batch — under the
+same batch_id=<id> overwrite-partition scheme (the matview pattern:
+idempotent replay by partition overwrite).  Because batches are
+doc-disjoint, the local stores need NO merge on read: a doc's rows
+live in exactly one partition, so the read side is a plain partitioned
+parquet scan (union), while df/stats still merge by SUM.
+``serve_bm25_pool`` then scores straight off the stores with the SAME
+``retrieval.bm25_pool_from`` core as one-shot q175 — an incremental
+index: appending a batch of documents costs one batch-local aggregate
+plus four partition writes, never a corpus recomputation, and serving
+reads stored postings instead of re-tokenizing the corpus.  Pytest
+proves the served pool equals one-shot q175 row-for-row after every
+prefix of a multi-batch append sequence, and an availableNow e2e
+drives the whole path through a real stream.
+
+Scale: the tf store is the heavy side (O(corpus tokens) rows), but it
+is write-once per batch, partition-pruned by batch_id, and its only
+serving consumers are (a) the broadcast-joined query-term probe and
+(b) nothing else — the pool plan is identical to q175's audited shape
+(WindowGroupLimit two-stage top-k, broadcast stats joins).
 
 Citation: the reference (433-line tick ETL, /root/reference/src/
 main.rs) has no retrieval surface; north-star extension.
@@ -42,7 +64,13 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.retrieval import corpus_term_frames
+from ..operators.retrieval import (
+    FP,
+    N_QUERIES,
+    TOP_K,
+    bm25_pool_from,
+    corpus_term_frames,
+)
 
 
 def batch_df_partial(docs: DataFrame) -> DataFrame:
@@ -55,6 +83,19 @@ def batch_corpus_partial(docs: DataFrame) -> DataFrame:
     """One-row (n_docs, sum_dl) partial for one batch."""
     _, _, _, stats = corpus_term_frames(docs)
     return stats
+
+
+def batch_tf_partial(docs: DataFrame) -> DataFrame:
+    """(cand_id, term, tf) postings of one batch — the per-doc LOCAL
+    side the serving half stores (doc-disjoint batches: no merge)."""
+    tf, _, _, _ = corpus_term_frames(docs)
+    return tf
+
+
+def batch_dl_partial(docs: DataFrame) -> DataFrame:
+    """(cand_id, dl) document lengths of one batch."""
+    _, _, dl, _ = corpus_term_frames(docs)
+    return dl
 
 
 def read_term_df(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -70,23 +111,72 @@ def read_corpus_stats(spark: SparkSession, state_dir: str) -> DataFrame:
                  F.sum("sum_dl").alias("sum_dl")))
 
 
+def read_tf(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Stored postings across all batches — a plain partitioned scan
+    (doc-disjoint batches mean a doc's rows exist exactly once)."""
+    return (spark.read.parquet(os.path.join(state_dir, "tf"))
+            .select("cand_id", "term", "tf"))
+
+
+def read_dl(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Stored per-doc lengths across all batches."""
+    return (spark.read.parquet(os.path.join(state_dir, "dl"))
+            .select("cand_id", "dl"))
+
+
+def serve_bm25_pool(spark: SparkSession, state_dir: str) -> DataFrame:
+    """(query_id, cand_id, fp_sum, rank ≤ POOL) served ENTIRELY from
+    the gate's persisted state — same scoring core, same fixed-point
+    contributions, hence row-for-row equal to one-shot q175 on the
+    corpus ingested so far (pytest-proven for every append prefix)."""
+    tf = read_tf(spark, state_dir)
+    qterms = (tf.where(F.col("cand_id") < N_QUERIES)
+              .select(F.col("cand_id").alias("query_id"), "term"))
+    return bm25_pool_from(tf, read_term_df(spark, state_dir),
+                          read_dl(spark, state_dir),
+                          read_corpus_stats(spark, state_dir), qterms)
+
+
+def serve_bm25_topk(spark: SparkSession, state_dir: str) -> DataFrame:
+    """q175's output shape (query_id, cand_id, score, rank ≤ TOP_K)
+    from the incremental store."""
+    return (serve_bm25_pool(spark, state_dir)
+            .where(F.col("rank") <= TOP_K)
+            .select("query_id", "cand_id",
+                    (F.col("fp_sum") / F.lit(FP)).alias("score"),
+                    "rank"))
+
+
+def write_batch_partials(docs: DataFrame, state_dir: str,
+                         batch_id: int) -> None:
+    """Persist all four partials of one doc-disjoint batch under their
+    batch_id=<id> partitions (overwrite = idempotent replay).  All
+    four hang off the same (doc, term) aggregate — cache it for the
+    batch so the batch scan and tokenize run once, not four times."""
+    tf, dfq, dl, stats = corpus_term_frames(docs)
+    tf = tf.cache()
+    try:
+        tf.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "tf", f"batch_id={batch_id}"))
+        dfq.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "df", f"batch_id={batch_id}"))
+        dl.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "dl", f"batch_id={batch_id}"))
+        stats.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "corpus", f"batch_id={batch_id}"))
+    finally:
+        tf.unpersist()
+
+
 def start_bm25_stream(stream_docs: DataFrame, state_dir: str,
                       checkpoint_dir: str):
-    """Wire a streaming documents source into the stats gate: each
-    batch overwrites its own df/corpus partials under batch_id=<id>.
+    """Wire a streaming documents source into the gate: each batch
+    overwrites its own tf/df/dl/corpus partials under batch_id=<id>.
     Documents are atomic per batch (a doc's text arrives whole in one
     micro-batch) — the decomposition above needs doc-disjoint batches,
     which micro-batched document feeds are by construction."""
     def body(batch_df: DataFrame, batch_id: int) -> None:
-        # score once per batch: both partials hang off the same tf
-        # aggregate, and each is tiny — let them share the scan
-        (batch_df_partial(batch_df)
-         .write.mode("overwrite")
-         .parquet(os.path.join(state_dir, "df", f"batch_id={batch_id}")))
-        (batch_corpus_partial(batch_df)
-         .write.mode("overwrite")
-         .parquet(os.path.join(state_dir, "corpus",
-                               f"batch_id={batch_id}")))
+        write_batch_partials(batch_df, state_dir, batch_id)
 
     return (stream_docs.writeStream
             .foreachBatch(body)
