@@ -53,6 +53,20 @@ serving consumers are (a) the broadcast-joined query-term probe and
 (b) nothing else — the pool plan is identical to q175's audited shape
 (WindowGroupLimit two-stage top-k, broadcast stats joins).
 
+BM25F EXTENSION NOTE (q177, operators/retrieval.py — what does and
+does not merge): the field-weighted variant keeps every MERGE property
+of this gate — doc-level df is still one count per (term, batch),
+n_docs still sums, and sum_dl simply gains a field axis (one
+(field, sum_dl_f) row pair per batch, SUM-merged the same way).  What
+does NOT decompose is the SCORING: BM25F saturates AFTER the
+cross-field weighted sum (score uses tfw/(k1+tfw) where tfw spans
+fields), so per-field BM25 scores — or any pre-saturated per-field
+partial — can never be merged into a BM25F score.  A BM25F serving
+store must therefore persist RAW per-(doc, term, field) tf rows (the
+field-split analogue of this gate's tf store) and apply weights +
+saturation only at read time.  The stats half merges; the saturation
+half must stay deferred.
+
 Citation: the reference (433-line tick ETL, /root/reference/src/
 main.rs) has no retrieval surface; north-star extension.
 """
