@@ -202,3 +202,16 @@ def test_bm25_contribution_fp_parity(spark, duck):
         FROM g ORDER BY i""").fetchall()
     assert [r[0] for r in rows] == got
     assert len(got) == len(grid) and all(v >= 0 for v in got)
+
+
+def test_q124_twin_parity(spark):
+    """charges_native_twin (whole-stage codegen) must emit exactly the
+    rows of q124's mapInArrow path — the r10 verdict's ledger twin."""
+    from oanda_stream_processor_spark.operators.udfs import (
+        charges_native_twin,
+        q124_arrow_native_charges,
+    )
+    sf = "/root/testdata/sf0.001"
+    a = q124_arrow_native_charges(spark, sf)
+    b = charges_native_twin(spark, sf)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
