@@ -439,3 +439,139 @@ def q177_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pool.select("query_id", "cand_id",
                        (F.col("fp_sum") / F.lit(FP)).alias("score"),
                        "rank")
+
+
+# --- q178: MaxScore/WAND-pruned exact BM25 top-k -------------------------------
+#
+# The operator a 100 TB retrieval pass actually runs (the r10 verdict's
+# stretch ask).  q175's cost at corpus scale is the posting fan-out:
+# every document sharing ANY query term gets scored, and the common
+# (high-df, low-idf) terms contribute postings the size of the corpus
+# while barely moving the ranking.  MaxScore (Turtle & Flood 1995) /
+# WAND (Broder et al. 2003) prune with per-term score upper bounds;
+# this is the batch-engine adaptation, EXACT by construction:
+#
+#   1. UB(t) = idf(t)·(k1+1) — the analytic bound of the per-term BM25
+#      contribution (tf-saturation < k1+1, B ≥ 1−b), computable from
+#      df alone, no pass over postings.  In fixed-point with a +2 ulp
+#      margin so UB_fp ≥ every snapped contribution fp(t,d).
+#   2. SEEDS: the SEED_TERMS highest-UB (= rarest) terms per query —
+#      small postings by construction.  Their matching docs get FULL
+#      scores (all their query terms, not just seed terms); the
+#      POOL-th best of these true scores is the pruning threshold θ.
+#   3. ESSENTIAL SPLIT: sort the query's terms by UB ascending and
+#      take the maximal prefix whose UB prefix-sum stays STRICTLY
+#      below θ — a doc matching only those terms scores < θ and can
+#      never enter the top-POOL (tie-break is fp desc, cand asc, so a
+#      strictly-smaller score ranks below all POOL θ-or-better docs).
+#      Everything else is essential; docs matching ≥1 essential term
+#      are candidates.  A query with < POOL seed candidates gets no θ
+#      and degrades gracefully: every term stays essential (= q175).
+#   4. Candidates (seed ∪ essential-matched) are scored ONCE, with the
+#      candidates-first join order — cands ⋈ tf on cand_id (the
+#      candidate documents' own postings, Σ dl(cand) rows) ⋈ qterms —
+#      so the full corpus fan-out is never materialized.
+#
+# Exactness: any doc outside the candidate set matches only
+# non-essential terms, so its integer score ≤ Σ UB_fp(non-essential)
+# < θ = a true achieved POOL-th score — it cannot displace any pool
+# row.  Hence q178 ≡ q175 row-for-row (pytest: pool-level AND top-k
+# equality; oracle: q175's own SQL verbatim).
+# ------------------------------------------------------------------------------
+SEED_TERMS = 8
+
+
+def maxscore_candidates(tf: DataFrame, dfq: DataFrame, dl: DataFrame,
+                        stats: DataFrame, qterms: DataFrame):
+    """(cands, full_scores) — the MaxScore pruning core, exposed so
+    pytest can assert the candidate set is a strict subset of q175's
+    full scored set while the pool stays exact.  See the q178 block
+    comment for the algorithm and the soundness argument."""
+    idf = F.log(F.lit(1.0)
+                + ((F.col("n_docs") - F.col("df")) + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    ub_fp = (F.ceil(idf * F.lit(BM25_K1 + 1.0) * F.lit(FP)) + F.lit(2)) \
+        .cast("long")
+    qub = (qterms.join(dfq, "term").crossJoin(F.broadcast(stats))
+           .select("query_id", "term", ub_fp.alias("ub_fp")))
+
+    # seeds: rarest terms -> smallest postings, highest impact.  Only
+    # terms within 2x of the query's best UB qualify — when rare terms
+    # exist they dominate the seed set (tiny postings, high θ), and on
+    # a flat-UB vocabulary every term qualifies and the cap keeps the
+    # old top-N behavior.  Seed choice affects only θ quality, never
+    # exactness (θ is the POOL-th TRUE score of any candidate subset).
+    w_q = W.partitionBy("query_id")
+    w_seed = W.partitionBy("query_id").orderBy(F.desc("ub_fp"), F.asc("term"))
+    seeds = (qub.withColumn("_mx", F.max("ub_fp").over(w_q))
+             .where(F.col("ub_fp") * 2 >= F.col("_mx"))
+             .withColumn("_s", F.row_number().over(w_seed))
+             .where(F.col("_s") <= SEED_TERMS).select("query_id", "term"))
+    cand1 = (tf.join(seeds, "term")
+             .where(F.col("cand_id") != F.col("query_id"))
+             .select("query_id", "cand_id").distinct())
+
+    def full_scores(cands: DataFrame) -> DataFrame:
+        # candidates-first join order: the fan-out never exceeds the
+        # candidates' own posting rows
+        contrib = (cands.join(tf, "cand_id")
+                   .join(qterms, ["query_id", "term"])
+                   .join(dfq, "term")
+                   .join(dl, "cand_id")
+                   .crossJoin(F.broadcast(stats)))
+        avgdl = F.col("sum_dl") / F.col("n_docs")
+        norm = ((F.col("tf") * F.lit(BM25_K1 + 1.0))
+                / (F.col("tf")
+                   + F.lit(BM25_K1) * (F.lit(1.0) - F.lit(BM25_B)
+                                       + F.lit(BM25_B)
+                                       * (F.col("dl") / avgdl))))
+        fp = F.round(idf * norm * F.lit(FP)).cast("long")
+        return (contrib.select("query_id", "cand_id", fp.alias("fp"))
+                .groupBy("query_id", "cand_id")
+                .agg(F.sum("fp").alias("fp_sum")))
+
+    s1 = full_scores(cand1)
+    w_th = W.partitionBy("query_id").orderBy(F.desc("fp_sum"),
+                                             F.asc("cand_id"))
+    theta = (s1.withColumn("_r", F.row_number().over(w_th))
+             .where(F.col("_r") == POOL)
+             .select("query_id", F.col("fp_sum").alias("theta")))
+
+    # essential split: ascending-UB prefix with strict cumsum < theta
+    # is prunable; null theta (< POOL seed candidates) keeps all terms
+    w_cum = (W.partitionBy("query_id")
+             .orderBy(F.asc("ub_fp"), F.asc("term"))
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    ess = (qub.join(theta, "query_id", "left")
+           .withColumn("_cum", F.sum("ub_fp").over(w_cum))
+           .where(~(F.col("_cum") < F.col("theta"))
+                  | F.col("theta").isNull())
+           .select("query_id", "term"))
+    cand2 = (tf.join(ess, "term")
+             .where(F.col("cand_id") != F.col("query_id"))
+             .select("query_id", "cand_id").distinct())
+
+    cands = cand1.unionByName(cand2).distinct()
+    return cands, full_scores
+
+
+@query("q178_bm25_maxscore_topk", f"""{SQL_BM25_POOL}
+SELECT query_id, cand_id, fp_sum / {FP} AS score, rank
+FROM bpool WHERE rank <= {TOP_K}
+""")
+def q178_bm25_maxscore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MaxScore-pruned BM25 top-k (see block comment). Returns
+    q175's output shape and, by the pruning-soundness argument, q175's
+    exact rows — the oracle IS q175's SQL."""
+    d = load_table(spark, sf_dir, "documents")
+    tf, dfq, dl, stats = corpus_term_frames(d)
+    tf = tf.localCheckpoint(eager=True)  # multi-consumer postings index
+    qterms = (tf.where(F.col("cand_id") < N_QUERIES)
+              .select(F.col("cand_id").alias("query_id"), "term"))
+    cands, full_scores = maxscore_candidates(tf, dfq, dl, stats, qterms)
+    pool = _pool_rank(full_scores(cands),
+                      [F.desc("fp_sum"), F.asc("cand_id")], POOL)
+    return (pool.where(F.col("rank") <= TOP_K)
+            .select("query_id", "cand_id",
+                    (F.col("fp_sum") / F.lit(FP)).alias("score"),
+                    "rank"))

@@ -128,3 +128,83 @@ def test_pool_rank_equals_global_window(spark):
     want = sorted(tuple(r) for r in
                   plain.select("query_id", "cand_id", "rank").collect())
     assert got == want and len(want) > 0
+
+
+def test_maxscore_pruned_topk_equals_q175(spark):
+    """q178's pruning-soundness contract: the MaxScore-pruned plan and
+    the full q175 plan are row-for-row identical — scores, ranks,
+    everything — at both the top-k and the candidate-scoring level."""
+    import oanda_stream_processor_spark.operators.retrieval as R
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(tuple(r) for r in
+                 R.q178_bm25_maxscore_topk(spark, sf).collect())
+    want = sorted(tuple(r) for r in R.q175_bm25_topk(spark, sf).collect())
+    assert got == want and len(want) > 0
+
+
+def test_maxscore_actually_prunes(spark):
+    """The pruned candidate set must be strictly smaller than q175's
+    full scored set (otherwise q178 is a no-op demo), while the pooled
+    result stays exact (previous test)."""
+    from pyspark.sql import functions as F
+
+    import oanda_stream_processor_spark.operators.retrieval as R
+    from oanda_stream_processor_spark.io import load_table
+
+    sf = "/root/testdata/sf0.01"
+    d = load_table(spark, sf, "documents")
+    tf, dfq, dl, stats = R.corpus_term_frames(d)
+    tf = tf.localCheckpoint(eager=True)
+    qterms = (tf.where(F.col("cand_id") < R.N_QUERIES)
+              .select(F.col("cand_id").alias("query_id"), "term"))
+    full = (tf.join(qterms, "term")
+            .where(F.col("cand_id") != F.col("query_id"))
+            .select("query_id", "cand_id").distinct().count())
+    cands, _ = R.maxscore_candidates(tf, dfq, dl, stats, qterms)
+    pruned = cands.count()
+    assert 0 < pruned < full, (pruned, full)
+
+
+def test_maxscore_prunes_hard_on_zipfian_vocab(spark):
+    """The fixtures' bounded ~100-word vocabulary makes every term
+    common (df ~ N, idf ~ 0 for all), so q178's essential split keeps
+    ~everything there (99.9% measured at sf0.1 — ledgered in
+    SCALE.md).  On a realistic zipfian corpus — rare terms exist and
+    queries contain them — the split must cut the scored set hard.
+    Construction: every doc shares 10 common filler terms and carries
+    one of 25 rare marker pairs (40 docs per group), so every query
+    has exactly 39 rare-sharing partners out of 999 candidates."""
+    from pyspark.sql import functions as F
+
+    import oanda_stream_processor_spark.operators.retrieval as R
+
+    common = "the of and to in for a is on at"
+    rows = []
+    for i in range(1000):
+        g = i % 25                  # 25 rare groups of 40 docs each;
+        rows.append((i, f"{common} rare{g}a rare{g}b {common}"))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    tf, dfq, dl, stats = R.corpus_term_frames(d)
+    tf = tf.localCheckpoint(eager=True)
+    qterms = (tf.where(F.col("cand_id") < R.N_QUERIES)
+              .select(F.col("cand_id").alias("query_id"), "term"))
+    full = (tf.join(qterms, "term")
+            .where(F.col("cand_id") != F.col("query_id"))
+            .select("query_id", "cand_id").distinct().count())
+    cands, full_scores = R.maxscore_candidates(tf, dfq, dl, stats, qterms)
+    pruned = cands.count()
+    assert pruned < full / 2, (pruned, full)
+    # and the pruned pool still equals the unpruned pool exactly
+    unpruned = (tf.join(qterms, "term")
+                .where(F.col("cand_id") != F.col("query_id"))
+                .select("query_id", "cand_id").distinct())
+    p1 = sorted(tuple(r) for r in
+                R._pool_rank(full_scores(cands),
+                             [F.desc("fp_sum"), F.asc("cand_id")],
+                             R.POOL).collect())
+    p2 = sorted(tuple(r) for r in
+                R._pool_rank(full_scores(unpruned),
+                             [F.desc("fp_sum"), F.asc("cand_id")],
+                             R.POOL).collect())
+    assert p1 == p2 and len(p1) > 0
