@@ -318,6 +318,13 @@ def hist_buckets(li: DataFrame) -> DataFrame:
     return hist_buckets_of(li.select(_cents().alias("cents")), "cents")
 
 
+# A hit bucket at most this many rows sorts directly in one window
+# partition (sub-second); above it the sub-histogram refinement kicks
+# in (skewed/clamped distributions).  Uniform data at HIST_NB=1024
+# buckets stays under this until ~270G rows total.
+KTH_REFINE_CUT = 262_144
+
+
 def exact_kth_by_bucket(vals: DataFrame, col: str,
                         hits: DataFrame) -> DataFrame:
     """Distributed exact-kth via the histogram CDF (two-phase exact
@@ -335,18 +342,25 @@ def exact_kth_by_bucket(vals: DataFrame, col: str,
     the hit bucket — fine when buckets are ~uniform (~n/HIST_NB), but
     out-of-domain values clamp into the two EDGE buckets, so a skewed
     or out-of-range distribution whose target rank lands in a clamp
-    bucket would revert to a near-global single-reducer sort.  Before
-    the window this therefore REFINES once: a second equi-width
-    histogram over the hit bucket's OBSERVED per-pct [min, max]
-    (computed distributed, carried as a broadcast — the clamp bucket's
-    candidates keep their original unclamped values, so the observed
-    extent is the real one), re-locating the rank into a sub-bucket of
-    ~candidates/HIST_NB rows.  A constant sub-extent (min == max, e.g.
-    a point mass of duplicates) short-circuits to that value with no
-    window at all.  Residual: the one reducer sorts the hit
-    SUB-bucket — n/HIST_NB² under uniformity, candidates/HIST_NB
-    after skew refinement; a pathological distribution needing more
-    levels would recurse the same way, not appear silently."""
+    bucket would revert to a near-global single-reducer sort.  Hit
+    buckets above KTH_REFINE_CUT rows therefore REFINE once before
+    the window: a second equi-width histogram over the hit bucket's
+    OBSERVED per-pct [min, max] (computed distributed, carried as a
+    broadcast — the clamp bucket's candidates keep their original
+    unclamped values, so the observed extent is the real one),
+    re-locating the rank into a sub-bucket of ~candidates/HIST_NB
+    rows; a constant sub-extent (min == max, a point mass)
+    short-circuits to that value with no window at all.  Hit buckets
+    at or under the cut take the direct window — the refinement's
+    extra shuffle phases cost ~1.8 s/query at sf0.1 when applied
+    unconditionally (r11 mid-round bench: q172 1.15→2.98 s), which a
+    uniform distribution never needs; the bound keeps the worst
+    single-reducer sort at KTH_REFINE_CUT rows on the direct path and
+    ~candidates/HIST_NB after refinement.  The routing is per pct
+    (both paths are filters of the same broadcast-joined candidate
+    frame), so a mixed workload refines exactly the skewed
+    percentiles.  A pathological distribution needing more levels
+    would recurse the same way, not appear silently."""
     from pyspark.sql import Window as W
     from .helpers import exact_tdiv
     c = F.col(col)
@@ -356,11 +370,31 @@ def exact_kth_by_bucket(vals: DataFrame, col: str,
               ).cast("bigint")
     cand = (vals.select(c.alias("v"), bucket.alias("bucket"))
             .join(F.broadcast(hits.select("pct", "bucket", "cum_before",
-                                          "target_rank")), "bucket")
+                                          "target_rank", "bucket_n")),
+                  "bucket")
             .withColumn("r", F.col("target_rank") - F.col("cum_before"))
-            .select("pct", "v", "r"))
-    # refinement histogram over the observed per-pct extent
-    ext = (cand.groupBy("pct", "r")
+            .select("pct", "v", "r", "bucket_n"))
+    wq = W.partitionBy("pct").orderBy("v")
+    # branch choice from the hits statistic itself — hits is a bounded
+    # (≤ |pcts| rows) frame the callers eagerly checkpoint, so this
+    # limit(1).count() is a sub-0.1 s read of materialized rows, not a
+    # corpus action (AQE-style plan adaptation: a plan that always
+    # CONTAINS the refined branch pays its ~8 extra stage waves even
+    # when the branch filters to empty — r11 measured +1.8 s/query)
+    skewed = (hits.where(F.col("bucket_n") > KTH_REFINE_CUT)
+              .limit(1).count() > 0)
+    direct_cand = (cand if not skewed
+                   else cand.where(F.col("bucket_n") <= KTH_REFINE_CUT))
+    direct = (direct_cand
+              .withColumn("rk", F.row_number().over(wq))
+              .where(F.col("rk") == F.col("r"))
+              .select("pct", F.col("v").alias("exact_v")))
+    if not skewed:
+        return direct
+    # refined path: oversized (skew/clamp) hit buckets
+    big = cand.where(F.col("bucket_n") > KTH_REFINE_CUT) \
+              .select("pct", "v", "r")
+    ext = (big.groupBy("pct", "r")
            .agg(F.min("v").alias("lo"), F.max("v").alias("hi")))
     done = (ext.where(F.col("lo") == F.col("hi"))
             .select("pct", F.col("lo").alias("exact_v")))
@@ -369,7 +403,7 @@ def exact_kth_by_bucket(vals: DataFrame, col: str,
         ((F.col("hi") - F.col("lo") + HIST_NB) % HIST_NB)
     rest = rest.select("pct", "lo",
                        exact_tdiv(w2, F.lit(HIST_NB)).alias("w2"))
-    sub = (cand.join(F.broadcast(rest), "pct")
+    sub = (big.join(F.broadcast(rest), "pct")
            .withColumn("sb", exact_tdiv(F.col("v") - F.col("lo"),
                                         F.col("w2"))))
     cum2 = (sub.groupBy("pct", "r", "sb").agg(F.count("*").alias("n"))
@@ -380,12 +414,11 @@ def exact_kth_by_bucket(vals: DataFrame, col: str,
             .where((F.col("cum2") < F.col("r"))
                    & (F.col("cum2") + F.col("n") >= F.col("r")))
             .select("pct", "sb", "cum2"))
-    wq = W.partitionBy("pct").orderBy("v")
     kth = (sub.join(F.broadcast(cum2), ["pct", "sb"])
            .withColumn("rk", F.row_number().over(wq))
            .where(F.col("rk") == F.col("r") - F.col("cum2"))
            .select("pct", F.col("v").alias("exact_v")))
-    return kth.unionByName(done)
+    return direct.unionByName(kth).unionByName(done)
 
 
 def hist_quantiles(buckets: DataFrame, pcts=HIST_PCTS) -> DataFrame:

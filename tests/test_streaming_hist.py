@@ -77,31 +77,37 @@ def test_stream_end_to_end(spark, tmp_path):
     assert total[0].t == li.count()
 
 
-def test_exact_kth_skew_refinement_and_point_mass(spark):
+def test_exact_kth_skew_refinement_and_point_mass(spark, monkeypatch):
     """r11 ADVICE: out-of-domain values clamp into the edge buckets, so
     the exact-kth reducer used to see a near-global candidate set.  The
     sub-histogram refinement and the constant-extent short-circuit must
-    both return the true order statistics anyway."""
-    from oanda_stream_processor_spark.operators.stats import (
-        HIST_HI,
-        exact_kth_by_bucket,
-        hist_buckets_of,
-        hist_quantiles,
-    )
+    both return the true order statistics anyway.  KTH_REFINE_CUT is
+    patched below the fixture size so the REFINED path (not the direct
+    window) is what's exercised; the direct path is covered by the
+    q172/q173 oracles and the final assertion here."""
+    from oanda_stream_processor_spark.operators import stats as S
+
+    monkeypatch.setattr(S, "KTH_REFINE_CUT", 50)
 
     # all values far above HIST_HI -> everything clamps into the top
     # bucket; exact kth must still be the true sorted[k-1]
-    skew = [HIST_HI * 10 + ((i * 7919) % 1000) for i in range(500)]
+    skew = [S.HIST_HI * 10 + ((i * 7919) % 1000) for i in range(500)]
     vals = spark.createDataFrame([(v,) for v in skew], "cents long")
-    hits = hist_quantiles(hist_buckets_of(vals, "cents"))
+    hits = S.hist_quantiles(S.hist_buckets_of(vals, "cents"))
     got = {r.pct: r.exact_v
-           for r in exact_kth_by_bucket(vals, "cents", hits).collect()}
+           for r in S.exact_kth_by_bucket(vals, "cents", hits).collect()}
     s = sorted(skew)
     for r in hits.collect():
         assert got[r.pct] == s[r.target_rank - 1]
 
     # point mass: constant column exercises the min==max short-circuit
     const = spark.createDataFrame([(42,)] * 100, "cents long")
-    hits_c = hist_quantiles(hist_buckets_of(const, "cents"))
-    out = exact_kth_by_bucket(const, "cents", hits_c).collect()
+    hits_c = S.hist_quantiles(S.hist_buckets_of(const, "cents"))
+    out = S.exact_kth_by_bucket(const, "cents", hits_c).collect()
     assert len(out) == hits_c.count() and all(r.exact_v == 42 for r in out)
+
+    # direct path (cut restored): same answers on the skewed fixture
+    monkeypatch.setattr(S, "KTH_REFINE_CUT", 262_144)
+    got2 = {r.pct: r.exact_v
+            for r in S.exact_kth_by_bucket(vals, "cents", hits).collect()}
+    assert got2 == got
