@@ -85,10 +85,14 @@ FROM (SELECT doc_id, {_SQL_TOKH} AS th FROM ({SQL_TOKS}) WHERE LEN(toks) >= 3)
 """
 
 
-def _spark_shingle_hashes(d: DataFrame) -> DataFrame:
+def _spark_shingle_hashes(d: DataFrame, with_pos: bool = False) -> DataFrame:
     """(doc_id, sh) — the 3-gram's polynomial hash: one char fold per
     TOKEN, then the 3-token combine per shingle. Matches
     SQL_SHINGLE_HASHES bit-for-bit (identical fold order, int64).
+    ``with_pos=True`` additionally emits the 1-based shingle position
+    within its document (the positional-postings variant feeding
+    phrase retrieval, q179) — free in the kernel, absent from every
+    pre-existing consumer's schema.
 
     Implementation: Arrow-batched numpy over mapInPandas (round 11;
     the expression twin is _spark_shingle_hashes_hof below).  All
@@ -156,11 +160,21 @@ def _spark_shingle_hashes(d: DataFrame) -> DataFrame:
             ok = tdoc[:-2] == tdoc[2:]  # shingle within one document
             sh = ((th[:-2] * SB + th[1:-1]) % HM * SB + th[2:]) % HM
             idx = np.array([i for i, _ in keep])
-            yield pd.DataFrame({"doc_id": dids[idx[tdoc[:-2][ok]]],
-                                "sh": sh[ok]})
+            out = {"doc_id": dids[idx[tdoc[:-2][ok]]]}
+            if with_pos:
+                # 1-based shingle position within its document: global
+                # token ordinal minus the doc's first token ordinal
+                first_tok = np.zeros(len(keep), dtype=np.int64)
+                uvals, uidx = np.unique(tdoc, return_index=True)
+                first_tok[uvals] = uidx
+                gidx = np.arange(n - 2)[ok]
+                out["pos"] = gidx - first_tok[tdoc[:-2][ok]] + 1
+            out["sh"] = sh[ok]
+            yield pd.DataFrame(out)
 
-    return d.select("doc_id", "text").mapInPandas(
-        gen, schema="doc_id long, sh bigint")
+    schema = ("doc_id long, pos long, sh bigint" if with_pos
+              else "doc_id long, sh bigint")
+    return d.select("doc_id", "text").mapInPandas(gen, schema=schema)
 
 
 def _spark_shingle_hashes_hof(d: DataFrame) -> DataFrame:

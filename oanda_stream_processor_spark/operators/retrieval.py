@@ -575,3 +575,65 @@ def q178_bm25_maxscore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "cand_id",
                     (F.col("fp_sum") / F.lit(FP)).alias("score"),
                     "rank"))
+
+
+# --- q179: phrase retrieval over positional postings ---------------------------
+#
+# The proximity half of the r10 verdict's ask #4 (BM25F was the field
+# half): exact consecutive-trigram phrase match via POSITIONAL
+# postings.  Each query document's phrase is its first three tokens;
+# a candidate matches where the same trigram occurs at ANY position.
+#
+# Spark-first shape: the positional shingle stream (doc_id, pos, sh)
+# is the existing numpy trigram kernel with its position column
+# enabled (dedup._spark_shingle_hashes(with_pos=True)) — the phrase
+# probe is then ONE join of the corpus postings against a
+# |queries|-row phrase frame (AQE broadcasts it from measured size),
+# followed by a bounded groupBy.  No corpus self-join, no window over
+# the corpus: at 100 TB the postings stream once past a broadcast
+# hash table, exactly the q175 probe discipline.
+#
+# Determinism: matching is on the int64 trigram hash both engines
+# fold identically (HB/SB/HM chain, SQL mirrored token for token), so
+# even hash collisions — the documented semantic relaxation, ~1e-9.7
+# per pair under 1e9+7 — are IDENTICAL cross-engine; counts and
+# positions are exact integers.
+# ------------------------------------------------------------------------------
+def q179_phrase_sql() -> str:
+    from .dedup import HM, SB, SQL_TOKS, _SQL_TOKH
+    return f"""
+WITH psh AS (
+  SELECT doc_id, i + 1 AS pos,
+         ((th[i+1] * {SB} + th[i+2]) % {HM} * {SB} + th[i+3]) % {HM} AS sh
+  FROM (SELECT doc_id, th, UNNEST(RANGE(LEN(th) - 2)) AS i
+        FROM (SELECT doc_id, {_SQL_TOKH} AS th
+              FROM ({SQL_TOKS}) WHERE LEN(toks) >= 3))),
+qp AS (SELECT doc_id AS query_id, sh AS qsh FROM psh
+       WHERE pos = 1 AND doc_id < {N_QUERIES})
+SELECT q.query_id, p.doc_id AS cand_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(MIN(p.pos) AS BIGINT) AS first_pos
+FROM psh p JOIN qp q ON p.sh = q.qsh AND p.doc_id <> q.query_id
+GROUP BY 1, 2
+"""
+
+
+def q179_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase (consecutive-trigram) retrieval — see block
+    comment.  (query_id, cand_id, n_hits, first_pos) for every
+    candidate containing the query's leading trigram."""
+    from .dedup import _spark_shingle_hashes
+    d = load_table(spark, sf_dir, "documents")
+    psh = _spark_shingle_hashes(d, with_pos=True)
+    qp = (psh.where((F.col("pos") == 1) & (F.col("doc_id") < N_QUERIES))
+          .select(F.col("doc_id").alias("query_id"),
+                  F.col("sh").alias("qsh")))
+    return (psh.join(qp, psh.sh == qp.qsh)
+            .where(F.col("doc_id") != F.col("query_id"))
+            .groupBy("query_id", F.col("doc_id").alias("cand_id"))
+            .agg(F.count("*").alias("n_hits"),
+                 F.min("pos").alias("first_pos")))
+
+
+QUERIES["q179_phrase_match"] = q179_phrase_match
+ORACLES["q179_phrase_match"] = q179_phrase_sql()
