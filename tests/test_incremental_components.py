@@ -196,3 +196,58 @@ def test_propagate_min_labels_two_components_star_chain(spark):
            for r in propagate_min_labels(seed, edges).collect()}
     for d, c in got.items():
         assert c == (5000 if d >= 5000 else 0), (d, c)
+
+
+def test_star_contraction_distributed_phase_forced(spark, monkeypatch):
+    """With CC_LOCAL_EDGE_CUT at its default, bench-scale graphs finish
+    in the single-task union-find and the DISTRIBUTED star rounds
+    (freezing included) never execute — so force them: cut=0 runs the
+    whole contraction through large-star/small-star with isolated-star
+    freezing, and must produce identical labels to the finisher path
+    on the adversarial shapes (long chain, chained hubs, disjoint
+    minimum) AND on a random graph."""
+    import random
+
+    from oanda_stream_processor_spark.operators import dedup as D
+
+    def labels(edges):
+        return {r.doc_id: r.rep for r in D.star_components(edges).collect()}
+
+    def sym(pairs):
+        e = spark.createDataFrame(pairs, "src: long, dst: long")
+        return e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+    rng = random.Random(11)
+    perm = list(range(120))
+    rng.shuffle(perm)   # random ids along a path: adversarial for
+    chain = [(perm[i], perm[i + 1]) for i in range(119)]  # min-flooding
+    hubs = [(h, h + 1) for h in range(29)]
+    hubs += [(h, 1000 + 10 * h + j) for h in range(30) for j in range(10)]
+    hubs += [(i, i + 1) for i in range(5000, 5040)]
+    rand = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    rand = [(a, b) for a, b in rand if a != b]
+
+    for pairs in (chain, hubs, rand):
+        edges = sym(pairs)
+        want = labels(edges)                      # finisher path
+        monkeypatch.setattr(D, "CC_LOCAL_EDGE_CUT", 0)
+        got = labels(edges)                       # distributed rounds
+        monkeypatch.setattr(D, "CC_LOCAL_EDGE_CUT", 2_000_000)
+        assert got == want and len(got) > 0
+
+
+def test_star_contraction_max_rounds_raises(spark, monkeypatch):
+    """The non-convergence guard must still fire on the distributed
+    path when the round budget is genuinely too small."""
+    import pytest
+
+    from oanda_stream_processor_spark.operators import dedup as D
+
+    monkeypatch.setattr(D, "CC_LOCAL_EDGE_CUT", 0)
+    pairs = [(i, i + 1) for i in range(64)]
+    e = spark.createDataFrame(pairs, "src: long, dst: long")
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.star_components(edges, max_rounds=1)
