@@ -409,6 +409,20 @@ def q177_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q175's audited shape carried over."""
     d = load_table(spark, sf_dir, "documents")
     tff, dlf, dfd, ndocs, avgf = corpus_field_frames(d)
+    qterms = (tff.where(F.col("cand_id") < N_QUERIES)
+              .select(F.col("cand_id").alias("query_id"), "term")
+              .distinct())
+    return bm25f_topk_from(tff, dlf, dfd, ndocs, avgf, qterms)
+
+
+def bm25f_topk_from(tff: DataFrame, dlf: DataFrame, dfd: DataFrame,
+                    ndocs: DataFrame, avgf: DataFrame,
+                    qterms: DataFrame) -> DataFrame:
+    """q177's scoring core from explicit field frames — shared by the
+    one-shot plan and the streaming gate's serving read (frames may
+    come from merged micro-batch partials; scores are identical
+    because the weighted tf, saturation and idf are pure functions of
+    the per-field state, which the merge reproduces exactly)."""
     w_f = F.when(F.col("field") == "title", F.lit(W_TITLE)) \
            .otherwise(F.lit(W_BODY))
     b_f = F.when(F.col("field") == "title", F.lit(B_TITLE)) \
@@ -419,9 +433,6 @@ def q177_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            .join(avgf, "field")
            .groupBy("cand_id", "term")
            .agg(F.sum((w_f * F.col("tf")) / bnorm).alias("tfw")))
-    qterms = (tff.where(F.col("cand_id") < N_QUERIES)
-              .select(F.col("cand_id").alias("query_id"), "term")
-              .distinct())
     idf = F.log(F.lit(1.0)
                 + ((F.col("n_docs") - F.col("df")) + F.lit(0.5))
                 / (F.col("df") + F.lit(0.5)))

@@ -65,7 +65,9 @@ partial — can never be merged into a BM25F score.  A BM25F serving
 store must therefore persist RAW per-(doc, term, field) tf rows (the
 field-split analogue of this gate's tf store) and apply weights +
 saturation only at read time.  The stats half merges; the saturation
-half must stay deferred.
+half must stay deferred.  IMPLEMENTED below (same round):
+write_batch_field_partials / serve_bm25f_topk follow exactly this
+split, pytest-proven equal to one-shot q177 per append prefix.
 
 Citation: the reference (433-line tick ETL, /root/reference/src/
 main.rs) has no retrieval surface; north-star extension.
@@ -191,6 +193,79 @@ def start_bm25_stream(stream_docs: DataFrame, state_dir: str,
     which micro-batched document feeds are by construction."""
     def body(batch_df: DataFrame, batch_id: int) -> None:
         write_batch_partials(batch_df, state_dir, batch_id)
+
+    return (stream_docs.writeStream
+            .foreachBatch(body)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+# --- BM25F serving store (round 11; the extension note above, done) -----------
+#
+# Exactly what the note prescribes: RAW per-(doc, term, field) tf rows
+# and per-(doc, field) lengths persist per batch (no merge needed —
+# doc-disjoint batches); doc-level df, per-field Σdl and n_docs merge
+# by SUM.  Weights and the cross-field saturation are applied ONLY at
+# read time by the shared retrieval.bm25f_topk_from core — never
+# pre-computed into state (the non-decomposable half).
+
+def write_batch_field_partials(docs: DataFrame, state_dir: str,
+                               batch_id: int) -> None:
+    """Persist one doc-disjoint batch's BM25F state under its
+    batch_id=<id> partitions (overwrite = idempotent replay)."""
+    from ..operators.retrieval import corpus_field_frames
+    tff, dlf, dfd, ndocs, _ = corpus_field_frames(docs)
+    tff = tff.cache()
+    try:
+        tff.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "tff", f"batch_id={batch_id}"))
+        dlf.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "dlf", f"batch_id={batch_id}"))
+        dfd.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "fdf", f"batch_id={batch_id}"))
+        (dlf.groupBy("field").agg(F.sum("dlf").alias("sum_dlf"))
+         .write.mode("overwrite")
+         .parquet(os.path.join(state_dir, "fsum",
+                               f"batch_id={batch_id}")))
+        ndocs.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "fnd", f"batch_id={batch_id}"))
+    finally:
+        tff.unpersist()
+
+
+def serve_bm25f_topk(spark: SparkSession, state_dir: str) -> DataFrame:
+    """q177's output served entirely from the persisted field state:
+    raw stores read as plain partitioned scans, mergeable stats
+    SUM-merged, weights + saturation applied at read time via the
+    shared scoring core — row-for-row equal to one-shot q177 on the
+    corpus ingested so far (pytest-proven per append prefix)."""
+    from ..operators.retrieval import N_QUERIES as NQ
+    from ..operators.retrieval import bm25f_topk_from
+    tff = (spark.read.parquet(os.path.join(state_dir, "tff"))
+           .select("cand_id", "term", "field", "tf"))
+    dlf = (spark.read.parquet(os.path.join(state_dir, "dlf"))
+           .select("cand_id", "field", "dlf"))
+    dfd = (spark.read.parquet(os.path.join(state_dir, "fdf"))
+           .groupBy("term").agg(F.sum("df").alias("df")))
+    ndocs = (spark.read.parquet(os.path.join(state_dir, "fnd"))
+             .agg(F.sum("n_docs").alias("n_docs")))
+    avgf = (spark.read.parquet(os.path.join(state_dir, "fsum"))
+            .groupBy("field").agg(F.sum("sum_dlf").alias("sum_dlf"))
+            .crossJoin(F.broadcast(ndocs))
+            .select("field", (F.col("sum_dlf").cast("double")
+                              / F.col("n_docs")).alias("avgdl")))
+    qterms = (tff.where(F.col("cand_id") < NQ)
+              .select(F.col("cand_id").alias("query_id"), "term")
+              .distinct())
+    return bm25f_topk_from(tff, dlf, dfd, ndocs, avgf, qterms)
+
+
+def start_bm25f_stream(stream_docs: DataFrame, state_dir: str,
+                       checkpoint_dir: str):
+    """availableNow/foreachBatch wiring for the BM25F field store."""
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        write_batch_field_partials(batch_df, state_dir, batch_id)
 
     return (stream_docs.writeStream
             .foreachBatch(body)

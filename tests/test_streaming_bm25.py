@@ -153,3 +153,55 @@ def test_stream_end_to_end_serves_topk(spark, tmp_path):
     q.awaitTermination(120)
     assert _table(serve_bm25_topk(spark, state)) == \
         _table(q175_bm25_topk(spark, SF_DIR))
+
+
+def test_bm25f_served_tracks_appends_and_stream(spark, tmp_path):
+    """The BM25F field store (the gate note's 'deferred half', now
+    implemented): after every prefix of a 3-batch append the served
+    top-k equals one-shot q177 on the corpus so far, and an
+    availableNow stream over the full corpus serves q177's answer."""
+    from oanda_stream_processor_spark.operators.retrieval import (
+        bm25f_topk_from,
+        corpus_field_frames,
+        q177_bm25f_topk,
+    )
+    from oanda_stream_processor_spark.streaming.bm25gate import (
+        serve_bm25f_topk,
+        start_bm25f_stream,
+        write_batch_field_partials,
+    )
+
+    def one_shot_on(d):
+        tff, dlf, dfd, ndocs, avgf = corpus_field_frames(d)
+        qterms = (tff.where(F.col("cand_id") < N_QUERIES)
+                  .select(F.col("cand_id").alias("query_id"), "term")
+                  .distinct())
+        return bm25f_topk_from(tff, dlf, dfd, ndocs, avgf, qterms)
+
+    d = load_table(spark, SF_DIR, "documents")
+    state = str(tmp_path / "fstate")
+    seen = None
+    for i in range(3):
+        part = d.where(F.col("doc_id") % 3 == i)
+        write_batch_field_partials(part, state, i)
+        seen = part if seen is None else seen.unionByName(part)
+        assert _table(serve_bm25f_topk(spark, state)) == \
+            _table(one_shot_on(seen)), f"diverged after batch {i}"
+    assert _table(serve_bm25f_topk(spark, state)) == \
+        _table(q177_bm25f_topk(spark, SF_DIR))
+
+    # availableNow e2e
+    src = tmp_path / "fdocs"
+    src.mkdir()
+    dd = d.select("doc_id", "text")
+    dd.where("doc_id % 2 = 0").coalesce(1).write.json(str(src / "f1"))
+    dd.where("doc_id % 2 = 1").coalesce(1).write.json(str(src / "f2"))
+    stream = (spark.readStream
+              .schema("doc_id bigint, text string")
+              .option("maxFilesPerTrigger", "1")
+              .json(str(src / "*")))
+    state2 = str(tmp_path / "fstate2")
+    q = start_bm25f_stream(stream, state2, str(tmp_path / "fckpt"))
+    q.awaitTermination(120)
+    assert _table(serve_bm25f_topk(spark, state2)) == \
+        _table(q177_bm25f_topk(spark, SF_DIR))
