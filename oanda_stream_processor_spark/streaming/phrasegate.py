@@ -94,3 +94,60 @@ def start_phrase_stream(stream_docs: DataFrame, phrases: DataFrame,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+# --- positional-postings serving store (round 11) ------------------------------
+#
+# The match store above answers the FIXED phrase set the stream was
+# started with.  The postings store persists each batch's raw
+# positional trigram postings (doc_id, pos, sh) under batch_id
+# partitions instead, so AD-HOC phrases — composed after ingest, never
+# seen by the stream — are served by one broadcast probe of the stored
+# postings.  Doc-disjoint batches mean the store needs no merge; the
+# probe is the same join shape as one-shot q179, so serving any phrase
+# set over the ingested corpus equals running q179 with that phrase
+# set on the materialized corpus (pytest-proven, including per append
+# prefix).  This is the retrieval-index trade stated plainly: the
+# match store is O(matches) and phrase-fixed; the postings store is
+# O(corpus trigrams) and phrase-free.
+
+def write_batch_postings(batch: DataFrame, state_dir: str,
+                         batch_id: int) -> None:
+    """Persist one batch's positional trigram postings under its
+    batch_id=<id> partition (overwrite = idempotent replay)."""
+    (_spark_shingle_hashes(batch.select("doc_id", "text"), with_pos=True)
+     .write.mode("overwrite")
+     .parquet(os.path.join(state_dir, "postings",
+                           f"batch_id={batch_id}")))
+
+
+def read_postings(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Stored positional postings across all batches — a plain
+    partitioned scan (doc-disjoint batches)."""
+    return (spark.read.parquet(os.path.join(state_dir, "postings"))
+            .select("doc_id", "pos", "sh"))
+
+
+def serve_phrase_matches(spark: SparkSession, state_dir: str,
+                         phrases: DataFrame) -> DataFrame:
+    """q179's output for an ARBITRARY (query_id, qsh) phrase frame,
+    served entirely from the postings store."""
+    psh = read_postings(spark, state_dir)
+    return (psh.join(F.broadcast(phrases), psh.sh == phrases.qsh)
+            .where(F.col("doc_id") != F.col("query_id"))
+            .groupBy("query_id", F.col("doc_id").alias("cand_id"))
+            .agg(F.count("*").alias("n_hits"),
+                 F.min("pos").alias("first_pos")))
+
+
+def start_postings_stream(stream_docs: DataFrame, state_dir: str,
+                          checkpoint_dir: str):
+    """availableNow/foreachBatch wiring for the postings store."""
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        write_batch_postings(batch_df, state_dir, batch_id)
+
+    return (stream_docs.writeStream
+            .foreachBatch(body)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
