@@ -466,10 +466,14 @@ def bm25f_topk_from(tff: DataFrame, dlf: DataFrame, dfd: DataFrame,
 #      contribution (tf-saturation < k1+1, B ≥ 1−b), computable from
 #      df alone, no pass over postings.  In fixed-point with a +2 ulp
 #      margin so UB_fp ≥ every snapped contribution fp(t,d).
-#   2. SEEDS: the SEED_TERMS highest-UB (= rarest) terms per query —
-#      small postings by construction.  Their matching docs get FULL
-#      scores (all their query terms, not just seed terms); the
+#   2. SEEDS: up to SEED_TERMS highest-UB (= rarest) terms per query,
+#      qualified to within 2x of the query's best UB so rare terms
+#      dominate the seed set whenever they exist (on a flat-UB
+#      vocabulary every term qualifies and the cap keeps plain top-N)
+#      — small postings by construction.  Their matching docs get
+#      FULL scores (all their query terms, not just seed terms); the
 #      POOL-th best of these true scores is the pruning threshold θ.
+#      Seed choice affects only θ quality, never exactness.
 #   3. ESSENTIAL SPLIT: sort the query's terms by UB ascending and
 #      take the maximal prefix whose UB prefix-sum stays STRICTLY
 #      below θ — a doc matching only those terms scores < θ and can
