@@ -918,6 +918,9 @@ def q157_winnow_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 # min-label loop — one shuffle-join + one agg per round, O(component
 # diameter) rounds, and verified-dup components are shallow.
 # ---------------------------------------------------------------------------
+_STAR_EDGE_CACHE: dict = {}
+
+
 def winnow_verified_star_edges(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     """Verified (doc_a, doc_b) substring-dup star edges — q167's
@@ -926,7 +929,17 @@ def winnow_verified_star_edges(spark: SparkSession,
     candidates, O(postings). Verify: exact shared-fp counts for
     candidate pairs only (|cand| x fps/doc, never n^2), then the
     MIN_SHARED / containment-ppm cuts. Returns an eagerly-checkpointed
-    frame (multiple consumers: both union directions, q174)."""
+    frame (multiple consumers: both union directions, q174).
+
+    Memoized per (applicationId, sf_dir) — the winnow_component_frame
+    precedent (r8): q167 keeps measuring the true build cost, q174
+    (which unions these edges with the LSH pairs) reuses the
+    checkpointed frame instead of re-running the recall+verify
+    pipeline."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _STAR_EDGE_CACHE.get(key)
+    if hit is not None:
+        return hit
     fps = _winnow_postings(spark, sf_dir, with_hub=True)
     sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n"))
     cand = (fps.where(F.col("doc_id") != F.col("hub"))
@@ -943,10 +956,12 @@ def winnow_verified_star_edges(spark: SparkSession,
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     num = F.col("n_shared").cast("decimal(38,0)") * 1_000_000
     den = F.least(F.col("na"), F.col("nb"))
-    return (ns.join(sa, "doc_a").join(sb, "doc_b")
-              .where(exact_tdiv(num, den) >= MIN_CONTAIN_PPM)
-              .select("doc_a", "doc_b")
-              .localCheckpoint(eager=True))
+    hit = (ns.join(sa, "doc_a").join(sb, "doc_b")
+             .where(exact_tdiv(num, den) >= MIN_CONTAIN_PPM)
+             .select("doc_a", "doc_b")
+             .localCheckpoint(eager=True))
+    _STAR_EDGE_CACHE[key] = hit
+    return hit
 
 
 @query("q167_winnow_components", f"""
