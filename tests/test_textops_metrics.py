@@ -283,3 +283,44 @@ def test_zipf_slope_negative_on_fixture(spark):
     assert r.zipf_slope <= 0
     # intercept ~ ln(top frequency): sanity bound
     assert r.intercept_ln > 0
+
+
+def test_numpy_hash_kernels_match_hof_on_adversarial_unicode(spark):
+    """The r11 numpy kernels decode codepoints via utf-32 while the
+    expression twins use Spark's ascii() (codepoint of first char) —
+    parity must hold beyond the fixtures' ASCII alphabet: multibyte
+    codepoints, surrogate-pair emoji, space runs, tabs/newlines inside
+    tokens, and boundary-length documents."""
+    from oanda_stream_processor_spark.operators.dedup import (
+        _spark_shingle_hashes,
+        _spark_shingle_hashes_hof,
+    )
+    from oanda_stream_processor_spark.operators.textops import (
+        GRAM,
+        WINNOW,
+        winnow_fingerprints,
+        winnow_fingerprints_hof,
+    )
+
+    min_len = GRAM + WINNOW - 1
+    texts = [
+        "",                                   # empty
+        "   ",                                # spaces only
+        "ab",                                 # below gram width
+        "x" * (min_len - 1),                  # one short of fp minimum
+        "x" * min_len,                        # exactly the fp minimum
+        "héllo wörld mixé ascii und ünïcode", # latin-1 range
+        "中文 分词 测试 中文 分词 测试 中文",      # CJK tokens
+        "emoji 🚀 pair 🚀🚀 test tokens here",  # surrogate pairs
+        "tab\tand\nnewline are token chars not separators",
+        "a  double  space   run makes empty tokens to drop",
+        " leading and trailing spaces ",
+        ("repeat me " * 40).strip(),          # long, highly repetitive
+    ]
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    for a, b in ((winnow_fingerprints(d), winnow_fingerprints_hof(d)),
+                 (_spark_shingle_hashes(d), _spark_shingle_hashes_hof(d)),
+                 (_spark_shingle_hashes(d, with_pos=True).select("doc_id", "sh"),
+                  _spark_shingle_hashes_hof(d))):
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
