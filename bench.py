@@ -37,6 +37,20 @@ def _sf_from_dir(d: str) -> float:
 
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
+# The r7/r8 estimator discipline, restored per the r11 verdict: the
+# host VM exhibits sporadic multi-10s freezes that can span BOTH
+# back-to-back runs of one query, so the N runs are structured as N
+# FULL SUITE PASSES (every query once per pass, min across passes) —
+# a freeze then contaminates at most one pass of each query it
+# overlaps, never every sample of the same query.  The iterative
+# component family gets one extra pass (min-of-3): its stage-wave-
+# bound loops have the widest run-to-run variance (r11: a single
+# contaminated pass recorded q167 at 5.37 s vs 1.20 s min-of-3).
+ITERATIVE_FAMILY = {
+    "q55_dedup_components", "q167_winnow_components",
+    "q168_winnow_canonical", "q174_unified_components",
+}
+
 
 def _floor_calibration(spark) -> float:
     """Measured per-query floor: the trivial single-job plan
@@ -99,26 +113,42 @@ def run_spark(names: list[str] | None) -> dict[str, float]:
         pass  # warm-up failure is the query's own err row below
     timings: dict[str, float] = _PARTIAL["queries"]
     _PARTIAL["floor"] = _floor_calibration(spark)
-    for name, fn in sorted(qs.items()):
-        # min-of-N: the host VM exhibits sporadic multi-10s freezes
-        # (all JVM threads parked, wall clock stretches); min is the
-        # noise-robust per-query statistic. Each run still executes the
-        # full plan end-to-end into a noop sink.
-        #
-        # Per-query fault isolation: one broken query costs ONE err row,
-        # never the suite — round 9 lost its entire bench record to a
-        # single raising query.
-        best = None
+
+    def one_run(name, fn) -> None:
+        # Per-query fault isolation: one broken query costs ONE err
+        # row, never the suite — round 9 lost its entire bench record
+        # to a single raising query.  Each run executes the full plan
+        # end-to-end into a noop sink.
+        if name in _PARTIAL["errors"]:
+            return
+        # q167's ledgered number is the TRUE star-edge build cost:
+        # bypass the (app, sf_dir) memo for its runs so min-of-N
+        # doesn't report the cache-hit path (r11 ADVICE).  q174 keeps
+        # the memoized reuse by design — ledgered in BASELINE.md.
+        memo_off = name == "q167_winnow_components"
+        if memo_off:
+            os.environ["SPARK_GRAFT_EDGE_MEMO"] = "0"
         try:
-            for _ in range(max(1, N_RUNS)):
-                t0 = time.perf_counter()
-                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
         except Exception as exc:  # noqa: BLE001 - isolate and continue
             _PARTIAL["errors"][name] = f"{type(exc).__name__}: {exc}"[:300]
-            continue
-        timings[name] = round(best, 3)
+            timings.pop(name, None)
+            return
+        finally:
+            if memo_off:
+                os.environ.pop("SPARK_GRAFT_EDGE_MEMO", None)
+        timings[name] = round(min(timings.get(name, dt), dt), 3)
+
+    # N_RUNS FULL SUITE PASSES, min per query across passes (see
+    # ITERATIVE_FAMILY note above), then one extra pass for the
+    # iterative component family
+    for _ in range(max(1, N_RUNS)):
+        for name, fn in sorted(qs.items()):
+            one_run(name, fn)
+    for name in sorted(ITERATIVE_FAMILY & set(qs)):
+        one_run(name, qs[name])
     spark.stop()
     return timings
 

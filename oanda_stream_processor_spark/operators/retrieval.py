@@ -492,23 +492,125 @@ def bm25f_topk_from(tff: DataFrame, dlf: DataFrame, dfd: DataFrame,
 # < θ = a true achieved POOL-th score — it cannot displace any pool
 # row.  Hence q178 ≡ q175 row-for-row (pytest: pool-level AND top-k
 # equality; oracle: q175's own SQL verbatim).
+#
+# STATISTIC GATE (r12): pruning can only win when term UBs are SPREAD —
+# the essential split discards the ascending-UB prefix whose cumsum
+# stays under θ, and on a flat-UB vocabulary (every idf ~equal) that
+# prefix is empty, so the seed/θ/essential machinery is pure overhead
+# (+2.4 s at sf0.1 for identical rows, r11 measured; the sf0.1
+# fixture's max per-query UB spread is 1.11x, while sf0.001/sf0.01
+# carry rare terms spreading up to ~16x and keep the pruning branch).
+# q178 therefore reads a per-query spread statistic BEFORE building
+# any full corpus frame — the exact-kth KTH_REFINE_CUT precedent
+# (stats.py), adapted because here the exact statistic would itself
+# cost a full postings build: df is estimated from a deterministic
+# 1-in-MS_SAMPLE_MOD document sample (doc_id % MOD == 0), which
+# preserves df PROPORTIONS while reading ~1/64th of the corpus.  The
+# test is on proportions, not sampled idf ratios — as df/N → 1 the
+# idf of a common term goes to 0 and its sampled ratio diverges under
+# binomial noise (measured: the flat sf0.1 fixture read as 3.5x
+# spread through sampled idfs while its true spread is 1.11x).  A
+# query is prunable iff it has a RARE term (df_s/n_s ≤ MS_RARE_P,
+# with sample-absent terms counting as df_s = 0 — a term missing from
+# the sample has df < ~MOD in expectation) AND a COMMON term
+# (df_s/n_s ≥ MS_COMMON_P).  Those cuts imply the 2x idf spread the
+# seed rule needs analytically — p ≤ 1/8 gives idf ≥ ln(8) ≈ 2.08,
+# p ≥ 1/2 gives idf ≤ ln(2) ≈ 0.69 — and both tails are stable under
+# sampling (P(p̂ ≤ 1/8 | p ≥ 1/2) vanishes at n_s ≥ ~50).  Without a
+# rare term θ cannot clear any prefix (seeds degenerate to "the first
+# SEED_TERMS terms"); without a common term there is nothing worth
+# pruning.  The gate affects plan choice only, never results — both
+# branches are exact (pytest: flat + Zipfian routing, fixture +
+# Zipfian equality); the degrade branch is q175's plan verbatim, with
+# no checkpoint and no extra stage wave beyond the sample read.
 # ------------------------------------------------------------------------------
 SEED_TERMS = 8
+MS_SAMPLE_MOD = 64
+MS_RARE_P = 0.125
+MS_COMMON_P = 0.5
 
 
-def maxscore_candidates(tf: DataFrame, dfq: DataFrame, dl: DataFrame,
-                        stats: DataFrame, qterms: DataFrame):
-    """(cands, full_scores) — the MaxScore pruning core, exposed so
-    pytest can assert the candidate set is a strict subset of q175's
-    full scored set while the pool stays exact.  See the q178 block
-    comment for the algorithm and the soundness argument."""
+MS_SAMPLE_TARGET = 2048  # adaptive MOD keeps the sample ~this many docs
+
+
+def maxscore_gate_is_prunable(d: DataFrame) -> bool:
+    """True iff some query has both a rare and a common term under the
+    sampled df-proportion cuts — the q178 plan gate (see block
+    comment).  Shape: one parquet-metadata count, then the bounded
+    sample (doc_id % MOD == 0, MOD scaled so the sample stays
+    ~MS_SAMPLE_TARGET docs at ANY corpus size) plus the query docs
+    through ONE Arrow task — the repo's single-task-finisher pattern
+    (dedup.py's union-find precedent).  A declarative df-proportion
+    plan costs ~6 tiny stage waves (~0.6 s of pure latency on
+    local[32], measured) for a statistic over ≤ ~2 k docs; the single
+    task reads the same bounded bytes with two waves.  Order-
+    independent by construction (set/count arithmetic), so partition
+    layout cannot change the verdict."""
+    n_docs = d.count()  # parquet row-group metadata, no column read
+    if n_docs == 0:
+        return False
+    mod = max(MS_SAMPLE_MOD, n_docs // MS_SAMPLE_TARGET)
+    pick = (d.where((F.col("doc_id") % mod == 0)
+                    | (F.col("doc_id") < N_QUERIES))
+            .select("doc_id", "text").repartition(1))
+    rare_p, common_p, nq = MS_RARE_P, MS_COMMON_P, N_QUERIES
+
+    def _gate(batches):
+        import pandas as pd
+        frames = list(batches)
+        if not frames:
+            yield pd.DataFrame({"sp": [False]})
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        term_sets = pdf.text.map(
+            lambda t: {x for x in t.split(" ") if x})
+        is_s = pdf.doc_id % mod == 0
+        n_s = int(is_s.sum())
+        df_s: dict = {}
+        for ts in term_sets[is_s]:
+            for t in ts:
+                df_s[t] = df_s.get(t, 0) + 1
+        sp = False
+        if n_s:
+            for ts in term_sets[pdf.doc_id < nq]:
+                ps = [df_s.get(t, 0) / n_s for t in ts]
+                if ps and min(ps) <= rare_p and max(ps) >= common_p:
+                    sp = True
+                    break
+        yield pd.DataFrame({"sp": [sp]})
+
+    return bool(pick.mapInPandas(_gate, "sp boolean").first().sp)
+
+
+def term_upper_bounds(dfq: DataFrame, stats: DataFrame,
+                      qterms: DataFrame) -> DataFrame:
+    """(query_id, term, ub_fp) — per-query-term fixed-point score upper
+    bounds, computed from df alone (no pass over postings).  Bounded to
+    |queries| x |query terms| rows; shared by the spread gate and the
+    pruning core so both read the same statistic."""
     idf = F.log(F.lit(1.0)
                 + ((F.col("n_docs") - F.col("df")) + F.lit(0.5))
                 / (F.col("df") + F.lit(0.5)))
     ub_fp = (F.ceil(idf * F.lit(BM25_K1 + 1.0) * F.lit(FP)) + F.lit(2)) \
         .cast("long")
-    qub = (qterms.join(dfq, "term").crossJoin(F.broadcast(stats))
-           .select("query_id", "term", ub_fp.alias("ub_fp")))
+    return (qterms.join(dfq, "term").crossJoin(F.broadcast(stats))
+            .select("query_id", "term", ub_fp.alias("ub_fp")))
+
+
+def maxscore_candidates(tf: DataFrame, dfq: DataFrame, dl: DataFrame,
+                        stats: DataFrame, qterms: DataFrame,
+                        qub: DataFrame | None = None):
+    """(cands, full_scores) — the MaxScore pruning core, exposed so
+    pytest can assert the candidate set is a strict subset of q175's
+    full scored set while the pool stays exact.  See the q178 block
+    comment for the algorithm and the soundness argument.  ``qub`` lets
+    q178 pass the already-checkpointed UB frame its spread gate read;
+    absent, it is derived fresh (the pytest entry point)."""
+    idf = F.log(F.lit(1.0)
+                + ((F.col("n_docs") - F.col("df")) + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    if qub is None:
+        qub = term_upper_bounds(dfq, stats, qterms)
 
     # seeds: rarest terms -> smallest postings, highest impact.  Only
     # terms within 2x of the query's best UB qualify — when rare terms
@@ -548,16 +650,24 @@ def maxscore_candidates(tf: DataFrame, dfq: DataFrame, dl: DataFrame,
     s1 = full_scores(cand1)
     w_th = W.partitionBy("query_id").orderBy(F.desc("fp_sum"),
                                              F.asc("cand_id"))
+    # the terminal per-query agg is a semantic no-op (the _r == POOL
+    # filter already leaves one row per query) but makes theta's
+    # boundedness STRUCTURAL — its topmost aggregate groups by
+    # query_id, the explain_audit-exempt bounded key — so the
+    # broadcast hint below is legal under the r8 global hint rule
     theta = (s1.withColumn("_r", F.row_number().over(w_th))
              .where(F.col("_r") == POOL)
-             .select("query_id", F.col("fp_sum").alias("theta")))
+             .groupBy("query_id")
+             .agg(F.min("fp_sum").alias("theta")))
 
     # essential split: ascending-UB prefix with strict cumsum < theta
-    # is prunable; null theta (< POOL seed candidates) keeps all terms
+    # is prunable; null theta (< POOL seed candidates) keeps all terms.
+    # theta is <= |queries| rows by construction (the POOL-th row per
+    # query) — broadcast it, else it sort-merge-joins (r11 plan audit).
     w_cum = (W.partitionBy("query_id")
              .orderBy(F.asc("ub_fp"), F.asc("term"))
              .rowsBetween(W.unboundedPreceding, W.currentRow))
-    ess = (qub.join(theta, "query_id", "left")
+    ess = (qub.join(F.broadcast(theta), "query_id", "left")
            .withColumn("_cum", F.sum("ub_fp").over(w_cum))
            .where(~(F.col("_cum") < F.col("theta"))
                   | F.col("theta").isNull())
@@ -577,8 +687,15 @@ FROM bpool WHERE rank <= {TOP_K}
 def q178_bm25_maxscore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact MaxScore-pruned BM25 top-k (see block comment). Returns
     q175's output shape and, by the pruning-soundness argument, q175's
-    exact rows — the oracle IS q175's SQL."""
+    exact rows — the oracle IS q175's SQL.  The UB-spread gate picks
+    the plan: flat vocabulary -> q175's direct scoring (pruning cannot
+    win there and its phases are pure overhead); spread vocabulary ->
+    the seed/θ/essential machinery.  Either branch is exact."""
     d = load_table(spark, sf_dir, "documents")
+    if not maxscore_gate_is_prunable(d):
+        # flat vocabulary: q175's plan verbatim — no postings
+        # checkpoint, no extra stage beyond the gate's sample read
+        return q175_bm25_topk(spark, sf_dir)
     tf, dfq, dl, stats = corpus_term_frames(d)
     tf = tf.localCheckpoint(eager=True)  # multi-consumer postings index
     qterms = (tf.where(F.col("cand_id") < N_QUERIES)

@@ -932,14 +932,22 @@ def winnow_verified_star_edges(spark: SparkSession,
     frame (multiple consumers: both union directions, q174).
 
     Memoized per (applicationId, sf_dir) — the winnow_component_frame
-    precedent (r8): q167 keeps measuring the true build cost, q174
-    (which unions these edges with the LSH pairs) reuses the
-    checkpointed frame instead of re-running the recall+verify
-    pipeline."""
+    precedent (r8): q174 (which unions these edges with the LSH pairs)
+    reuses the checkpointed frame instead of re-running the
+    recall+verify pipeline.  SPARK_GRAFT_EDGE_MEMO=0 bypasses the
+    cache entirely (no read, no write): bench.py sets it around
+    q167's own runs so every benched q167 sample measures the TRUE
+    build cost even under min-of-N in one app (the r11 ADVICE —
+    without the flag, run 2+ reported the cache-hit path while the
+    ledger claimed a build measurement).  q174's bench entry still
+    reuses the frame by design; BASELINE.md ledgers that."""
+    import os
+    use_memo = os.environ.get("SPARK_GRAFT_EDGE_MEMO", "1") != "0"
     key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _STAR_EDGE_CACHE.get(key)
-    if hit is not None:
-        return hit
+    if use_memo:
+        hit = _STAR_EDGE_CACHE.get(key)
+        if hit is not None:
+            return hit
     fps = _winnow_postings(spark, sf_dir, with_hub=True)
     sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n"))
     cand = (fps.where(F.col("doc_id") != F.col("hub"))
@@ -960,7 +968,8 @@ def winnow_verified_star_edges(spark: SparkSession,
              .where(exact_tdiv(num, den) >= MIN_CONTAIN_PPM)
              .select("doc_a", "doc_b")
              .localCheckpoint(eager=True))
-    _STAR_EDGE_CACHE[key] = hit
+    if use_memo:
+        _STAR_EDGE_CACHE[key] = hit
     return hit
 
 

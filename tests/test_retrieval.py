@@ -166,6 +166,34 @@ def test_maxscore_actually_prunes(spark):
     assert 0 < pruned < full, (pruned, full)
 
 
+def test_maxscore_spread_gate_routing(spark):
+    """The r12 statistic gate: a flat-UB corpus (every term's df equal,
+    so every UB equal) must read as non-prunable — q178 degrades to
+    q175's direct plan — while a Zipfian corpus with rare terms must
+    read as prunable (the seed/θ/essential machinery engages).
+    Routing is a function of SAMPLED per-query df proportions — a rare
+    term (p <= MS_RARE_P, sample-absent counts as 0) AND a common term
+    (p >= MS_COMMON_P) must coexist, which implies the 2x UB spread
+    the seed rule needs while staying stable under sampling noise.  (The sf0.1 fixture measures 1.11x max spread — flat,
+    the degrade branch, the r11 perf fix; sf0.001/sf0.01 carry a few
+    rare terms and spread up to ~16x, exercising the pruning branch in
+    the oracle sweep.)"""
+    import oanda_stream_processor_spark.operators.retrieval as R
+    from oanda_stream_processor_spark.io import load_table
+
+    common = "the of and to in for a is on at"
+    flat = spark.createDataFrame(
+        [(i, common) for i in range(1000)], "doc_id long, text string")
+    assert not R.maxscore_gate_is_prunable(flat)
+    rows = [(i, f"{common} rare{i % 25}a rare{i % 25}b {common}")
+            for i in range(1000)]
+    zipf = spark.createDataFrame(rows, "doc_id long, text string")
+    assert R.maxscore_gate_is_prunable(zipf)
+    # the shipped sf0.1 fixture is the flat case the r11 verdict measured
+    assert not R.maxscore_gate_is_prunable(
+        load_table(spark, "/root/testdata/sf0.1", "documents"))
+
+
 def test_maxscore_prunes_hard_on_zipfian_vocab(spark):
     """The fixtures' bounded ~100-word vocabulary makes every term
     common (df ~ N, idf ~ 0 for all), so q178's essential split keeps
