@@ -245,6 +245,24 @@ cpool AS (SELECT * FROM cranked WHERE rank <= {POOL})
 """
 
 
+def rrf_fuse(b: DataFrame, c: DataFrame) -> DataFrame:
+    """RRF fusion of two (query_id, cand_id, rank_b / rank_c) pools —
+    the scoring core shared by one-shot q176 and the served hybrid
+    read (streaming/rrfserve.py).  The served-parity argument reduces
+    to pool equality: this is the SAME function of the two pools, so
+    stores that reproduce the pools reproduce the fusion."""
+    rrf = (F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_b")),
+                      F.lit(0.0))
+           + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_c")),
+                        F.lit(0.0)))
+    fused = (b.join(c, ["query_id", "cand_id"], "full_outer")
+             .select("query_id", "cand_id", "rank_b", "rank_c",
+                     rrf.alias("rrf")))
+    w = W.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("cand_id"))
+    return (fused.withColumn("fused_rank", F.row_number().over(w))
+            .where(F.col("fused_rank") <= TOP_K))
+
+
 @query("q176_rrf_fusion", f"""{SQL_BM25_POOL.rstrip()},
 {SQL_COS_POOL},
 fused AS (
@@ -267,16 +285,7 @@ def q176_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("query_id", "cand_id", F.col("rank").alias("rank_b")))
     c = (_cosine_pool(spark, sf_dir)
          .select("query_id", "cand_id", F.col("rank").alias("rank_c")))
-    rrf = (F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_b")),
-                      F.lit(0.0))
-           + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_c")),
-                        F.lit(0.0)))
-    fused = (b.join(c, ["query_id", "cand_id"], "full_outer")
-             .select("query_id", "cand_id", "rank_b", "rank_c",
-                     rrf.alias("rrf")))
-    w = W.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("cand_id"))
-    return (fused.withColumn("fused_rank", F.row_number().over(w))
-            .where(F.col("fused_rank") <= TOP_K))
+    return rrf_fuse(b, c)
 
 
 # --- BM25F (field-weighted BM25) ----------------------------------------------

