@@ -854,3 +854,110 @@ def contamination_scores(corpus: DataFrame, bench: DataFrame) -> DataFrame:
     return acc.select("doc_id", "k_used", "n_hit",
                       ppm.alias("contained_ppm"),
                       (ppm >= CONTAIN_T).alias("contaminated"))
+
+
+# ---------------------------------------------------------------------------
+# q180 — deterministic training-shard assignment + writer (r11 verdict,
+# Next-round #4: the end-of-pipeline op the curation suite lacked).
+#
+# A training run wants the curated corpus as N FIXED shards in a
+# SEEDED global permutation order (so data order is reproducible
+# across reruns and resumable mid-epoch), with documents sequence-
+# packed into fixed token budgets inside each shard.  All of that is
+# pure integer arithmetic both engines mirror:
+#
+#   pk       = ((doc_id % HM) * A + seed) % HM * B + 11) % HM
+#              (multiplicative scatter, Knuth constant A; products
+#               stay < 2.7e18, inside BIGINT in both engines)
+#   shard_id = pk % n_shards
+#   seq      = ROW_NUMBER over (shard_id ORDER BY pk, doc_id)
+#   pack_id  = q81's contiguous fill over the PERMUTED order (cum
+#              token count div PACK_BUDGET) — shuffling before
+#              packing is the point: consecutive docs in a pack are
+#              a random sample, not neighbors in crawl order.
+#
+# Scale (100 TB): one hash projection (no shuffle), one shuffle on
+# shard_id, and per-shard windows.  n_shards is the parallelism AND
+# file-size unit — a real deployment picks n_shards so each shard is
+# one task/file worth of data (e.g. 100k 1-GB shards), exactly like
+# every production shard writer; the per-shard window then sorts one
+# task's worth of rows.  The writer emits one seq-ordered file per
+# shard plus a manifest row per shard, all executor-side — zero
+# driver collects.
+# ---------------------------------------------------------------------------
+N_SHARDS = 16
+SHARD_SEED = 1069
+_SH_A = 2654435761      # Knuth 32-bit multiplicative constant
+_SH_B = 40503
+
+
+def shard_assignment(d: DataFrame, *, n_shards: int = N_SHARDS,
+                     seed: int = SHARD_SEED) -> DataFrame:
+    """(doc_id, shard_id, seq, pack_id, n_tokens) — the pure
+    assignment half of the shard writer (everything q180 oracles).
+    Deterministic in (data, n_shards, seed); empty docs drop (the q81
+    convention)."""
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    t = (d.select("doc_id", F.size(toks).cast("bigint").alias("n_tokens"))
+         .where(F.col("n_tokens") > 0))
+    h1 = (F.col("doc_id") % HM * F.lit(_SH_A) + F.lit(seed)) % HM
+    pk = (h1 * F.lit(_SH_B) + F.lit(11)) % HM
+    s = (t.select("doc_id", "n_tokens", pk.alias("pk"))
+         .withColumn("shard_id", F.col("pk") % n_shards))
+    w = W.partitionBy("shard_id").orderBy("pk", "doc_id")
+    wc = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    o = (s.withColumn("seq", F.row_number().over(w).cast("bigint"))
+         .withColumn("cum", F.sum("n_tokens").over(wc)))
+    pack = F.floor((F.col("cum") - F.col("n_tokens")) / PACK_BUDGET)
+    return o.select("doc_id", "shard_id", "seq",
+                    pack.alias("pack_id"), "n_tokens")
+
+
+@query("q180_training_shards", f"""
+WITH t AS (SELECT doc_id, LEN(toks) AS n_tokens FROM ({SQL_TOKS})
+           WHERE LEN(toks) > 0),
+a AS (SELECT doc_id, n_tokens,
+             ((doc_id % {HM}) * {_SH_A} + {SHARD_SEED}) % {HM} AS h1
+      FROM t),
+b AS (SELECT doc_id, n_tokens, (h1 * {_SH_B} + 11) % {HM} AS pk FROM a),
+s AS (SELECT doc_id, n_tokens, pk, pk % {N_SHARDS} AS shard_id FROM b),
+o AS (SELECT doc_id, shard_id, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY shard_id
+                                ORDER BY pk, doc_id) AS seq,
+             SUM(n_tokens) OVER (PARTITION BY shard_id
+                                 ORDER BY pk, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM s)
+SELECT doc_id, CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(seq AS BIGINT) AS seq,
+       CAST(((cum - n_tokens) - (cum - n_tokens) % {PACK_BUDGET})
+            / {PACK_BUDGET} AS BIGINT) AS pack_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens
+FROM o
+""")
+def q180_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded-permutation shard/pack assignment over documents — the
+    oracled contract behind write_training_shards."""
+    return shard_assignment(load_table(spark, sf_dir, "documents"))
+
+
+def write_training_shards(d: DataFrame, out_dir: str, *,
+                          n_shards: int = N_SHARDS,
+                          seed: int = SHARD_SEED) -> None:
+    """Materialize the shards: one seq-ordered parquet file per
+    shard_id=<k> directory (each shard lives in exactly one hash
+    partition, so partitionBy splits it into exactly one file) plus a
+    manifest row per shard.  Entirely executor-side."""
+    import os
+    a = shard_assignment(d, n_shards=n_shards, seed=seed)
+    rows = (a.join(d.select("doc_id", "text"), "doc_id")
+            .repartition(n_shards, "shard_id")
+            .sortWithinPartitions("shard_id", "seq"))
+    rows.write.mode("overwrite").partitionBy("shard_id") \
+        .parquet(os.path.join(out_dir, "shards"))
+    man = (a.groupBy("shard_id")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("n_tokens").alias("shard_tokens"),
+                (F.max("pack_id") + 1).alias("n_packs"),
+                F.max("seq").alias("max_seq")))
+    man.write.mode("overwrite").parquet(os.path.join(out_dir, "manifest"))

@@ -1,0 +1,89 @@
+"""Deterministic training-shard writer (operators/curation.py q180 +
+write_training_shards): permutation/packing invariants, seed
+determinism, and the materialized shards + manifest contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oanda_stream_processor_spark.io import load_table
+from oanda_stream_processor_spark.operators.curation import (
+    N_SHARDS,
+    PACK_BUDGET,
+    shard_assignment,
+    write_training_shards,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+def test_assignment_is_a_partitioned_permutation(spark):
+    """Every non-empty doc appears exactly once; within each shard the
+    seq column is dense 1..n; pack ids are the contiguous fill of the
+    permuted order (never exceed budget by more than one doc)."""
+    a = shard_assignment(_docs(spark)).cache()
+    try:
+        n_docs = _docs(spark).where(
+            F.size(F.filter(F.split("text", " "),
+                            lambda x: x != "")) > 0).count()
+        assert a.count() == n_docs
+        assert a.select("doc_id").distinct().count() == n_docs
+        per = (a.groupBy("shard_id")
+               .agg(F.count("*").alias("n"), F.max("seq").alias("mx"),
+                    F.sum("seq").alias("sm")).collect())
+        assert 0 < len(per) <= N_SHARDS
+        for r in per:
+            assert r.mx == r.n and r.sm == r.n * (r.n + 1) // 2, r
+        # packing: a pack's tokens stay under budget + its last doc
+        packs = (a.groupBy("shard_id", "pack_id")
+                 .agg(F.sum("n_tokens").alias("tok"),
+                      F.max("n_tokens").alias("mx")).collect())
+        assert all(p.tok < PACK_BUDGET + p.mx for p in packs)
+    finally:
+        a.unpersist()
+
+
+def test_assignment_seed_determinism(spark):
+    d = _docs(spark)
+    rows = lambda df: sorted(tuple(r) for r in df.collect())
+    a1 = rows(shard_assignment(d, seed=7))
+    a2 = rows(shard_assignment(d, seed=7))
+    b = rows(shard_assignment(d, seed=8))
+    assert a1 == a2
+    assert a1 != b  # a different seed permutes differently
+
+
+def test_writer_emits_ordered_shards_and_manifest(spark, tmp_path):
+    out = str(tmp_path / "out")
+    d = _docs(spark)
+    write_training_shards(d, out)
+    a = shard_assignment(d)
+
+    shards = spark.read.parquet(f"{out}/shards")
+    rows = lambda df: sorted(tuple(r) for r in df.collect())
+    assert rows(shards.select("doc_id", "shard_id", "seq")) == \
+        rows(a.select("doc_id", "shard_id", "seq"))
+    assert shards.where(F.col("text").isNull()).count() == 0
+
+    # one file per shard, internally in seq order (parquet preserves
+    # row order within a file)
+    import glob
+    for sdir in glob.glob(f"{out}/shards/shard_id=*"):
+        files = [f for f in glob.glob(f"{sdir}/*.parquet")]
+        assert len(files) == 1, sdir
+        seqs = [r.seq for r in spark.read.parquet(files[0])
+                .select("seq").collect()]
+        assert seqs == sorted(seqs) and seqs[0] == 1
+
+    man = spark.read.parquet(f"{out}/manifest")
+    want = (a.groupBy("shard_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("shard_tokens"),
+                 (F.max("pack_id") + 1).alias("n_packs"),
+                 F.max("seq").alias("max_seq")))
+    assert rows(man) == rows(want)
+    assert man.count() == a.select("shard_id").distinct().count()
