@@ -85,6 +85,9 @@ FROM (SELECT doc_id, {_SQL_TOKH} AS th FROM ({SQL_TOKS}) WHERE LEN(toks) >= 3)
 """
 
 
+_FOLD_VEC_CAP = 4096  # chars folded vectorized before the Python tail
+
+
 def _spark_shingle_hashes(d: DataFrame, with_pos: bool = False) -> DataFrame:
     """(doc_id, sh) — the 3-gram's polynomial hash: one char fold per
     TOKEN, then the 3-token combine per shingle. Matches
@@ -150,11 +153,32 @@ def _spark_shingle_hashes(d: DataFrame, with_pos: bool = False) -> DataFrame:
             slens = tlens[order]
             sstarts = starts[order]
             acc = np.zeros(n, dtype=np.int64)
-            for i in range(int(slens[-1])):
+            # the segmented fold runs one interpreter iteration per
+            # char of the LONGEST token, so a single space-free
+            # pathological document (one multi-MB token) would degrade
+            # it to millions of numpy-dispatch iterations (r11
+            # ADVICE).  Cap the vectorized loop; tokens longer than
+            # the cap finish below with a plain-Python per-char tail
+            # fold — same arithmetic, and raw Python ints beat
+            # one-element numpy ops ~20x on that degenerate shape.
+            # Normal corpora never reach the cap (longest fixture
+            # token ≪ 4096 chars), so the hot path is unchanged.
+            cap = min(int(slens[-1]), _FOLD_VEC_CAP)
+            for i in range(cap):
                 k = np.searchsorted(slens, i, side="right")
                 if k >= n:
                     break
                 acc[k:] = (acc[k:] * HB + cp[sstarts[k:] + i]) % HM
+            if int(slens[-1]) > _FOLD_VEC_CAP:
+                j0 = int(np.searchsorted(slens, _FOLD_VEC_CAP,
+                                         side="right"))
+                for j in range(j0, n):
+                    a = int(acc[j])
+                    s = int(sstarts[j])
+                    for cch in cp[s + _FOLD_VEC_CAP:
+                                  s + int(slens[j])].tolist():
+                        a = (a * HB + cch) % HM
+                    acc[j] = a
             th = np.empty(n, dtype=np.int64)
             th[order] = acc
             ok = tdoc[:-2] == tdoc[2:]  # shingle within one document

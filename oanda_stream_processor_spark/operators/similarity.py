@@ -1676,7 +1676,7 @@ def _sql_tdiv(a: str, b: str) -> str:
     truncates, so a quotient one ulp LOW loses a full unit; it uses
     exact DECIMAL(38,0) division instead (pca_from_moments).  `//` is
     deliberately avoided: its rounding direction is DuckDB-version-
-    divergent (see .claude/skills/verify gotchas)."""
+    divergent (see ORACLE_VERSIONS.txt at the repo root)."""
     return f"CAST((({a}) - ({a}) % ({b})) / ({b}) AS BIGINT)"
 
 

@@ -360,9 +360,19 @@ def exact_kth_by_bucket(vals: DataFrame, col: str,
     (both paths are filters of the same broadcast-joined candidate
     frame), so a mixed workload refines exactly the skewed
     percentiles.  A pathological distribution needing more levels
-    would recurse the same way, not appear silently."""
+    would recurse the same way, not appear silently.
+
+    PARAMETER CONTRACT (r11 ADVICE): ``hits`` must be MATERIALIZED —
+    this function takes a driver action on it (the skew-branch read
+    below), so a lazy ``hits`` would recompute its full histogram CDF
+    once per call.  Both in-repo callers pass an eagerly
+    localCheckpoint-ed frame; a caller that doesn't is defensively
+    checkpointed here (bounded to ≤ |pcts| rows, one tiny job) rather
+    than silently paying the recompute."""
     from pyspark.sql import Window as W
     from .helpers import exact_tdiv
+    if hits._jdf.queryExecution().analyzed().nodeName() != "LogicalRDD":
+        hits = hits.localCheckpoint(eager=True)
     c = F.col(col)
     clamped = F.greatest(F.lit(HIST_LO), F.least(F.lit(HIST_HI - 1), c))
     width = (HIST_HI - HIST_LO) // HIST_NB

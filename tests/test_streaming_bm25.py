@@ -155,6 +155,53 @@ def test_stream_end_to_end_serves_topk(spark, tmp_path):
         _table(q175_bm25_topk(spark, SF_DIR))
 
 
+def test_bm25f_store_survives_shifted_field_lengths(spark, tmp_path):
+    """The adversarial case behind the gate's scale note: per-field tf
+    must persist PRE-saturation and avgdl_f must re-derive from the
+    merged per-field sums, because the k1-saturation spans fields.
+    Construction: batch 0 is all SHORT docs (almost everything lands
+    in 'title', body avgdl ~ 1), batch 1 is all LONG docs (body avgdl
+    ~ 55) — the per-field length distributions shift ~50x between
+    prefixes.  A store caching pre-saturated partials or a stale
+    avgdl_f would serve batch-0-flavored scores after the merge; the
+    raw-store + read-time-saturation design must stay row-for-row
+    equal to the one-shot on every prefix."""
+    from oanda_stream_processor_spark.operators.retrieval import (
+        bm25f_topk_from,
+        corpus_field_frames,
+    )
+    from oanda_stream_processor_spark.streaming.bm25gate import (
+        serve_bm25f_topk,
+        write_batch_field_partials,
+    )
+
+    def one_shot_on(d):
+        tff, dlf, dfd, ndocs, avgf = corpus_field_frames(d)
+        qterms = (tff.where(F.col("cand_id") < N_QUERIES)
+                  .select(F.col("cand_id").alias("query_id"), "term")
+                  .distinct())
+        return bm25f_topk_from(tff, dlf, dfd, ndocs, avgf, qterms)
+
+    short = [(i, " ".join(f"w{(i + j) % 7}" for j in range(6)))
+             for i in range(0, 30)]
+    long_ = [(i, " ".join(f"w{(i + j) % 23}" for j in range(60)))
+             for i in range(30, 60)]
+    schema = "doc_id long, text string"
+    b0 = spark.createDataFrame(short, schema)
+    b1 = spark.createDataFrame(long_, schema)
+
+    state = str(tmp_path / "shift_state")
+    write_batch_field_partials(b0, state, 0)
+    assert _table(serve_bm25f_topk(spark, state)) == \
+        _table(one_shot_on(b0))
+    write_batch_field_partials(b1, state, 1)
+    merged = _table(serve_bm25f_topk(spark, state))
+    assert merged == _table(one_shot_on(b0.unionByName(b1)))
+    # and the shift genuinely changed the answer (the test would be
+    # vacuous if batch 1 didn't move any query's ranking)
+    assert merged != _table(one_shot_on(b0))
+
+
 def test_bm25f_served_tracks_appends_and_stream(spark, tmp_path):
     """The BM25F field store (the gate note's 'deferred half', now
     implemented): after every prefix of a 3-batch append the served

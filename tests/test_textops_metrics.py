@@ -316,6 +316,11 @@ def test_numpy_hash_kernels_match_hof_on_adversarial_unicode(spark):
         "a  double  space   run makes empty tokens to drop",
         " leading and trailing spaces ",
         ("repeat me " * 40).strip(),          # long, highly repetitive
+        # pathological space-free token past _FOLD_VEC_CAP: exercises
+        # the capped-vectorized + Python-tail fold split (r11 ADVICE —
+        # the uncapped loop ran one numpy dispatch per char of the
+        # longest token); flanked so shingles actually form
+        "pre " + "y" * 5000 + " mid " + "z" * 4097 + " post",
     ]
     d = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
