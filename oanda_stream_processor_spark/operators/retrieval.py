@@ -606,6 +606,34 @@ def term_upper_bounds(dfq: DataFrame, stats: DataFrame,
             .select("query_id", "term", ub_fp.alias("ub_fp")))
 
 
+def bm25_full_scores(cands: DataFrame, tf: DataFrame, dfq: DataFrame,
+                     dl: DataFrame, stats: DataFrame,
+                     qterms: DataFrame) -> DataFrame:
+    """(query_id, cand_id, fp_sum) — exact BM25 for an EXPLICIT
+    candidate set, candidates-first join order so the fan-out never
+    exceeds the candidates' own posting rows (the q178 discipline).
+    Shared by the MaxScore machinery and q181's phrase-filtered
+    ranking."""
+    idf = F.log(F.lit(1.0)
+                + ((F.col("n_docs") - F.col("df")) + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    contrib = (cands.join(tf, "cand_id")
+               .join(qterms, ["query_id", "term"])
+               .join(dfq, "term")
+               .join(dl, "cand_id")
+               .crossJoin(F.broadcast(stats)))
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    norm = ((F.col("tf") * F.lit(BM25_K1 + 1.0))
+            / (F.col("tf")
+               + F.lit(BM25_K1) * (F.lit(1.0) - F.lit(BM25_B)
+                                   + F.lit(BM25_B)
+                                   * (F.col("dl") / avgdl))))
+    fp = F.round(idf * norm * F.lit(FP)).cast("long")
+    return (contrib.select("query_id", "cand_id", fp.alias("fp"))
+            .groupBy("query_id", "cand_id")
+            .agg(F.sum("fp").alias("fp_sum")))
+
+
 def maxscore_candidates(tf: DataFrame, dfq: DataFrame, dl: DataFrame,
                         stats: DataFrame, qterms: DataFrame,
                         qub: DataFrame | None = None):
@@ -638,23 +666,7 @@ def maxscore_candidates(tf: DataFrame, dfq: DataFrame, dl: DataFrame,
              .select("query_id", "cand_id").distinct())
 
     def full_scores(cands: DataFrame) -> DataFrame:
-        # candidates-first join order: the fan-out never exceeds the
-        # candidates' own posting rows
-        contrib = (cands.join(tf, "cand_id")
-                   .join(qterms, ["query_id", "term"])
-                   .join(dfq, "term")
-                   .join(dl, "cand_id")
-                   .crossJoin(F.broadcast(stats)))
-        avgdl = F.col("sum_dl") / F.col("n_docs")
-        norm = ((F.col("tf") * F.lit(BM25_K1 + 1.0))
-                / (F.col("tf")
-                   + F.lit(BM25_K1) * (F.lit(1.0) - F.lit(BM25_B)
-                                       + F.lit(BM25_B)
-                                       * (F.col("dl") / avgdl))))
-        fp = F.round(idf * norm * F.lit(FP)).cast("long")
-        return (contrib.select("query_id", "cand_id", fp.alias("fp"))
-                .groupBy("query_id", "cand_id")
-                .agg(F.sum("fp").alias("fp_sum")))
+        return bm25_full_scores(cands, tf, dfq, dl, stats, qterms)
 
     s1 = full_scores(cand1)
     w_th = W.partitionBy("query_id").orderBy(F.desc("fp_sum"),
@@ -778,3 +790,176 @@ def q179_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["q179_phrase_match"] = q179_phrase_match
 ORACLES["q179_phrase_match"] = q179_phrase_sql()
+
+
+# --- q181: phrase-filtered BM25 top-k ------------------------------------------
+#
+# The phrase→BM25 hybrid the r11 roadmap named: exact phrase matching
+# (q179's positional-trigram probe) as the CANDIDATE GATE ahead of the
+# scored pool, then full BM25 over the survivors only.  This is the
+# "phrase query" of a production engine: documents must contain the
+# query's leading trigram verbatim; ranking among them is ordinary
+# relevance.
+#
+# Spark-first shape: the candidate set comes out of ONE broadcast
+# probe of the positional postings (q179's plan, O(postings) with no
+# corpus self-join); scoring reuses bm25_full_scores — the q178
+# candidates-first join discipline — so the corpus-sized common-term
+# fan-out of a full q175 run is never materialized.  At 100 TB this
+# is the cheap way around: the phrase gate's selectivity (typically
+# orders of magnitude) bounds everything downstream, and no pruning
+# heuristics are needed because the candidate set is exact by
+# construction.
+#
+# Determinism: candidates match on the int64 trigram fold both
+# engines compute identically (q179's argument); scores are the same
+# 1e-6 fixed-point BIGINT reduce as q175; ranking ties break on
+# cand_id.
+# ------------------------------------------------------------------------------
+def q181_phrase_bm25_sql() -> str:
+    from .dedup import HM, SB, SQL_TOKS, _SQL_TOKH
+    return f"""
+WITH psh AS (
+  SELECT doc_id, i + 1 AS pos,
+         ((th[i+1] * {SB} + th[i+2]) % {HM} * {SB} + th[i+3]) % {HM} AS sh
+  FROM (SELECT doc_id, th, UNNEST(RANGE(LEN(th) - 2)) AS i
+        FROM (SELECT doc_id, {_SQL_TOKH} AS th
+              FROM ({SQL_TOKS}) WHERE LEN(toks) >= 3))),
+qp AS (SELECT doc_id AS query_id, sh AS qsh FROM psh
+       WHERE pos = 1 AND doc_id < {N_QUERIES}),
+cands AS (SELECT DISTINCT q.query_id, p.doc_id AS cand_id
+          FROM psh p JOIN qp q ON p.sh = q.qsh AND p.doc_id <> q.query_id),
+t AS (SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '),
+                                 x -> x <> '') AS toks
+      FROM documents),
+tok AS (SELECT doc_id, UNNEST(toks) AS term FROM t),
+tf AS (SELECT doc_id AS cand_id, term, COUNT(*) AS tf
+       FROM tok GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+dl AS (SELECT cand_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+qterms AS (SELECT cand_id AS query_id, term FROM tf
+           WHERE cand_id < {N_QUERIES}),
+contrib AS (
+  SELECT c.query_id, tf.cand_id,
+         CAST(ROUND(
+           LN(1.0 + ((s.n_docs - d.df) + 0.5) / (d.df + 0.5))
+           * ((tf.tf * {BM25_K1 + 1.0})
+              / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                   + {BM25_B} * (dl.dl / (s.sum_dl / s.n_docs)))))
+           * {FP}) AS BIGINT) AS fp
+  FROM cands c
+  JOIN tf ON tf.cand_id = c.cand_id
+  JOIN qterms q ON q.query_id = c.query_id AND q.term = tf.term
+  JOIN dfq d ON d.term = tf.term
+  JOIN dl ON dl.cand_id = tf.cand_id
+  CROSS JOIN stats s),
+agg AS (SELECT query_id, cand_id, SUM(fp) AS fp_sum
+        FROM contrib GROUP BY 1, 2),
+r AS (SELECT query_id, cand_id, fp_sum,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY fp_sum DESC, cand_id) AS rank
+      FROM agg)
+SELECT query_id, cand_id, fp_sum / {FP} AS score, rank
+FROM r WHERE rank <= {TOP_K}
+"""
+
+
+def q181_phrase_filtered_bm25(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Exact-phrase candidate gate + BM25 ranking (see block comment):
+    (query_id, cand_id, score, rank ≤ TOP_K) over documents containing
+    the query's leading trigram."""
+    d = load_table(spark, sf_dir, "documents")
+    tf, dfq, dl, stats = corpus_term_frames(d)
+    qterms = (tf.where(F.col("cand_id") < N_QUERIES)
+              .select(F.col("cand_id").alias("query_id"), "term"))
+    cands = (q179_phrase_match(spark, sf_dir)
+             .select("query_id", "cand_id"))
+    scores = bm25_full_scores(cands, tf, dfq, dl, stats, qterms)
+    pool = _pool_rank(scores, [F.desc("fp_sum"), F.asc("cand_id")],
+                      TOP_K)
+    return pool.select("query_id", "cand_id",
+                       (F.col("fp_sum") / F.lit(FP)).alias("score"),
+                       "rank")
+
+
+QUERIES["q181_phrase_filtered_bm25"] = q181_phrase_filtered_bm25
+ORACLES["q181_phrase_filtered_bm25"] = q181_phrase_bm25_sql()
+
+
+# --- q182: term-proximity scoring over positional token postings ---------------
+#
+# The proximity FEATURE of a ranking stack (roadmap candidate,
+# r11→r12): for every (query, candidate) sharing ≥ 2 distinct query
+# terms, the minimum token distance between occurrences of two
+# DIFFERENT query terms in the candidate, plus the matched-term and
+# hit counts.  Downstream rankers combine this with BM25 (proximity
+# boosts); here it is the oracled primitive.
+#
+# Spark-first shape: token-level positional postings (doc_id, pos,
+# term) probe the distinct query-term frame (aggregate-topped on an
+# unbounded key, so UNHINTED — AQE broadcasts from measured size);
+# the min-distance uses the sorted-adjacency theorem: the minimal
+# different-term distance is always achieved by an ADJACENT pair in
+# the position-sorted match list (any element strictly between a
+# closer pair differs from at least one endpoint, yielding a closer
+# pair — induction), so ONE lag window per (query, cand) suffices; no
+# pairwise self-join of positions, window partitions bounded by
+# matched tokens per doc.
+#
+# Determinism: positions are exact integers over the same
+# empty-token-filtered sequence both engines derive; ties cannot
+# occur (positions within a doc are distinct).
+# ------------------------------------------------------------------------------
+@query("q182_term_proximity", f"""
+WITH t AS (SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '),
+                                      x -> x <> '') AS toks
+           FROM documents),
+p AS (SELECT doc_id, i + 1 AS pos, toks[i + 1] AS term
+      FROM (SELECT doc_id, toks, UNNEST(RANGE(LEN(toks))) AS i FROM t)),
+q AS (SELECT DISTINCT doc_id AS query_id, term FROM p
+      WHERE doc_id < {N_QUERIES}),
+m AS (SELECT q.query_id, p.doc_id AS cand_id, p.term, p.pos
+      FROM p JOIN q ON p.term = q.term AND p.doc_id <> q.query_id),
+w AS (SELECT query_id, cand_id, term, pos,
+             LAG(term) OVER (PARTITION BY query_id, cand_id
+                             ORDER BY pos) AS pterm,
+             LAG(pos) OVER (PARTITION BY query_id, cand_id
+                            ORDER BY pos) AS ppos
+      FROM m)
+SELECT query_id, cand_id,
+       CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms,
+       CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(MIN(CASE WHEN pterm IS NOT NULL AND pterm <> term
+                     THEN pos - ppos END) AS BIGINT) AS min_dist
+FROM w GROUP BY 1, 2
+HAVING COUNT(DISTINCT term) >= 2
+""")
+def q182_term_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum different-term token distance per (query, candidate) —
+    see block comment for the adjacency argument that makes this one
+    window, not a position self-join."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    p = (d.select("doc_id", F.posexplode(toks).alias("i", "term"))
+         .select("doc_id", (F.col("i") + 1).cast("bigint").alias("pos"),
+                 "term"))
+    q = (p.where(F.col("doc_id") < N_QUERIES)
+         .select(F.col("doc_id").alias("query_id"), "term").distinct())
+    m = (p.join(q, "term")
+         .where(F.col("doc_id") != F.col("query_id"))
+         .select("query_id", F.col("doc_id").alias("cand_id"),
+                 "term", "pos"))
+    w = W.partitionBy("query_id", "cand_id").orderBy("pos")
+    gap = F.when(F.lag("term").over(w).isNotNull()
+                 & (F.lag("term").over(w) != F.col("term")),
+                 F.col("pos") - F.lag("pos").over(w))
+    return (m.withColumn("gap", gap)
+            .groupBy("query_id", "cand_id")
+            .agg(F.count_distinct("term").alias("n_terms"),
+                 F.count("*").alias("n_hits"),
+                 F.min("gap").alias("min_dist"))
+            .where(F.col("n_terms") >= 2))
+
+

@@ -236,3 +236,75 @@ def test_maxscore_prunes_hard_on_zipfian_vocab(spark):
                              [F.desc("fp_sum"), F.asc("cand_id")],
                              R.POOL).collect())
     assert p1 == p2 and len(p1) > 0
+
+
+def test_phrase_filtered_bm25_invariants(spark):
+    """q181's gate contract: every ranked row's (query, cand) pair is
+    a q179 phrase match; ranks are dense 1..k per query; scores agree
+    with the full-corpus q175 scoring for the same pair whenever the
+    pair also appears in q175's pool (same fixed-point arithmetic)."""
+    import oanda_stream_processor_spark.operators.retrieval as R
+
+    sf = "/root/testdata/sf0.001"
+    q181 = R.q181_phrase_filtered_bm25(spark, sf).collect()
+    assert q181
+    matches = {(r.query_id, r.cand_id)
+               for r in R.q179_phrase_match(spark, sf).collect()}
+    assert {(r.query_id, r.cand_id) for r in q181} <= matches
+    by_q = {}
+    for r in q181:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    q175 = {(r.query_id, r.cand_id): r.score
+            for r in R.q175_bm25_topk(spark, sf).collect()}
+    for r in q181:
+        if (r.query_id, r.cand_id) in q175:
+            assert r.score == q175[(r.query_id, r.cand_id)]
+
+
+def test_term_proximity_invariants(spark):
+    """q182: distances are >= 1, hit counts >= matched-term counts,
+    and every pair reports >= 2 distinct matched terms (the HAVING
+    gate); a hand-built corpus pins an exact known distance."""
+    import oanda_stream_processor_spark.operators.retrieval as R
+    from oanda_stream_processor_spark.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = R.q182_term_proximity(spark, sf).collect()
+    assert rows
+    assert all(r.min_dist >= 1 and r.n_hits >= r.n_terms >= 2
+               for r in rows)
+
+    # hand-built: query doc 0 = "alpha beta"; cand 50 has alpha at
+    # pos 1 and beta at pos 4 (min different-term distance 3), cand 51
+    # only alpha (filtered by the >=2-terms gate)
+    d = spark.createDataFrame(
+        [(0, "alpha beta"),
+         (50, "alpha alpha filler beta"),
+         (51, "alpha filler filler alpha")],
+        "doc_id long, text string")
+    from pyspark.sql import functions as F
+    # same plan over the synthetic frame: inline the operator body
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    p = (d.select("doc_id", F.posexplode(toks).alias("i", "term"))
+         .select("doc_id", (F.col("i") + 1).cast("bigint").alias("pos"),
+                 "term"))
+    q = (p.where(F.col("doc_id") < R.N_QUERIES)
+         .select(F.col("doc_id").alias("query_id"), "term").distinct())
+    from pyspark.sql import Window as W
+    m = (p.join(q, "term")
+         .where(F.col("doc_id") != F.col("query_id"))
+         .select("query_id", F.col("doc_id").alias("cand_id"),
+                 "term", "pos"))
+    w = W.partitionBy("query_id", "cand_id").orderBy("pos")
+    gap = F.when(F.lag("term").over(w).isNotNull()
+                 & (F.lag("term").over(w) != F.col("term")),
+                 F.col("pos") - F.lag("pos").over(w))
+    out = (m.withColumn("gap", gap)
+           .groupBy("query_id", "cand_id")
+           .agg(F.count_distinct("term").alias("n_terms"),
+                F.min("gap").alias("min_dist"))
+           .where(F.col("n_terms") >= 2).collect())
+    got = {(r.query_id, r.cand_id): r.min_dist for r in out}
+    assert got == {(0, 50): 2}  # beta(4) - alpha(2, adjacent) = 2
