@@ -891,20 +891,34 @@ _SH_A = 2654435761      # Knuth 32-bit multiplicative constant
 _SH_B = 40503
 
 
+_EPOCH_STRIDE = 7919  # prime stride separating per-epoch order seeds
+
+
 def shard_assignment(d: DataFrame, *, n_shards: int = N_SHARDS,
-                     seed: int = SHARD_SEED) -> DataFrame:
+                     seed: int = SHARD_SEED,
+                     epoch: int = 0) -> DataFrame:
     """(doc_id, shard_id, seq, pack_id, n_tokens) — the pure
     assignment half of the shard writer (everything q180 oracles).
-    Deterministic in (data, n_shards, seed); empty docs drop (the q81
-    convention)."""
+    Deterministic in (data, n_shards, seed, epoch); empty docs drop
+    (the q81 convention).
+
+    ``epoch`` reshuffles the INTRA-shard order (and therefore the
+    packing) without moving any document between shards — the
+    training-loop semantics: shard membership is a storage/locality
+    decision made once, per-epoch data order comes from re-keying the
+    permutation with seed + epoch·stride.  epoch=0 reproduces the
+    written layout exactly (ok == pk), which is what q180 oracles."""
     toks = F.filter(F.split("text", " "), lambda x: x != "")
     t = (d.select("doc_id", F.size(toks).cast("bigint").alias("n_tokens"))
          .where(F.col("n_tokens") > 0))
     h1 = (F.col("doc_id") % HM * F.lit(_SH_A) + F.lit(seed)) % HM
     pk = (h1 * F.lit(_SH_B) + F.lit(11)) % HM
-    s = (t.select("doc_id", "n_tokens", pk.alias("pk"))
+    e_seed = seed + epoch * _EPOCH_STRIDE
+    h1e = (F.col("doc_id") % HM * F.lit(_SH_A) + F.lit(e_seed)) % HM
+    ok = (h1e * F.lit(_SH_B) + F.lit(11)) % HM
+    s = (t.select("doc_id", "n_tokens", pk.alias("pk"), ok.alias("ok"))
          .withColumn("shard_id", F.col("pk") % n_shards))
-    w = W.partitionBy("shard_id").orderBy("pk", "doc_id")
+    w = W.partitionBy("shard_id").orderBy("ok", "doc_id")
     wc = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     o = (s.withColumn("seq", F.row_number().over(w).cast("bigint"))
          .withColumn("cum", F.sum("n_tokens").over(wc)))

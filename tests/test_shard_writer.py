@@ -87,3 +87,23 @@ def test_writer_emits_ordered_shards_and_manifest(spark, tmp_path):
                  F.max("seq").alias("max_seq")))
     assert rows(man) == rows(want)
     assert man.count() == a.select("shard_id").distinct().count()
+
+
+def test_epoch_reshuffle_keeps_shards_fixed(spark):
+    """epoch reshuffles intra-shard order (and packing) WITHOUT moving
+    any doc between shards; epoch=0 is the written layout; every
+    epoch's seq stays a dense per-shard 1..n."""
+    d = _docs(spark)
+    rows = lambda df, *c: sorted(tuple(r) for r in df.select(*c).collect())
+    e0 = shard_assignment(d, epoch=0)
+    e1 = shard_assignment(d, epoch=1)
+    assert rows(e0, "doc_id", "shard_id") == rows(e1, "doc_id", "shard_id")
+    assert rows(e0, "doc_id", "seq") != rows(e1, "doc_id", "seq")
+    assert rows(e0, "doc_id", "shard_id", "seq", "pack_id", "n_tokens") \
+        == rows(shard_assignment(d), "doc_id", "shard_id", "seq",
+                "pack_id", "n_tokens")
+    per = (e1.groupBy("shard_id")
+           .agg(F.count("*").alias("n"), F.max("seq").alias("mx"),
+                F.sum("seq").alias("sm")).collect())
+    for r in per:
+        assert r.mx == r.n and r.sm == r.n * (r.n + 1) // 2, r
