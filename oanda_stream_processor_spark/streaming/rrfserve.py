@@ -48,15 +48,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.retrieval import (
+    FP,
     N_QUERIES,
     POOL,
+    TOP_K,
     _cosine_pool,
+    _pool_rank,
+    bm25_full_scores,
     rrf_fuse,
 )
 from .annsearch import batch_topk_against_index
-from .bm25gate import serve_bm25_pool
+from .bm25gate import (
+    read_corpus_stats,
+    read_dl,
+    read_term_df,
+    read_tf,
+    serve_bm25_pool,
+)
+from .phrasegate import serve_phrase_matches
 
-__all__ = ["ann_cosine_pool", "exact_cosine_pool", "serve_rrf_fusion"]
+__all__ = ["ann_cosine_pool", "exact_cosine_pool",
+           "serve_phrase_filtered_bm25", "serve_rrf_fusion"]
 
 
 def exact_cosine_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -76,6 +88,35 @@ def ann_cosine_pool(e: DataFrame, index_cells: DataFrame,
     return batch_topk_against_index(queries, index_cells, cent_one,
                                     POOL, nprobe=nprobe,
                                     split_planes=split_planes)
+
+
+def serve_phrase_filtered_bm25(spark: SparkSession, bm25_state: str,
+                               phrase_state: str,
+                               phrases: DataFrame) -> DataFrame:
+    """q181's output shape served ENTIRELY from two persisted stores:
+    phrase candidates from the positional-postings store (any phrase
+    frame, including ones composed after ingest) and BM25 scoring
+    from the incremental tf/df/dl/corpus store through the shared
+    bm25_full_scores core.  Parity: both stores reproduce their
+    one-shot frames exactly (phrasegate + bm25gate theorems) and the
+    scoring/ranking is the same pure function, so the served read
+    equals one-shot q181 on the corpus ingested so far — pytest-
+    proven per append prefix.  With this, every one-shot retrieval
+    query (q175/q176/q177/q179/q181) has a served twin."""
+    cands = (serve_phrase_matches(spark, phrase_state, phrases)
+             .select("query_id", "cand_id"))
+    tf = read_tf(spark, bm25_state)
+    qterms = (tf.where(F.col("cand_id") < N_QUERIES)
+              .select(F.col("cand_id").alias("query_id"), "term"))
+    scores = bm25_full_scores(cands, tf, read_term_df(spark, bm25_state),
+                              read_dl(spark, bm25_state),
+                              read_corpus_stats(spark, bm25_state),
+                              qterms)
+    pool = _pool_rank(scores, [F.desc("fp_sum"), F.asc("cand_id")],
+                      TOP_K)
+    return pool.select("query_id", "cand_id",
+                       (F.col("fp_sum") / F.lit(FP)).alias("score"),
+                       "rank")
 
 
 def serve_rrf_fusion(spark: SparkSession, state_dir: str,

@@ -111,3 +111,70 @@ def test_served_rrf_with_ann_pool_matches_its_one_shot_twin(spark,
     got = serve_rrf_fusion(spark, state, ann)
     rows = _table(got)
     assert rows == _table(want) and len(rows) > 0
+
+
+def test_served_phrase_filtered_bm25_tracks_appends(spark, tmp_path):
+    """The composed two-store read (r12): phrase candidates from the
+    postings store + BM25 scoring from the incremental store must
+    equal one-shot q181 after every prefix of a 2-batch doc append
+    (query docs land in batch 0 so the phrase frame exists from the
+    first prefix), and equal q181 verbatim at full corpus."""
+    from pyspark.sql import Window as W
+
+    from oanda_stream_processor_spark.operators.dedup import (
+        _spark_shingle_hashes,
+    )
+    from oanda_stream_processor_spark.operators.retrieval import (
+        FP,
+        TOP_K,
+        _pool_rank,
+        bm25_full_scores,
+        q181_phrase_filtered_bm25,
+    )
+    from oanda_stream_processor_spark.streaming.phrasegate import (
+        build_phrase_frame,
+        write_batch_postings,
+    )
+    from oanda_stream_processor_spark.streaming.rrfserve import (
+        serve_phrase_filtered_bm25,
+    )
+
+    def one_shot_on(d):
+        psh = _spark_shingle_hashes(d.select("doc_id", "text"),
+                                    with_pos=True)
+        qp = (psh.where((F.col("pos") == 1)
+                        & (F.col("doc_id") < N_QUERIES))
+              .select(F.col("doc_id").alias("query_id"),
+                      F.col("sh").alias("qsh")))
+        cands = (psh.join(qp, psh.sh == qp.qsh)
+                 .where(F.col("doc_id") != F.col("query_id"))
+                 .select("query_id", F.col("doc_id").alias("cand_id"))
+                 .distinct())
+        tf, dfq, dl, stats = corpus_term_frames(d)
+        qterms = (tf.where(F.col("cand_id") < N_QUERIES)
+                  .select(F.col("cand_id").alias("query_id"), "term"))
+        scores = bm25_full_scores(cands, tf, dfq, dl, stats, qterms)
+        pool = _pool_rank(scores, [F.desc("fp_sum"), F.asc("cand_id")],
+                          TOP_K)
+        return pool.select("query_id", "cand_id",
+                           (F.col("fp_sum") / F.lit(FP)).alias("score"),
+                           "rank")
+
+    d = load_table(spark, SF_DIR, "documents")
+    phrases = build_phrase_frame(d)
+    bm25_state = str(tmp_path / "bm25")
+    phrase_state = str(tmp_path / "phrase")
+    batches = [F.col("doc_id") < 250, F.col("doc_id") >= 250]
+    seen = None
+    for i, cond in enumerate(batches):
+        part = d.where(cond)
+        write_batch_partials(part, bm25_state, i)
+        write_batch_postings(part, phrase_state, i)
+        seen = part if seen is None else seen.unionByName(part)
+        got = serve_phrase_filtered_bm25(spark, bm25_state,
+                                         phrase_state, phrases)
+        assert _table(got) == _table(one_shot_on(seen)), \
+            f"diverged after batch {i}"
+    assert _table(serve_phrase_filtered_bm25(spark, bm25_state,
+                                             phrase_state, phrases)) == \
+        _table(q181_phrase_filtered_bm25(spark, SF_DIR))
