@@ -424,6 +424,37 @@ def q177_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25f_topk_from(tff, dlf, dfd, ndocs, avgf, qterms)
 
 
+def bm25f_weighted_tf(tff: DataFrame, dlf: DataFrame,
+                      avgf: DataFrame) -> DataFrame:
+    """(cand_id, term, tfw) — the cross-field weighted, length-
+    normalized tf BM25F saturates (the pre-saturation quantity the
+    gate notes insist must never be merged pre-saturated)."""
+    w_f = F.when(F.col("field") == "title", F.lit(W_TITLE)) \
+           .otherwise(F.lit(W_BODY))
+    b_f = F.when(F.col("field") == "title", F.lit(B_TITLE)) \
+           .otherwise(F.lit(B_BODY))
+    bnorm = ((F.lit(1.0) - b_f)
+             + b_f * (F.col("dlf") / F.col("avgdl")))
+    return (tff.join(dlf, ["cand_id", "field"])
+            .join(avgf, "field")
+            .groupBy("cand_id", "term")
+            .agg(F.sum((w_f * F.col("tf")) / bnorm).alias("tfw")))
+
+
+def _bm25f_idf() -> F.Column:
+    # built lazily: module-level Column construction would require an
+    # active SparkContext at import time
+    return F.log(F.lit(1.0)
+                 + ((F.col("n_docs") - F.col("df")) + F.lit(0.5))
+                 / (F.col("df") + F.lit(0.5)))
+
+
+def _bm25f_fp() -> F.Column:
+    return F.round(_bm25f_idf()
+                   * (F.col("tfw") / (F.lit(BM25_K1) + F.col("tfw")))
+                   * F.lit(FP)).cast("long")
+
+
 def bm25f_topk_from(tff: DataFrame, dlf: DataFrame, dfd: DataFrame,
                     ndocs: DataFrame, avgf: DataFrame,
                     qterms: DataFrame) -> DataFrame:
@@ -432,33 +463,33 @@ def bm25f_topk_from(tff: DataFrame, dlf: DataFrame, dfd: DataFrame,
     come from merged micro-batch partials; scores are identical
     because the weighted tf, saturation and idf are pure functions of
     the per-field state, which the merge reproduces exactly)."""
-    w_f = F.when(F.col("field") == "title", F.lit(W_TITLE)) \
-           .otherwise(F.lit(W_BODY))
-    b_f = F.when(F.col("field") == "title", F.lit(B_TITLE)) \
-           .otherwise(F.lit(B_BODY))
-    bnorm = ((F.lit(1.0) - b_f)
-             + b_f * (F.col("dlf") / F.col("avgdl")))
-    wtf = (tff.join(dlf, ["cand_id", "field"])
-           .join(avgf, "field")
-           .groupBy("cand_id", "term")
-           .agg(F.sum((w_f * F.col("tf")) / bnorm).alias("tfw")))
-    idf = F.log(F.lit(1.0)
-                + ((F.col("n_docs") - F.col("df")) + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5)))
-    fp = F.round(idf * (F.col("tfw") / (F.lit(BM25_K1) + F.col("tfw")))
-                 * F.lit(FP)).cast("long")
+    wtf = bm25f_weighted_tf(tff, dlf, avgf)
     contrib = (wtf
                .join(qterms, "term")
                .join(dfd, "term")
                .where(F.col("cand_id") != F.col("query_id"))
                .crossJoin(F.broadcast(ndocs))
-               .select("query_id", "cand_id", fp.alias("fp")))
+               .select("query_id", "cand_id", _bm25f_fp().alias("fp")))
     agg = (contrib.groupBy("query_id", "cand_id")
            .agg(F.sum("fp").alias("fp_sum")))
     pool = _pool_rank(agg, [F.desc("fp_sum"), F.asc("cand_id")], TOP_K)
     return pool.select("query_id", "cand_id",
                        (F.col("fp_sum") / F.lit(FP)).alias("score"),
                        "rank")
+
+
+def bm25f_full_scores(cands: DataFrame, wtf: DataFrame, dfd: DataFrame,
+                      ndocs: DataFrame, qterms: DataFrame) -> DataFrame:
+    """(query_id, cand_id, fp_sum) — exact BM25F for an EXPLICIT
+    candidate set, candidates-first join order (the q178 discipline
+    applied to the field-weighted model; q183)."""
+    contrib = (cands.join(wtf, "cand_id")
+               .join(qterms, ["query_id", "term"])
+               .join(dfd, "term")
+               .crossJoin(F.broadcast(ndocs)))
+    return (contrib.select("query_id", "cand_id", _bm25f_fp().alias("fp"))
+            .groupBy("query_id", "cand_id")
+            .agg(F.sum("fp").alias("fp_sum")))
 
 
 # --- q178: MaxScore/WAND-pruned exact BM25 top-k -------------------------------
@@ -634,57 +665,52 @@ def bm25_full_scores(cands: DataFrame, tf: DataFrame, dfq: DataFrame,
             .agg(F.sum("fp").alias("fp_sum")))
 
 
-def maxscore_candidates(tf: DataFrame, dfq: DataFrame, dl: DataFrame,
-                        stats: DataFrame, qterms: DataFrame,
-                        qub: DataFrame | None = None):
-    """(cands, full_scores) — the MaxScore pruning core, exposed so
-    pytest can assert the candidate set is a strict subset of q175's
-    full scored set while the pool stays exact.  See the q178 block
-    comment for the algorithm and the soundness argument.  ``qub`` lets
-    q178 pass the already-checkpointed UB frame its spread gate read;
-    absent, it is derived fresh (the pytest entry point)."""
-    idf = F.log(F.lit(1.0)
-                + ((F.col("n_docs") - F.col("df")) + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5)))
-    if qub is None:
-        qub = term_upper_bounds(dfq, stats, qterms)
-
+def _maxscore_prune(postings: DataFrame, qterms: DataFrame,
+                    qub: DataFrame, full_scores,
+                    theta_rank: int = POOL) -> DataFrame:
+    """The generic seed/θ/essential MaxScore machinery, shared by the
+    BM25 (q178) and BM25F (q183) pruned plans.  ``postings`` needs one
+    (cand_id, term) row per pair; ``full_scores(cands)`` must return
+    exact (query_id, cand_id, fp_sum) for an explicit candidate set;
+    ``qub`` carries per-(query, term) score upper bounds in the same
+    fixed point.  Exactness does not depend on the scoring model —
+    only on UB_fp ≥ every snapped per-term contribution and θ being a
+    TRUE achieved ``theta_rank``-th score (see the q178 block
+    comment)."""
     # seeds: rarest terms -> smallest postings, highest impact.  Only
     # terms within 2x of the query's best UB qualify — when rare terms
     # exist they dominate the seed set (tiny postings, high θ), and on
     # a flat-UB vocabulary every term qualifies and the cap keeps the
     # old top-N behavior.  Seed choice affects only θ quality, never
-    # exactness (θ is the POOL-th TRUE score of any candidate subset).
+    # exactness (θ is the theta_rank-th TRUE score of any candidate
+    # subset).
     w_q = W.partitionBy("query_id")
     w_seed = W.partitionBy("query_id").orderBy(F.desc("ub_fp"), F.asc("term"))
     seeds = (qub.withColumn("_mx", F.max("ub_fp").over(w_q))
              .where(F.col("ub_fp") * 2 >= F.col("_mx"))
              .withColumn("_s", F.row_number().over(w_seed))
              .where(F.col("_s") <= SEED_TERMS).select("query_id", "term"))
-    cand1 = (tf.join(seeds, "term")
+    cand1 = (postings.join(seeds, "term")
              .where(F.col("cand_id") != F.col("query_id"))
              .select("query_id", "cand_id").distinct())
-
-    def full_scores(cands: DataFrame) -> DataFrame:
-        return bm25_full_scores(cands, tf, dfq, dl, stats, qterms)
 
     s1 = full_scores(cand1)
     w_th = W.partitionBy("query_id").orderBy(F.desc("fp_sum"),
                                              F.asc("cand_id"))
-    # the terminal per-query agg is a semantic no-op (the _r == POOL
-    # filter already leaves one row per query) but makes theta's
-    # boundedness STRUCTURAL — its topmost aggregate groups by
-    # query_id, the explain_audit-exempt bounded key — so the
-    # broadcast hint below is legal under the r8 global hint rule
+    # the terminal per-query agg is a semantic no-op (the _r filter
+    # already leaves one row per query) but makes theta's boundedness
+    # STRUCTURAL — its topmost aggregate groups by query_id, the
+    # explain_audit-exempt bounded key — so the broadcast hint below
+    # is legal under the r8 global hint rule
     theta = (s1.withColumn("_r", F.row_number().over(w_th))
-             .where(F.col("_r") == POOL)
+             .where(F.col("_r") == theta_rank)
              .groupBy("query_id")
              .agg(F.min("fp_sum").alias("theta")))
 
     # essential split: ascending-UB prefix with strict cumsum < theta
-    # is prunable; null theta (< POOL seed candidates) keeps all terms.
-    # theta is <= |queries| rows by construction (the POOL-th row per
-    # query) — broadcast it, else it sort-merge-joins (r11 plan audit).
+    # is prunable; null theta (< theta_rank seed candidates) keeps all
+    # terms.  theta is <= |queries| rows by construction — broadcast
+    # it, else it sort-merge-joins (r11 plan audit).
     w_cum = (W.partitionBy("query_id")
              .orderBy(F.asc("ub_fp"), F.asc("term"))
              .rowsBetween(W.unboundedPreceding, W.currentRow))
@@ -693,11 +719,29 @@ def maxscore_candidates(tf: DataFrame, dfq: DataFrame, dl: DataFrame,
            .where(~(F.col("_cum") < F.col("theta"))
                   | F.col("theta").isNull())
            .select("query_id", "term"))
-    cand2 = (tf.join(ess, "term")
+    cand2 = (postings.join(ess, "term")
              .where(F.col("cand_id") != F.col("query_id"))
              .select("query_id", "cand_id").distinct())
 
-    cands = cand1.unionByName(cand2).distinct()
+    return cand1.unionByName(cand2).distinct()
+
+
+def maxscore_candidates(tf: DataFrame, dfq: DataFrame, dl: DataFrame,
+                        stats: DataFrame, qterms: DataFrame,
+                        qub: DataFrame | None = None):
+    """(cands, full_scores) — the BM25 MaxScore pruning entry, exposed
+    so pytest can assert the candidate set is a strict subset of
+    q175's full scored set while the pool stays exact.  See the q178
+    block comment for the algorithm and the soundness argument.
+    ``qub`` lets q178 pass an already-derived UB frame; absent, it is
+    derived fresh (the pytest entry point)."""
+    if qub is None:
+        qub = term_upper_bounds(dfq, stats, qterms)
+
+    def full_scores(cands: DataFrame) -> DataFrame:
+        return bm25_full_scores(cands, tf, dfq, dl, stats, qterms)
+
+    cands = _maxscore_prune(tf, qterms, qub, full_scores)
     return cands, full_scores
 
 
@@ -963,3 +1007,63 @@ def q182_term_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("n_terms") >= 2))
 
 
+
+
+# --- q183: MaxScore-pruned exact BM25F top-k -----------------------------------
+#
+# The roadmap's "BM25F MaxScore" (r11→r12): the q178 machinery applied
+# to the field-weighted model.  The UB is even simpler than BM25's:
+# the saturation tfw/(k1+tfw) is STRICTLY below 1 for any field
+# weights/lengths, so UB_fp(t) = ceil(idf(t)·FP) + 2 bounds every
+# snapped contribution from df alone — no per-field weight caps
+# needed (the roadmap's worry dissolves because saturation is applied
+# after the weighted sum, which is exactly what q177's model does).
+# Seeds/θ/essential and the exactness argument are the shared
+# _maxscore_prune core (θ = TOP_K-th TRUE BM25F score of seed
+# candidates — q177's output is rank ≤ TOP_K, so that is the bound
+# that must hold).  Same sampled-proportion plan gate as q178: the
+# UB spread is a pure function of doc-level df, identical in both
+# models, so the same statistic routes both.
+#
+# Oracle: q177's own SQL verbatim (exactness IS the contract, like
+# q178 vs q175).
+# ------------------------------------------------------------------------------
+def bm25f_term_upper_bounds(dfd: DataFrame, ndocs: DataFrame,
+                            qterms: DataFrame) -> DataFrame:
+    """(query_id, term, ub_fp) for the BM25F model: saturation < 1,
+    so the bound is idf alone (fixed-point, +2 ulp margin)."""
+    ub_fp = (F.ceil(_bm25f_idf() * F.lit(FP)) + F.lit(2)).cast("long")
+    return (qterms.join(dfd, "term").crossJoin(F.broadcast(ndocs))
+            .select("query_id", "term", ub_fp.alias("ub_fp")))
+
+
+@query("q183_bm25f_maxscore_topk", f"""WITH {SQL_BM25F_POOL}
+SELECT query_id, cand_id, fp_sum / {FP} AS score, rank
+FROM frank WHERE rank <= {TOP_K}
+""")
+def q183_bm25f_maxscore_topk(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Exact MaxScore-pruned BM25F top-k (see block comment): q177's
+    rows from a pruned candidate set, plan-gated on the same sampled
+    df-proportion statistic as q178."""
+    d = load_table(spark, sf_dir, "documents")
+    if not maxscore_gate_is_prunable(d):
+        return q177_bm25f_topk(spark, sf_dir)
+    tff, dlf, dfd, ndocs, avgf = corpus_field_frames(d)
+    tff = tff.localCheckpoint(eager=True)
+    wtf = bm25f_weighted_tf(tff, dlf, avgf).localCheckpoint(eager=True)
+    qterms = (tff.where(F.col("cand_id") < N_QUERIES)
+              .select(F.col("cand_id").alias("query_id"), "term")
+              .distinct())
+    qub = bm25f_term_upper_bounds(dfd, ndocs, qterms)
+
+    def full_scores(cands: DataFrame) -> DataFrame:
+        return bm25f_full_scores(cands, wtf, dfd, ndocs, qterms)
+
+    cands = _maxscore_prune(wtf.select("cand_id", "term"), qterms, qub,
+                            full_scores, theta_rank=TOP_K)
+    pool = _pool_rank(full_scores(cands),
+                      [F.desc("fp_sum"), F.asc("cand_id")], TOP_K)
+    return pool.select("query_id", "cand_id",
+                       (F.col("fp_sum") / F.lit(FP)).alias("score"),
+                       "rank")

@@ -308,3 +308,48 @@ def test_term_proximity_invariants(spark):
            .where(F.col("n_terms") >= 2).collect())
     got = {(r.query_id, r.cand_id): r.min_dist for r in out}
     assert got == {(0, 50): 2}  # beta(4) - alpha(2, adjacent) = 2
+
+
+def test_bm25f_maxscore_equals_q177_and_prunes_on_zipfian(spark):
+    """q183's contract: pruned BM25F equals q177 row-for-row (the
+    pruning branch engages at sf0.001 — rare terms exist there), and
+    on the Zipfian corpus the shared machinery cuts the BM25F scored
+    set hard while the pooled result stays exact."""
+    from pyspark.sql import functions as F
+
+    import oanda_stream_processor_spark.operators.retrieval as R
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(tuple(r) for r in
+                 R.q183_bm25f_maxscore_topk(spark, sf).collect())
+    want = sorted(tuple(r) for r in
+                  R.q177_bm25f_topk(spark, sf).collect())
+    assert got == want and len(want) > 0
+
+    common = "the of and to in for a is on at"
+    rows = [(i, f"{common} rare{i % 25}a rare{i % 25}b {common}")
+            for i in range(1000)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    tff, dlf, dfd, ndocs, avgf = R.corpus_field_frames(d)
+    tff = tff.localCheckpoint(eager=True)
+    wtf = R.bm25f_weighted_tf(tff, dlf, avgf).localCheckpoint(eager=True)
+    qterms = (tff.where(F.col("cand_id") < R.N_QUERIES)
+              .select(F.col("cand_id").alias("query_id"), "term")
+              .distinct())
+    qub = R.bm25f_term_upper_bounds(dfd, ndocs, qterms)
+    full = (wtf.select("cand_id", "term").join(qterms, "term")
+            .where(F.col("cand_id") != F.col("query_id"))
+            .select("query_id", "cand_id").distinct())
+
+    def scores(c):
+        return R.bm25f_full_scores(c, wtf, dfd, ndocs, qterms)
+
+    cands = R._maxscore_prune(wtf.select("cand_id", "term"), qterms,
+                              qub, scores, theta_rank=R.TOP_K)
+    assert 0 < cands.count() < full.count() / 2
+    order = [F.desc("fp_sum"), F.asc("cand_id")]
+    p1 = sorted(tuple(r) for r in
+                R._pool_rank(scores(cands), order, R.TOP_K).collect())
+    p2 = sorted(tuple(r) for r in
+                R._pool_rank(scores(full), order, R.TOP_K).collect())
+    assert p1 == p2 and len(p1) > 0
