@@ -956,6 +956,40 @@ ORACLES["q181_phrase_filtered_bm25"] = q181_phrase_bm25_sql()
 # empty-token-filtered sequence both engines derive; ties cannot
 # occur (positions within a doc are distinct).
 # ------------------------------------------------------------------------------
+def token_postings(d: DataFrame) -> DataFrame:
+    """(doc_id, pos, term) — token-level positional postings over the
+    empty-token-filtered sequence, 1-based (the q179/q182 position
+    convention).  Per-row projection, no shuffle; the streaming
+    postings store persists exactly these rows per batch."""
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    return (d.select("doc_id", F.posexplode(toks).alias("i", "term"))
+            .select("doc_id",
+                    (F.col("i") + 1).cast("bigint").alias("pos"),
+                    "term"))
+
+
+def proximity_from(p: DataFrame, qtermf: DataFrame) -> DataFrame:
+    """q182's scoring core from explicit frames — ``p`` is a
+    token-postings frame (doc_id, pos, term), ``qtermf`` a distinct
+    (query_id, term) probe.  Shared by the one-shot plan and the
+    served read (streaming/proxgate.py); parity reduces to the frames
+    being equal."""
+    m = (p.join(qtermf, "term")
+         .where(F.col("doc_id") != F.col("query_id"))
+         .select("query_id", F.col("doc_id").alias("cand_id"),
+                 "term", "pos"))
+    w = W.partitionBy("query_id", "cand_id").orderBy("pos")
+    gap = F.when(F.lag("term").over(w).isNotNull()
+                 & (F.lag("term").over(w) != F.col("term")),
+                 F.col("pos") - F.lag("pos").over(w))
+    return (m.withColumn("gap", gap)
+            .groupBy("query_id", "cand_id")
+            .agg(F.count_distinct("term").alias("n_terms"),
+                 F.count("*").alias("n_hits"),
+                 F.min("gap").alias("min_dist"))
+            .where(F.col("n_terms") >= 2))
+
+
 @query("q182_term_proximity", f"""
 WITH t AS (SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '),
                                       x -> x <> '') AS toks
@@ -985,26 +1019,10 @@ def q182_term_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     see block comment for the adjacency argument that makes this one
     window, not a position self-join."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", " "), lambda x: x != "")
-    p = (d.select("doc_id", F.posexplode(toks).alias("i", "term"))
-         .select("doc_id", (F.col("i") + 1).cast("bigint").alias("pos"),
-                 "term"))
+    p = token_postings(d)
     q = (p.where(F.col("doc_id") < N_QUERIES)
          .select(F.col("doc_id").alias("query_id"), "term").distinct())
-    m = (p.join(q, "term")
-         .where(F.col("doc_id") != F.col("query_id"))
-         .select("query_id", F.col("doc_id").alias("cand_id"),
-                 "term", "pos"))
-    w = W.partitionBy("query_id", "cand_id").orderBy("pos")
-    gap = F.when(F.lag("term").over(w).isNotNull()
-                 & (F.lag("term").over(w) != F.col("term")),
-                 F.col("pos") - F.lag("pos").over(w))
-    return (m.withColumn("gap", gap)
-            .groupBy("query_id", "cand_id")
-            .agg(F.count_distinct("term").alias("n_terms"),
-                 F.count("*").alias("n_hits"),
-                 F.min("gap").alias("min_dist"))
-            .where(F.col("n_terms") >= 2))
+    return proximity_from(p, q)
 
 
 
