@@ -1085,3 +1085,79 @@ def q183_bm25f_maxscore_topk(spark: SparkSession,
     return pool.select("query_id", "cand_id",
                        (F.col("fp_sum") / F.lit(FP)).alias("score"),
                        "rank")
+
+
+# --- q184: proximity-boosted BM25 rerank ---------------------------------------
+#
+# The composition the two primitives exist for (roadmap r12→landed
+# same round): q175's BM25 pool reranked by q182's proximity feature —
+# the production "retrieve POOL, rerank top-K" pattern.  The boost is
+# pure integer arithmetic so both engines agree bit-for-bit:
+#
+#   boosted_fp = fp_sum + floor(PROX_W / min_dist)   (0 when the pair
+#   has no proximity row — fewer than 2 distinct shared terms)
+#
+# Tightly-colocated query terms (min_dist = 1) earn the full PROX_W
+# fixed-point bonus, decaying hyperbolically.  Candidates outside the
+# BM25 pool cannot enter (rerank-only, by design — the standard
+# two-stage serving architecture); the rerank window is POOL-bounded
+# per query, so no new corpus-scale work is added beyond q182's
+# postings probe.  floor division via exact_tdiv / the _idiv mod
+# identity (the r8 cross-engine division discipline).
+# ------------------------------------------------------------------------------
+PROX_W = 10_000_000  # fixed-point proximity bonus at distance 1
+
+
+@query("q184_proximity_boosted_bm25", f"""{SQL_BM25_POOL},
+p AS (SELECT doc_id, i + 1 AS pos, toks[i + 1] AS term
+      FROM (SELECT doc_id, toks, UNNEST(RANGE(LEN(toks))) AS i FROM t)),
+qt AS (SELECT DISTINCT doc_id AS query_id, term FROM p
+       WHERE doc_id < {N_QUERIES}),
+m AS (SELECT qt.query_id, p.doc_id AS cand_id, p.term, p.pos
+      FROM p JOIN qt ON p.term = qt.term AND p.doc_id <> qt.query_id),
+mw AS (SELECT query_id, cand_id, term, pos,
+              LAG(term) OVER (PARTITION BY query_id, cand_id
+                              ORDER BY pos) AS pterm,
+              LAG(pos) OVER (PARTITION BY query_id, cand_id
+                             ORDER BY pos) AS ppos
+       FROM m),
+prox AS (SELECT query_id, cand_id,
+                CAST(MIN(CASE WHEN pterm IS NOT NULL AND pterm <> term
+                              THEN pos - ppos END) AS BIGINT) AS min_dist
+         FROM mw GROUP BY 1, 2
+         HAVING COUNT(DISTINCT term) >= 2),
+boosted AS (
+  SELECT b.query_id, b.cand_id, x.min_dist,
+         b.fp_sum + COALESCE(
+           CAST(({PROX_W} - {PROX_W} % x.min_dist) / x.min_dist
+                AS BIGINT), 0) AS bfp
+  FROM bpool b
+  LEFT JOIN prox x ON x.query_id = b.query_id
+                  AND x.cand_id = b.cand_id),
+rr AS (SELECT query_id, cand_id, min_dist, bfp,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY bfp DESC, cand_id) AS rank
+       FROM boosted)
+SELECT query_id, cand_id, min_dist, bfp / {FP} AS score, rank
+FROM rr WHERE rank <= {TOP_K}
+""")
+def q184_proximity_boosted_bm25(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """BM25 pool reranked by the proximity bonus (see block comment):
+    (query_id, cand_id, min_dist, score, rank ≤ TOP_K)."""
+    from .helpers import exact_tdiv
+    pool = _bm25_pool(spark, sf_dir)
+    prox = (q182_term_proximity(spark, sf_dir)
+            .select("query_id", "cand_id", "min_dist"))
+    bonus = F.coalesce(
+        exact_tdiv(F.lit(PROX_W), F.col("min_dist")), F.lit(0))
+    boosted = (pool.join(prox, ["query_id", "cand_id"], "left")
+               .select("query_id", "cand_id", "min_dist",
+                       (F.col("fp_sum") + bonus).alias("bfp")))
+    # rerank window is POOL-bounded per query by construction
+    w = W.partitionBy("query_id").orderBy(F.desc("bfp"),
+                                          F.asc("cand_id"))
+    return (boosted.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= TOP_K)
+            .select("query_id", "cand_id", "min_dist",
+                    (F.col("bfp") / F.lit(FP)).alias("score"), "rank"))
