@@ -178,3 +178,64 @@ def test_served_phrase_filtered_bm25_tracks_appends(spark, tmp_path):
     assert _table(serve_phrase_filtered_bm25(spark, bm25_state,
                                              phrase_state, phrases)) == \
         _table(q181_phrase_filtered_bm25(spark, SF_DIR))
+
+
+def test_served_proximity_boosted_bm25_tracks_appends(spark, tmp_path):
+    """The r12 post-record streaming addition: q184 served from the
+    BM25 store + the token-positional postings store must equal the
+    one-shot boosted rerank after every prefix of a 2-batch append and
+    q184 verbatim at full corpus (the registry untouched — parity is
+    pinned here, not by code sharing)."""
+    from pyspark.sql import Window as W
+
+    from oanda_stream_processor_spark.operators.helpers import exact_tdiv
+    from oanda_stream_processor_spark.operators.retrieval import (
+        FP,
+        PROX_W,
+        TOP_K,
+        proximity_from,
+        q184_proximity_boosted_bm25,
+        token_postings,
+    )
+    from oanda_stream_processor_spark.streaming.proxgate import (
+        build_query_term_frame,
+        write_batch_token_postings,
+    )
+    from oanda_stream_processor_spark.streaming.rrfserve import (
+        serve_proximity_boosted_bm25,
+    )
+
+    def one_shot_on(d, qtermf):
+        pool = _one_shot_bm25_pool(d)
+        prox = (proximity_from(token_postings(d), qtermf)
+                .select("query_id", "cand_id", "min_dist"))
+        bonus = F.coalesce(
+            exact_tdiv(F.lit(PROX_W), F.col("min_dist")), F.lit(0))
+        boosted = (pool.join(prox, ["query_id", "cand_id"], "left")
+                   .select("query_id", "cand_id", "min_dist",
+                           (F.col("fp_sum") + bonus).alias("bfp")))
+        w = W.partitionBy("query_id").orderBy(F.desc("bfp"),
+                                              F.asc("cand_id"))
+        return (boosted.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= TOP_K)
+                .select("query_id", "cand_id", "min_dist",
+                        (F.col("bfp") / F.lit(FP)).alias("score"),
+                        "rank"))
+
+    d = load_table(spark, SF_DIR, "documents")
+    qtermf = build_query_term_frame(d)
+    bm25_state = str(tmp_path / "bm25")
+    prox_state = str(tmp_path / "prox")
+    seen = None
+    for i in range(2):
+        part = d.where(F.col("doc_id") % 2 == i)
+        write_batch_partials(part, bm25_state, i)
+        write_batch_token_postings(part, prox_state, i)
+        seen = part if seen is None else seen.unionByName(part)
+        got = serve_proximity_boosted_bm25(spark, bm25_state,
+                                           prox_state, qtermf)
+        assert _table(got) == _table(one_shot_on(seen, qtermf)), \
+            f"diverged after batch {i}"
+    assert _table(serve_proximity_boosted_bm25(spark, bm25_state,
+                                               prox_state, qtermf)) == \
+        _table(q184_proximity_boosted_bm25(spark, SF_DIR))
