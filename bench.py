@@ -126,6 +126,7 @@ def run_spark(names: list[str] | None) -> dict[str, float]:
         # doesn't report the cache-hit path (r11 ADVICE).  q174 keeps
         # the memoized reuse by design — ledgered in BASELINE.md.
         memo_off = name == "q167_winnow_components"
+        prev_memo = os.environ.get("SPARK_GRAFT_EDGE_MEMO")
         if memo_off:
             os.environ["SPARK_GRAFT_EDGE_MEMO"] = "0"
         try:
@@ -138,7 +139,10 @@ def run_spark(names: list[str] | None) -> dict[str, float]:
             return
         finally:
             if memo_off:
-                os.environ.pop("SPARK_GRAFT_EDGE_MEMO", None)
+                if prev_memo is None:
+                    os.environ.pop("SPARK_GRAFT_EDGE_MEMO", None)
+                else:
+                    os.environ["SPARK_GRAFT_EDGE_MEMO"] = prev_memo
         timings[name] = round(min(timings.get(name, dt), dt), 3)
 
     # N_RUNS FULL SUITE PASSES, min per query across passes (see
