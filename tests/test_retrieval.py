@@ -192,6 +192,14 @@ def test_maxscore_spread_gate_routing(spark):
     # the shipped sf0.1 fixture is the flat case the r11 verdict measured
     assert not R.maxscore_gate_is_prunable(
         load_table(spark, "/root/testdata/sf0.1", "documents"))
+    # degenerate corpora: empty routes to the (vacuous) degrade branch;
+    # a 2-doc corpus where a query term is absent from the sampled doc
+    # reads as prunable (absent => rare) — either branch is exact
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert not R.maxscore_gate_is_prunable(empty)
+    tiny = spark.createDataFrame([(0, "a b c"), (1, "a b d")],
+                                 "doc_id long, text string")
+    assert R.maxscore_gate_is_prunable(tiny)
 
 
 def test_maxscore_prunes_hard_on_zipfian_vocab(spark):
