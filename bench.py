@@ -119,7 +119,11 @@ def run_spark(names: list[str] | None) -> dict[str, float]:
         # row, never the suite — round 9 lost its entire bench record
         # to a single raising query.  Each run executes the full plan
         # end-to-end into a noop sink.
-        if name in _PARTIAL["errors"]:
+        if name in _PARTIAL["errors"] and name not in timings:
+            # errored with NO successful pass yet — permanently skipped;
+            # a query with a prior good timing keeps retrying (min-of-
+            # SUCCESSFUL-passes, r12 ADVICE: one transient host flake
+            # must not erase an already-measured sample)
             return
         # q167's ledgered number is the TRUE star-edge build cost:
         # bypass the (app, sf_dir) memo for its runs so min-of-N
@@ -134,8 +138,10 @@ def run_spark(names: list[str] | None) -> dict[str, float]:
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
         except Exception as exc:  # noqa: BLE001 - isolate and continue
+            # record the error but KEEP any earlier pass's timing —
+            # min-of-passes degrades to min-of-successful-passes
+            # instead of losing the query (r12 ADVICE)
             _PARTIAL["errors"][name] = f"{type(exc).__name__}: {exc}"[:300]
-            timings.pop(name, None)
             return
         finally:
             if memo_off:

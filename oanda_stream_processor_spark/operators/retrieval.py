@@ -544,8 +544,12 @@ def bm25f_full_scores(cands: DataFrame, wtf: DataFrame, dfd: DataFrame,
 # any full corpus frame — the exact-kth KTH_REFINE_CUT precedent
 # (stats.py), adapted because here the exact statistic would itself
 # cost a full postings build: df is estimated from a deterministic
-# 1-in-MS_SAMPLE_MOD document sample (doc_id % MOD == 0), which
-# preserves df PROPORTIONS while reading ~1/64th of the corpus.  The
+# 1-in-MOD document sample (doc_id % MOD == 0, MOD = n_docs /
+# MS_SAMPLE_TARGET so the sample stays ~2-4k docs at ANY corpus size;
+# fixture-scale corpora under the target sample FULLY, making the
+# statistic exact there — r12 ADVICE: a floor of 64 left tiny corpora
+# with ~16-doc samples where the binomial tails below don't hold),
+# which preserves df PROPORTIONS while reading a bounded slice.  The
 # test is on proportions, not sampled idf ratios — as df/N → 1 the
 # idf of a common term goes to 0 and its sampled ratio diverges under
 # binomial noise (measured: the flat sf0.1 fixture read as 3.5x
@@ -565,7 +569,6 @@ def bm25f_full_scores(cands: DataFrame, wtf: DataFrame, dfd: DataFrame,
 # no checkpoint and no extra stage wave beyond the sample read.
 # ------------------------------------------------------------------------------
 SEED_TERMS = 8
-MS_SAMPLE_MOD = 64
 MS_RARE_P = 0.125
 MS_COMMON_P = 0.5
 
@@ -589,7 +592,10 @@ def maxscore_gate_is_prunable(d: DataFrame) -> bool:
     n_docs = d.count()  # parquet row-group metadata, no column read
     if n_docs == 0:
         return False
-    mod = max(MS_SAMPLE_MOD, n_docs // MS_SAMPLE_TARGET)
+    # mod scales with the corpus so n_s stays in [MS_SAMPLE_TARGET,
+    # 2·MS_SAMPLE_TARGET); corpora under the target sample fully
+    # (exact statistic) — no fixed floor (r12 ADVICE)
+    mod = max(1, n_docs // MS_SAMPLE_TARGET)
     pick = (d.where((F.col("doc_id") % mod == 0)
                     | (F.col("doc_id") < N_QUERIES))
             .select("doc_id", "text").repartition(1))

@@ -325,6 +325,21 @@ def hist_buckets(li: DataFrame) -> DataFrame:
 KTH_REFINE_CUT = 262_144
 
 
+def _looks_materialized(df: DataFrame) -> bool:
+    """Best-effort check that ``df`` is an eagerly materialized frame
+    (a bare localCheckpoint root).  Reads private JVM plan internals,
+    so ANY introspection failure — a Spark version moving the API, a
+    connect-style session without _jdf — returns False and the caller
+    takes the safe branch: one redundant localCheckpoint of a
+    ≤ |pcts|-row frame, never a silent full-histogram recompute
+    (r12 ADVICE: don't let brittle introspection become a crash)."""
+    try:
+        return (df._jdf.queryExecution().analyzed().nodeName()
+                == "LogicalRDD")
+    except Exception:  # noqa: BLE001 — checkpoint defensively
+        return False
+
+
 def exact_kth_by_bucket(vals: DataFrame, col: str,
                         hits: DataFrame) -> DataFrame:
     """Distributed exact-kth via the histogram CDF (two-phase exact
@@ -371,7 +386,7 @@ def exact_kth_by_bucket(vals: DataFrame, col: str,
     than silently paying the recompute."""
     from pyspark.sql import Window as W
     from .helpers import exact_tdiv
-    if hits._jdf.queryExecution().analyzed().nodeName() != "LogicalRDD":
+    if not _looks_materialized(hits):
         hits = hits.localCheckpoint(eager=True)
     c = F.col(col)
     clamped = F.greatest(F.lit(HIST_LO), F.least(F.lit(HIST_HI - 1), c))

@@ -24,6 +24,10 @@ def test_q167_cold_build_stays_within_job_budget(spark):
         q167_winnow_components,
     )
 
+    # save/restore rather than pop: a runner that pre-sets the memo
+    # var must get it back, not a silently cleared env (the bench.py
+    # one_run discipline, r12 ADVICE)
+    prev_memo = os.environ.get("SPARK_GRAFT_EDGE_MEMO")
     os.environ["SPARK_GRAFT_EDGE_MEMO"] = "0"  # force the true build
     sc = spark.sparkContext
     try:
@@ -32,7 +36,10 @@ def test_q167_cold_build_stays_within_job_budget(spark):
          .write.format("noop").mode("overwrite").save())
         ids = sc.statusTracker().getJobIdsForGroup("q167_budget")
     finally:
-        os.environ.pop("SPARK_GRAFT_EDGE_MEMO", None)
+        if prev_memo is None:
+            os.environ.pop("SPARK_GRAFT_EDGE_MEMO", None)
+        else:
+            os.environ["SPARK_GRAFT_EDGE_MEMO"] = prev_memo
         sc.setJobGroup("", "")
     assert 0 < len(ids) <= JOB_BUDGET, \
         f"q167 cold build ran {len(ids)} jobs (budget {JOB_BUDGET})"

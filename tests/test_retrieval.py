@@ -193,13 +193,26 @@ def test_maxscore_spread_gate_routing(spark):
     assert not R.maxscore_gate_is_prunable(
         load_table(spark, "/root/testdata/sf0.1", "documents"))
     # degenerate corpora: empty routes to the (vacuous) degrade branch;
-    # a 2-doc corpus where a query term is absent from the sampled doc
-    # reads as prunable (absent => rare) — either branch is exact
+    # corpora under MS_SAMPLE_TARGET docs sample FULLY (mod = 1, the
+    # r12 ADVICE fix), so the 2-doc statistic is EXACT: every query
+    # term sits at p ∈ {0.5, 1} — no rare term, degrade branch.  (The
+    # old fixed 64-floor sampled one doc and misread "d" as
+    # absent-rare; either branch is exact, but the exact statistic is
+    # the right routing.)
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert not R.maxscore_gate_is_prunable(empty)
     tiny = spark.createDataFrame([(0, "a b c"), (1, "a b d")],
                                  "doc_id long, text string")
-    assert R.maxscore_gate_is_prunable(tiny)
+    assert not R.maxscore_gate_is_prunable(tiny)
+    # absent-counts-as-rare still fires when the corpus is big enough
+    # to sample (mod = 2 at 2·MS_SAMPLE_TARGET docs): a marker term
+    # living only on ODD doc_ids never enters the even-doc sample, so
+    # a query carrying it reads rare while the fillers read common
+    n = 2 * R.MS_SAMPLE_TARGET
+    rows = [(i, common + (" zzzmarker" if i % 2 == 1 else ""))
+            for i in range(n)]
+    oddmark = spark.createDataFrame(rows, "doc_id long, text string")
+    assert R.maxscore_gate_is_prunable(oddmark)
 
 
 def test_maxscore_prunes_hard_on_zipfian_vocab(spark):
