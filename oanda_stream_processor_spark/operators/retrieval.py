@@ -1114,6 +1114,32 @@ def q183_bm25f_maxscore_topk(spark: SparkSession,
 PROX_W = 10_000_000  # fixed-point proximity bonus at distance 1
 
 
+def proximity_boosted_rerank(pool: DataFrame,
+                             prox: DataFrame) -> DataFrame:
+    """The q184 boost/rerank core from explicit frames — ``pool`` is a
+    BM25 pool (query_id, cand_id, fp_sum), ``prox`` a proximity
+    feature frame (query_id, cand_id, min_dist).  Shared by one-shot
+    q184 and the served read (streaming/rrfserve.py), so parity
+    between them reduces to the input frames being equal (the
+    rrf_fuse / bm25_full_scores / proximity_from discipline; r12
+    verdict ask #3 — previously a token-for-token copy).  Pure
+    integer arithmetic: bonus = floor(PROX_W / min_dist) via
+    exact_tdiv, 0 when the pair has no proximity row; rerank window
+    is pool-bounded per query by construction."""
+    from .helpers import exact_tdiv
+    bonus = F.coalesce(
+        exact_tdiv(F.lit(PROX_W), F.col("min_dist")), F.lit(0))
+    boosted = (pool.join(prox, ["query_id", "cand_id"], "left")
+               .select("query_id", "cand_id", "min_dist",
+                       (F.col("fp_sum") + bonus).alias("bfp")))
+    w = W.partitionBy("query_id").orderBy(F.desc("bfp"),
+                                          F.asc("cand_id"))
+    return (boosted.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= TOP_K)
+            .select("query_id", "cand_id", "min_dist",
+                    (F.col("bfp") / F.lit(FP)).alias("score"), "rank"))
+
+
 @query("q184_proximity_boosted_bm25", f"""{SQL_BM25_POOL},
 p AS (SELECT doc_id, i + 1 AS pos, toks[i + 1] AS term
       FROM (SELECT doc_id, toks, UNNEST(RANGE(LEN(toks))) AS i FROM t)),
@@ -1151,19 +1177,7 @@ def q184_proximity_boosted_bm25(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """BM25 pool reranked by the proximity bonus (see block comment):
     (query_id, cand_id, min_dist, score, rank ≤ TOP_K)."""
-    from .helpers import exact_tdiv
     pool = _bm25_pool(spark, sf_dir)
     prox = (q182_term_proximity(spark, sf_dir)
             .select("query_id", "cand_id", "min_dist"))
-    bonus = F.coalesce(
-        exact_tdiv(F.lit(PROX_W), F.col("min_dist")), F.lit(0))
-    boosted = (pool.join(prox, ["query_id", "cand_id"], "left")
-               .select("query_id", "cand_id", "min_dist",
-                       (F.col("fp_sum") + bonus).alias("bfp")))
-    # rerank window is POOL-bounded per query by construction
-    w = W.partitionBy("query_id").orderBy(F.desc("bfp"),
-                                          F.asc("cand_id"))
-    return (boosted.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= TOP_K)
-            .select("query_id", "cand_id", "min_dist",
-                    (F.col("bfp") / F.lit(FP)).alias("score"), "rank"))
+    return proximity_boosted_rerank(pool, prox)

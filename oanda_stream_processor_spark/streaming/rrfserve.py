@@ -126,31 +126,19 @@ def serve_proximity_boosted_bm25(spark: SparkSession, bm25_state: str,
     """q184's output served ENTIRELY from two persisted stores: the
     BM25 pool from the incremental tf/df/dl/corpus store, the
     proximity feature from the token-positional postings store
-    (streaming/proxgate.py).  The boost/rerank mirrors q184
-    token-for-token (pure integer arithmetic, exact_tdiv floor
-    division, POOL-bounded rerank window); parity with one-shot q184
-    is pinned by pytest rather than code sharing because the one-shot
-    lives in the query registry the post-record rule freezes."""
-    from pyspark.sql import Window as W
-
-    from ..operators.helpers import exact_tdiv
-    from ..operators.retrieval import PROX_W, TOP_K as TK
+    (streaming/proxgate.py).  The boost/rerank is the SHARED
+    ``retrieval.proximity_boosted_rerank`` core (r12 verdict ask #3 —
+    the post-record freeze that justified the earlier copy ended with
+    the round), so parity with one-shot q184 reduces to the two input
+    frames being equal — which the bm25gate and proxgate store
+    theorems give — and the pytest parity check pins it end-to-end."""
+    from ..operators.retrieval import proximity_boosted_rerank
     from .proxgate import serve_term_proximity
 
     pool = serve_bm25_pool(spark, bm25_state)
     prox = (serve_term_proximity(spark, prox_state, qtermf)
             .select("query_id", "cand_id", "min_dist"))
-    bonus = F.coalesce(
-        exact_tdiv(F.lit(PROX_W), F.col("min_dist")), F.lit(0))
-    boosted = (pool.join(prox, ["query_id", "cand_id"], "left")
-               .select("query_id", "cand_id", "min_dist",
-                       (F.col("fp_sum") + bonus).alias("bfp")))
-    w = W.partitionBy("query_id").orderBy(F.desc("bfp"),
-                                          F.asc("cand_id"))
-    return (boosted.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= TK)
-            .select("query_id", "cand_id", "min_dist",
-                    (F.col("bfp") / F.lit(FP)).alias("score"), "rank"))
+    return proximity_boosted_rerank(pool, prox)
 
 
 def serve_rrf_fusion(spark: SparkSession, state_dir: str,
