@@ -599,8 +599,6 @@ def maxscore_gate_is_prunable(d: DataFrame) -> bool:
     pick = (d.where((F.col("doc_id") % mod == 0)
                     | (F.col("doc_id") < N_QUERIES))
             .select("doc_id", "text").repartition(1))
-    rare_p, common_p, nq = MS_RARE_P, MS_COMMON_P, N_QUERIES
-
     def _gate(batches):
         import pandas as pd
         frames = list(batches)
@@ -610,20 +608,61 @@ def maxscore_gate_is_prunable(d: DataFrame) -> bool:
         pdf = pd.concat(frames, ignore_index=True)
         term_sets = pdf.text.map(
             lambda t: {x for x in t.split(" ") if x})
-        is_s = pdf.doc_id % mod == 0
-        n_s = int(is_s.sum())
-        df_s: dict = {}
-        for ts in term_sets[is_s]:
-            for t in ts:
-                df_s[t] = df_s.get(t, 0) + 1
-        sp = False
-        if n_s:
-            for ts in term_sets[pdf.doc_id < nq]:
-                ps = [df_s.get(t, 0) / n_s for t in ts]
-                if ps and min(ps) <= rare_p and max(ps) >= common_p:
-                    sp = True
-                    break
-        yield pd.DataFrame({"sp": [sp]})
+        yield pd.DataFrame(
+            {"sp": [_spread_decision(pdf.doc_id, term_sets, mod)]})
+
+    return bool(pick.mapInPandas(_gate, "sp boolean").first().sp)
+
+
+def _spread_decision(doc_ids, term_sets, mod: int) -> bool:
+    """The rare+common coexistence test over an in-hand sample —
+    ``doc_ids`` a pandas Series, ``term_sets`` an aligned Series of
+    per-doc distinct-term sets.  Shared by the text gate above and the
+    postings gate below so both read the SAME statistic (a stored
+    corpus must route exactly like its one-shot twin)."""
+    is_s = doc_ids % mod == 0
+    n_s = int(is_s.sum())
+    df_s: dict = {}
+    for ts in term_sets[is_s]:
+        for t in ts:
+            df_s[t] = df_s.get(t, 0) + 1
+    if n_s:
+        for ts in term_sets[doc_ids < N_QUERIES]:
+            ps = [df_s.get(t, 0) / n_s for t in ts]
+            if ps and min(ps) <= MS_RARE_P and max(ps) >= MS_COMMON_P:
+                return True
+    return False
+
+
+def maxscore_gate_from_postings(tf: DataFrame, dl: DataFrame) -> bool:
+    """The q178 plan gate evaluated over a STORED postings index
+    instead of raw text — the served-MaxScore router (r12 verdict ask
+    #6).  Same bounded shape as the text gate: one count over the
+    one-row-per-doc ``dl`` store (no postings read), then the sampled
+    docs' (cand_id, term) rows — already tokenized, so the sample read
+    is cheaper than the text gate's — through ONE Arrow task into the
+    SHARED ``_spread_decision``.  Routing therefore matches the
+    one-shot gate on the same corpus exactly (pytest-pinned), and
+    either branch downstream is exact."""
+    n_docs = dl.count()
+    if n_docs == 0:
+        return False
+    mod = max(1, n_docs // MS_SAMPLE_TARGET)
+    pick = (tf.where((F.col("cand_id") % mod == 0)
+                     | (F.col("cand_id") < N_QUERIES))
+            .select("cand_id", "term").repartition(1))
+
+    def _gate(batches):
+        import pandas as pd
+        frames = list(batches)
+        if not frames:
+            yield pd.DataFrame({"sp": [False]})
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        g = pdf.groupby("cand_id")["term"].agg(set)
+        ids = g.index.to_series().reset_index(drop=True)
+        sets = g.reset_index(drop=True)
+        yield pd.DataFrame({"sp": [_spread_decision(ids, sets, mod)]})
 
     return bool(pick.mapInPandas(_gate, "sp boolean").first().sp)
 

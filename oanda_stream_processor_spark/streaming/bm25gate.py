@@ -153,11 +153,45 @@ def serve_bm25_pool(spark: SparkSession, state_dir: str) -> DataFrame:
                           read_corpus_stats(spark, state_dir), qterms)
 
 
-def serve_bm25_topk(spark: SparkSession, state_dir: str) -> DataFrame:
+def serve_bm25_topk(spark: SparkSession, state_dir: str, *,
+                    prune: bool | None = None) -> DataFrame:
     """q175's output shape (query_id, cand_id, score, rank ≤ TOP_K)
-    from the incremental store."""
-    return (serve_bm25_pool(spark, state_dir)
-            .where(F.col("rank") <= TOP_K)
+    from the incremental store, routed through the q178 MaxScore plan
+    gate (r12 verdict ask #6): when the STORED corpus is prunable
+    (some query's sampled df proportions carry both a rare and a
+    common term — ``retrieval.maxscore_gate_from_postings``, the same
+    statistic as one-shot q178 evaluated over stored postings), the
+    read scores only the seed/θ/essential candidate set; otherwise it
+    keeps the full-pool plan (q175's shape over stored postings).
+    Both branches are exact — the MaxScore soundness argument does not
+    depend on where the postings came from — and pytest pins pruned ≡
+    unpruned row-for-row on flat and Zipfian stored corpora.
+    ``prune`` forces a branch (tests); None lets the gate decide."""
+    from ..operators.retrieval import (
+        POOL,
+        _pool_rank,
+        maxscore_candidates,
+        maxscore_gate_from_postings,
+    )
+    if prune is None:
+        prune = maxscore_gate_from_postings(
+            read_tf(spark, state_dir), read_dl(spark, state_dir))
+    if not prune:
+        return (serve_bm25_pool(spark, state_dir)
+                .where(F.col("rank") <= TOP_K)
+                .select("query_id", "cand_id",
+                        (F.col("fp_sum") / F.lit(FP)).alias("score"),
+                        "rank"))
+    # pruned read — q178's machinery over the stored frames
+    tf = read_tf(spark, state_dir).localCheckpoint(eager=True)
+    qterms = (tf.where(F.col("cand_id") < N_QUERIES)
+              .select(F.col("cand_id").alias("query_id"), "term"))
+    cands, full_scores = maxscore_candidates(
+        tf, read_term_df(spark, state_dir), read_dl(spark, state_dir),
+        read_corpus_stats(spark, state_dir), qterms)
+    pool = _pool_rank(full_scores(cands),
+                      [F.desc("fp_sum"), F.asc("cand_id")], POOL)
+    return (pool.where(F.col("rank") <= TOP_K)
             .select("query_id", "cand_id",
                     (F.col("fp_sum") / F.lit(FP)).alias("score"),
                     "rank"))

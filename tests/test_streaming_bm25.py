@@ -252,3 +252,38 @@ def test_bm25f_served_tracks_appends_and_stream(spark, tmp_path):
     q.awaitTermination(120)
     assert _table(serve_bm25f_topk(spark, state2)) == \
         _table(q177_bm25f_topk(spark, SF_DIR))
+
+
+def test_served_maxscore_gate_and_prune(spark, tmp_path):
+    """r12 verdict ask #6: serve_bm25_topk routes through the q178
+    MaxScore gate.  On both a FLAT and a Zipfian STORED corpus the
+    pruned read equals the unpruned read row-for-row (exactness is
+    plan-independent), the stored-postings gate routes each corpus
+    exactly like the one-shot text gate, and the default gated read
+    equals both forced branches."""
+    from oanda_stream_processor_spark.operators.retrieval import (
+        maxscore_gate_from_postings,
+        maxscore_gate_is_prunable,
+    )
+    from oanda_stream_processor_spark.streaming.bm25gate import (
+        read_dl,
+        read_tf,
+    )
+
+    common = "the of and to in for a is on at"
+    flat = spark.createDataFrame(
+        [(i, common) for i in range(400)], "doc_id long, text string")
+    zipf = spark.createDataFrame(
+        [(i, f"{common} rare{i % 25}a rare{i % 25}b")
+         for i in range(400)], "doc_id long, text string")
+    for name, d, want in (("flat", flat, False), ("zipf", zipf, True)):
+        state = str(tmp_path / name)
+        write_batch_partials(d.where(F.col("doc_id") % 2 == 0), state, 0)
+        write_batch_partials(d.where(F.col("doc_id") % 2 == 1), state, 1)
+        assert maxscore_gate_from_postings(
+            read_tf(spark, state), read_dl(spark, state)) is want, name
+        assert maxscore_gate_is_prunable(d) is want, name  # same routing
+        pruned = _table(serve_bm25_topk(spark, state, prune=True))
+        unpruned = _table(serve_bm25_topk(spark, state, prune=False))
+        assert pruned == unpruned, name
+        assert _table(serve_bm25_topk(spark, state)) == unpruned, name
