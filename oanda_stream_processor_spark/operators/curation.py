@@ -894,6 +894,48 @@ _SH_B = 40503
 _EPOCH_STRIDE = 7919  # prime stride separating per-epoch order seeds
 
 
+def shard_keys(d: DataFrame, *, n_shards: int = N_SHARDS,
+               seed: int = SHARD_SEED) -> DataFrame:
+    """(doc_id, n_tokens, pk, shard_id) — the TEXT-PASS half of the
+    shard assignment: tokenize-count + the seeded multiplicative-hash
+    permutation key + the shard membership it induces.  Everything
+    here is a pure per-row projection of (doc_id, text), so it is
+    computable at ingest with no global state — exactly what the
+    streaming shard gate (streaming/shardgate.py) persists per batch.
+    The epoch order key is NOT included: it is a pure function of
+    doc_id alone (no text), recomputed at read time by
+    ``assignment_from_keys`` so one stored index serves every epoch."""
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    t = (d.select("doc_id", F.size(toks).cast("bigint").alias("n_tokens"))
+         .where(F.col("n_tokens") > 0))
+    h1 = (F.col("doc_id") % HM * F.lit(_SH_A) + F.lit(seed)) % HM
+    pk = (h1 * F.lit(_SH_B) + F.lit(11)) % HM
+    return (t.select("doc_id", "n_tokens", pk.alias("pk"))
+            .withColumn("shard_id", F.col("pk") % n_shards))
+
+
+def assignment_from_keys(s: DataFrame, *, seed: int = SHARD_SEED,
+                         epoch: int = 0) -> DataFrame:
+    """(doc_id, shard_id, seq, pack_id, n_tokens) from an explicit
+    keys frame (``shard_keys``' shape) — the WINDOW half: the
+    epoch-rekeyed intra-shard order, dense seq, and q81 packing over
+    the permuted order.  Shared by one-shot q180 and the served read
+    (streaming/shardgate.py), so parity reduces to the keys frames
+    being equal.  epoch=0 reproduces the written layout exactly
+    (ok == pk), which is what q180 oracles."""
+    e_seed = seed + epoch * _EPOCH_STRIDE
+    h1e = (F.col("doc_id") % HM * F.lit(_SH_A) + F.lit(e_seed)) % HM
+    ok = (h1e * F.lit(_SH_B) + F.lit(11)) % HM
+    w = W.partitionBy("shard_id").orderBy("ok", "doc_id")
+    wc = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    o = (s.withColumn("ok", ok)
+         .withColumn("seq", F.row_number().over(w).cast("bigint"))
+         .withColumn("cum", F.sum("n_tokens").over(wc)))
+    pack = F.floor((F.col("cum") - F.col("n_tokens")) / PACK_BUDGET)
+    return o.select("doc_id", "shard_id", "seq",
+                    pack.alias("pack_id"), "n_tokens")
+
+
 def shard_assignment(d: DataFrame, *, n_shards: int = N_SHARDS,
                      seed: int = SHARD_SEED,
                      epoch: int = 0) -> DataFrame:
@@ -906,25 +948,12 @@ def shard_assignment(d: DataFrame, *, n_shards: int = N_SHARDS,
     packing) without moving any document between shards — the
     training-loop semantics: shard membership is a storage/locality
     decision made once, per-epoch data order comes from re-keying the
-    permutation with seed + epoch·stride.  epoch=0 reproduces the
-    written layout exactly (ok == pk), which is what q180 oracles."""
-    toks = F.filter(F.split("text", " "), lambda x: x != "")
-    t = (d.select("doc_id", F.size(toks).cast("bigint").alias("n_tokens"))
-         .where(F.col("n_tokens") > 0))
-    h1 = (F.col("doc_id") % HM * F.lit(_SH_A) + F.lit(seed)) % HM
-    pk = (h1 * F.lit(_SH_B) + F.lit(11)) % HM
-    e_seed = seed + epoch * _EPOCH_STRIDE
-    h1e = (F.col("doc_id") % HM * F.lit(_SH_A) + F.lit(e_seed)) % HM
-    ok = (h1e * F.lit(_SH_B) + F.lit(11)) % HM
-    s = (t.select("doc_id", "n_tokens", pk.alias("pk"), ok.alias("ok"))
-         .withColumn("shard_id", F.col("pk") % n_shards))
-    w = W.partitionBy("shard_id").orderBy("ok", "doc_id")
-    wc = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    o = (s.withColumn("seq", F.row_number().over(w).cast("bigint"))
-         .withColumn("cum", F.sum("n_tokens").over(wc)))
-    pack = F.floor((F.col("cum") - F.col("n_tokens")) / PACK_BUDGET)
-    return o.select("doc_id", "shard_id", "seq",
-                    pack.alias("pack_id"), "n_tokens")
+    permutation with seed + epoch·stride.  Composed from the
+    shard_keys text pass + the assignment_from_keys window half (the
+    split the streaming shard gate shares, r12 verdict ask #1)."""
+    return assignment_from_keys(shard_keys(d, n_shards=n_shards,
+                                           seed=seed),
+                                seed=seed, epoch=epoch)
 
 
 @query("q180_training_shards", f"""
