@@ -1220,3 +1220,277 @@ def q184_proximity_boosted_bm25(spark: SparkSession,
     prox = (q182_term_proximity(spark, sf_dir)
             .select("query_id", "cand_id", "min_dist"))
     return proximity_boosted_rerank(pool, prox)
+
+
+# --- q185/q186: ranking-quality metrics (nDCG@k, MRR, recall@k) ----------------
+#
+# The QA yardstick a retrieval stack reads before shipping an index
+# change (r12 verdict, Next-round #2; the q156 recall-curve precedent
+# extended from the ANN family to the lexical family): grade q175's
+# BM25 top-k as the SYSTEM against an exact graded relevance set
+# derived from the phrase + proximity features as the TRUTH —
+#
+#   rel(q, d) = 3  if d contains q's leading trigram (q179's exact
+#                  phrase match — the strongest signal; 0-3 docs per
+#                  query at sf0.01),
+#               2  if d covers ALL of q's distinct terms AND has an
+#                  adjacent different-term pair (min_dist = 1; 1-103
+#                  docs per query),
+#               1  if d covers >= 7/8 of q's distinct terms (q182's
+#                  coverage feature; ~160-230 docs per query),
+#               0  otherwise — tiers chosen so the truth DISCRIMINATES
+#                  on the shared-vocabulary fixture (a bare
+#                  shares-2-terms cut marks 499/500 docs relevant and
+#                  every metric saturates at 1.0).
+#
+# Everything is integer / fixed-point so both engines agree
+# bit-for-bit (the q156 discipline): the per-rank nDCG discount
+# weights round(1e6 / log2(rank+1)) are PRE-COMPUTED Python integers
+# embedded verbatim in the Spark plan and the oracle SQL — no
+# cross-engine log ever runs — and every ratio is a floor-division
+# ppm (exact_tdiv / the mod identity; all numerators < 2^51).
+#
+#   DCG_fp@k  = sum_{i<=k} rel_i * W[i]          (system order)
+#   IDCG_fp@k = the same sum over the truth set's ideal order
+#               (rel DESC, cand_id ASC), top k via the salted
+#               two-stage _pool_rank (no corpus-sized window)
+#   ndcg_ppm  = floor(DCG_fp * 1e6 / IDCG_fp)    (0 when no truth)
+#   mrr_ppm   = floor(1e6 / first relevant rank) (0 when none hit)
+#   recall_ppm= floor(hits@k * 1e6 / n_rel)      (0 when no truth)
+#
+# Scale shape: truth composes q182's audited one-window plan, q179's
+# broadcast-probe phrase join, and a 10-row broadcast of the query
+# sizes (query_id-keyed aggregate — the bounded-key exemption); the
+# system join is the TOP_K-row pool INNER-joined into truth (AQE
+# broadcasts the pool; unmatched pairs contribute 0 by algebra, so no
+# outer join of the big side); every later frame is per-query
+# bounded.  q186 macro-averages q185's N_QUERIES rows.
+# ------------------------------------------------------------------------------
+NDCG_SCALE = 1_000_000                      # integer ppm fixed point
+W_NDCG = (1000000, 630930, 500000, 430677, 386853,
+          356207, 333333, 315465, 301030, 289065)
+assert len(W_NDCG) == TOP_K
+
+_SQL_W_VALUES = ", ".join(f"({i + 1}, {w})" for i, w in enumerate(W_NDCG))
+
+
+def _quality_sql(tail: str) -> str:
+    """The shared q185/q186 oracle body (truth tiers + per-query
+    metric CTEs appended to SQL_BM25_POOL), finished by ``tail``.
+    Built at call time because the phrase tier reuses dedup's
+    token-hash SQL chain (the q179 fragment, mirrored token for token
+    so even trigram-hash collisions are identical cross-engine)."""
+    from .dedup import HM, SB, SQL_TOKS, _SQL_TOKH
+    return f"""{SQL_BM25_POOL},
+topk AS (SELECT query_id, cand_id, rank FROM bpool
+         WHERE rank <= {TOP_K}),
+p AS (SELECT doc_id, i + 1 AS pos, toks[i + 1] AS term
+      FROM (SELECT doc_id, toks, UNNEST(RANGE(LEN(toks))) AS i FROM t)),
+qt AS (SELECT DISTINCT doc_id AS query_id, term FROM p
+       WHERE doc_id < {N_QUERIES}),
+qn AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS qsize
+       FROM qt GROUP BY 1),
+m AS (SELECT qt.query_id, p.doc_id AS cand_id, p.term, p.pos
+      FROM p JOIN qt ON p.term = qt.term AND p.doc_id <> qt.query_id),
+mw AS (SELECT query_id, cand_id, term, pos,
+              LAG(term) OVER (PARTITION BY query_id, cand_id
+                              ORDER BY pos) AS pterm,
+              LAG(pos) OVER (PARTITION BY query_id, cand_id
+                             ORDER BY pos) AS ppos
+       FROM m),
+prox AS (SELECT query_id, cand_id,
+                CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms,
+                CAST(MIN(CASE WHEN pterm IS NOT NULL AND pterm <> term
+                              THEN pos - ppos END) AS BIGINT)
+                  AS min_dist
+         FROM mw GROUP BY 1, 2
+         HAVING COUNT(DISTINCT term) >= 2),
+psh AS (SELECT doc_id, i + 1 AS pos,
+               ((th[i+1] * {SB} + th[i+2]) % {HM} * {SB} + th[i+3])
+               % {HM} AS sh
+        FROM (SELECT doc_id, th, UNNEST(RANGE(LEN(th) - 2)) AS i
+              FROM (SELECT doc_id, {_SQL_TOKH} AS th
+                    FROM ({SQL_TOKS}) WHERE LEN(toks) >= 3))),
+qp AS (SELECT doc_id AS query_id, sh AS qsh FROM psh
+       WHERE pos = 1 AND doc_id < {N_QUERIES}),
+phr AS (SELECT DISTINCT q.query_id, p2.doc_id AS cand_id
+        FROM psh p2 JOIN qp q ON p2.sh = q.qsh
+                             AND p2.doc_id <> q.query_id),
+truth AS (SELECT query_id, cand_id, CAST(MAX(rel) AS BIGINT) AS rel
+          FROM (SELECT x.query_id, x.cand_id,
+                       CASE WHEN x.n_terms = qn.qsize
+                             AND x.min_dist = 1 THEN 2
+                            ELSE 1 END AS rel
+                FROM prox x JOIN qn USING (query_id)
+                WHERE 8 * x.n_terms >= 7 * qn.qsize
+                UNION ALL
+                SELECT query_id, cand_id, 3 AS rel FROM phr) u
+          GROUP BY 1, 2),
+wtab AS (SELECT * FROM (VALUES {_SQL_W_VALUES}) AS v(rnk, wfp)),
+srel AS (SELECT tk.query_id, tk.rank, tr.rel
+         FROM topk tk JOIN truth tr USING (query_id, cand_id)),
+sysm AS (SELECT query_id,
+                CAST(SUM(rel * w.wfp) AS BIGINT) AS dcg_fp,
+                CAST(COUNT(*) AS BIGINT) AS hits_k,
+                MIN(rank) AS frr
+         FROM srel JOIN wtab w ON w.rnk = srel.rank
+         GROUP BY 1),
+nrel AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+         FROM truth GROUP BY 1),
+irank AS (SELECT query_id, rel,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY rel DESC, cand_id) AS rnk
+          FROM truth),
+idcg AS (SELECT query_id, CAST(SUM(rel * w.wfp) AS BIGINT) AS idcg_fp
+         FROM irank JOIN wtab w USING (rnk)
+         WHERE rnk <= {TOP_K} GROUP BY 1),
+perq AS (
+  SELECT b.query_id,
+         CAST(COALESCE(n.n_rel, 0) AS BIGINT) AS n_rel,
+         CAST(COALESCE(s.hits_k, 0) AS BIGINT) AS hits_k,
+         CAST(COALESCE(s.frr, 0) AS BIGINT) AS first_rel_rank,
+         CAST(COALESCE(s.dcg_fp, 0) AS BIGINT) AS dcg_fp,
+         CAST(COALESCE(i.idcg_fp, 0) AS BIGINT) AS idcg_fp,
+         CAST(CASE WHEN COALESCE(i.idcg_fp, 0) = 0 THEN 0
+              ELSE (COALESCE(s.dcg_fp, 0) * {NDCG_SCALE}
+                    - (COALESCE(s.dcg_fp, 0) * {NDCG_SCALE})
+                      % i.idcg_fp) / i.idcg_fp END AS BIGINT)
+           AS ndcg_ppm,
+         CAST(CASE WHEN s.frr IS NULL THEN 0
+              ELSE ({NDCG_SCALE} - {NDCG_SCALE} % s.frr) / s.frr
+              END AS BIGINT) AS mrr_ppm,
+         CAST(CASE WHEN COALESCE(n.n_rel, 0) = 0 THEN 0
+              ELSE (COALESCE(s.hits_k, 0) * {NDCG_SCALE}
+                    - (COALESCE(s.hits_k, 0) * {NDCG_SCALE})
+                      % n.n_rel) / n.n_rel END AS BIGINT)
+           AS recall_ppm
+  FROM (SELECT DISTINCT query_id FROM topk) b
+  LEFT JOIN sysm s USING (query_id)
+  LEFT JOIN nrel n USING (query_id)
+  LEFT JOIN idcg i USING (query_id))
+{tail}"""
+
+
+def relevance_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, cand_id, rel ∈ {1, 2, 3}) — the exact graded
+    relevance set (tiers in the block comment).  Derived entirely
+    from the phrase (q179) and proximity/coverage (q182) features, so
+    the metric grades q175 against independently-computable ground
+    truth, not against itself."""
+    d = load_table(spark, sf_dir, "documents")
+    p = token_postings(d)
+    qtermf = (p.where(F.col("doc_id") < N_QUERIES)
+              .select(F.col("doc_id").alias("query_id"), "term")
+              .distinct())
+    qn = qtermf.groupBy("query_id").agg(F.count("*").alias("qsize"))
+    prox = proximity_from(p, qtermf)
+    cov = (prox.join(F.broadcast(qn), "query_id")
+           .where(8 * F.col("n_terms") >= 7 * F.col("qsize"))
+           .select("query_id", "cand_id",
+                   F.when((F.col("n_terms") == F.col("qsize"))
+                          & (F.col("min_dist") == 1), F.lit(2))
+                   .otherwise(F.lit(1)).alias("rel")))
+    phr = (q179_phrase_match(spark, sf_dir)
+           .select("query_id", "cand_id", F.lit(3).alias("rel")))
+    return (cov.unionByName(phr)
+            .groupBy("query_id", "cand_id")
+            .agg(F.max("rel").cast("bigint").alias("rel")))
+
+
+def q185_retrieval_quality(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Per-query ranking-quality metrics for q175 against the graded
+    phrase/proximity truth set: (query_id, n_rel, hits_k,
+    first_rel_rank, dcg_fp, idcg_fp, ndcg_ppm, mrr_ppm, recall_ppm) —
+    all exact integers (see block comment)."""
+    from .helpers import exact_tdiv
+    pool = q175_bm25_topk(spark, sf_dir).select("query_id", "cand_id",
+                                                "rank")
+    truth = relevance_truth(spark, sf_dir)
+    warr = F.array(*[F.lit(w) for w in W_NDCG])
+    # matched system rows only: unmatched ranks contribute 0 to every
+    # aggregate, so an INNER join suffices (no outer join of the
+    # corpus-sized truth frame)
+    srel = pool.join(truth, ["query_id", "cand_id"])
+    sysm = (srel.select("query_id", "rank", "rel")
+            .groupBy("query_id")
+            .agg(F.sum(F.col("rel")
+                       * F.element_at(warr, F.col("rank").cast("int")))
+                  .alias("dcg_fp"),
+                 F.count("*").alias("hits_k"),
+                 F.min("rank").alias("frr")))
+    nrel = truth.groupBy("query_id").agg(F.count("*").alias("n_rel"))
+    ideal = _pool_rank(truth, [F.desc("rel"), F.asc("cand_id")], TOP_K)
+    idcg = (ideal
+            .select("query_id",
+                    (F.col("rel")
+                     * F.element_at(warr, F.col("rank").cast("int")))
+                    .alias("w"))
+            .groupBy("query_id").agg(F.sum("w").alias("idcg_fp")))
+    base = pool.select("query_id").distinct()
+    j = (base.join(sysm, "query_id", "left")
+         .join(nrel, "query_id", "left")
+         .join(idcg, "query_id", "left"))
+    dcg = F.coalesce(F.col("dcg_fp"), F.lit(0))
+    hits = F.coalesce(F.col("hits_k"), F.lit(0))
+    ndcg = F.when(F.coalesce(F.col("idcg_fp"), F.lit(0)) == 0,
+                  F.lit(0)) \
+        .otherwise(exact_tdiv(dcg * F.lit(NDCG_SCALE),
+                              F.col("idcg_fp")))
+    mrr = F.coalesce(exact_tdiv(F.lit(NDCG_SCALE), F.col("frr")),
+                     F.lit(0))
+    recall = F.when(F.coalesce(F.col("n_rel"), F.lit(0)) == 0,
+                    F.lit(0)) \
+        .otherwise(exact_tdiv(hits * F.lit(NDCG_SCALE),
+                              F.col("n_rel")))
+    return j.select(
+        "query_id",
+        F.coalesce(F.col("n_rel"), F.lit(0)).cast("bigint")
+         .alias("n_rel"),
+        hits.cast("bigint").alias("hits_k"),
+        F.coalesce(F.col("frr"), F.lit(0)).cast("bigint")
+         .alias("first_rel_rank"),
+        dcg.cast("bigint").alias("dcg_fp"),
+        F.coalesce(F.col("idcg_fp"), F.lit(0)).cast("bigint")
+         .alias("idcg_fp"),
+        ndcg.cast("bigint").alias("ndcg_ppm"),
+        mrr.cast("bigint").alias("mrr_ppm"),
+        recall.cast("bigint").alias("recall_ppm"))
+
+
+QUERIES["q185_retrieval_quality"] = q185_retrieval_quality
+ORACLES["q185_retrieval_quality"] = _quality_sql(
+    "SELECT * FROM perq")
+
+
+def q186_retrieval_quality_summary(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Macro-averaged (floor-ppm) nDCG/MRR/recall over q185's
+    per-query rows — the one-line verdict an index change is judged
+    by.  A global aggregate of an N_QUERIES-bounded frame."""
+    from .helpers import exact_tdiv
+    q = q185_retrieval_quality(spark, sf_dir)
+    agg = q.agg(F.count("*").alias("n_queries"),
+                F.sum("ndcg_ppm").alias("s_ndcg"),
+                F.sum("mrr_ppm").alias("s_mrr"),
+                F.sum("recall_ppm").alias("s_recall"))
+    return agg.select(
+        F.col("n_queries").cast("bigint").alias("n_queries"),
+        exact_tdiv(F.col("s_ndcg"), F.col("n_queries"))
+        .alias("macro_ndcg_ppm"),
+        exact_tdiv(F.col("s_mrr"), F.col("n_queries"))
+        .alias("macro_mrr_ppm"),
+        exact_tdiv(F.col("s_recall"), F.col("n_queries"))
+        .alias("macro_recall_ppm"))
+
+
+QUERIES["q186_retrieval_quality_summary"] = q186_retrieval_quality_summary
+ORACLES["q186_retrieval_quality_summary"] = _quality_sql("""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST((SUM(ndcg_ppm) - SUM(ndcg_ppm) % COUNT(*)) / COUNT(*)
+            AS BIGINT) AS macro_ndcg_ppm,
+       CAST((SUM(mrr_ppm) - SUM(mrr_ppm) % COUNT(*)) / COUNT(*)
+            AS BIGINT) AS macro_mrr_ppm,
+       CAST((SUM(recall_ppm) - SUM(recall_ppm) % COUNT(*)) / COUNT(*)
+            AS BIGINT) AS macro_recall_ppm
+FROM perq""")
