@@ -76,16 +76,39 @@ def _floor_calibration(spark) -> float:
 _PARTIAL: dict = {"queries": {}, "errors": {}}
 
 
+# Drift-normalization sidecar (r12 verdict ask #5): the r12 driver
+# bench moved +14.2% on UNCHANGED code purely from host drift (its own
+# floor moved 0.150 -> 0.234 s), and proving that required a manual
+# session re-bench.  Every record now carries the correction
+# mechanically: FLOOR_REF pins the r12 local-record floor, and the
+# emitted sidecar holds (a) the floor-normalized total (value minus
+# one floor per measured query — the BASELINE.md aggregate, no longer
+# hand-computed), (b) the drift-scaled total value*(FLOOR_REF/floor),
+# and (c) a fixed sentinel pair (scan-agg + window-shuffle bound) so
+# movement paragraphs can be read against stable yardsticks.
+FLOOR_REF_SEC = 0.128            # BENCH_LOCAL_r12 floor, the pin
+SENTINELS = ("q01_pricing_summary", "q13_window_running")
+
+
 def _emit(extra: dict | None = None) -> None:
     timings = _PARTIAL["queries"]
+    floor = _PARTIAL.get("floor")
     out = {
         "metric": "total_query_wall_clock",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
-        "floor_calibration_sec": _PARTIAL.get("floor"),
+        "floor_calibration_sec": floor,
+        "floor_ref_sec": FLOOR_REF_SEC,
     }
+    if floor:
+        out["value_floor_normalized"] = round(
+            sum(max(0.0, t - floor) for t in timings.values()), 3)
+        out["value_drift_scaled"] = round(
+            out["value"] * FLOOR_REF_SEC / floor, 3)
+    out["sentinels"] = {q: timings[q] for q in SENTINELS
+                        if q in timings}
     if _PARTIAL["errors"]:
         out["errors"] = _PARTIAL["errors"]
     if extra:
