@@ -1371,14 +1371,13 @@ perq AS (
 {tail}"""
 
 
-def relevance_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(query_id, cand_id, rel ∈ {1, 2, 3}) — the exact graded
-    relevance set (tiers in the block comment).  Derived entirely
-    from the phrase (q179) and proximity/coverage (q182) features, so
-    the metric grades q175 against independently-computable ground
-    truth, not against itself."""
-    d = load_table(spark, sf_dir, "documents")
-    p = token_postings(d)
+def relevance_truth_from(p: DataFrame, phr: DataFrame) -> DataFrame:
+    """The graded-truth tiers from explicit frames — ``p`` a token-
+    postings frame (doc_id, pos, term), ``phr`` a (query_id, cand_id)
+    phrase-match pair frame.  Shared by the one-shot truth below and
+    the served quality read (streaming/rrfserve.py), so parity
+    reduces to the input frames being equal (the proxgate/phrasegate
+    store theorems)."""
     qtermf = (p.where(F.col("doc_id") < N_QUERIES)
               .select(F.col("doc_id").alias("query_id"), "term")
               .distinct())
@@ -1390,23 +1389,30 @@ def relevance_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.when((F.col("n_terms") == F.col("qsize"))
                           & (F.col("min_dist") == 1), F.lit(2))
                    .otherwise(F.lit(1)).alias("rel")))
-    phr = (q179_phrase_match(spark, sf_dir)
-           .select("query_id", "cand_id", F.lit(3).alias("rel")))
-    return (cov.unionByName(phr)
+    return (cov.unionByName(phr.select("query_id", "cand_id",
+                                       F.lit(3).alias("rel")))
             .groupBy("query_id", "cand_id")
             .agg(F.max("rel").cast("bigint").alias("rel")))
 
 
-def q185_retrieval_quality(spark: SparkSession,
-                           sf_dir: str) -> DataFrame:
-    """Per-query ranking-quality metrics for q175 against the graded
-    phrase/proximity truth set: (query_id, n_rel, hits_k,
-    first_rel_rank, dcg_fp, idcg_fp, ndcg_ppm, mrr_ppm, recall_ppm) —
-    all exact integers (see block comment)."""
+def relevance_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, cand_id, rel ∈ {1, 2, 3}) — the exact graded
+    relevance set (tiers in the block comment).  Derived entirely
+    from the phrase (q179) and proximity/coverage (q182) features, so
+    the metric grades q175 against independently-computable ground
+    truth, not against itself."""
+    d = load_table(spark, sf_dir, "documents")
+    return relevance_truth_from(token_postings(d),
+                                q179_phrase_match(spark, sf_dir))
+
+
+def quality_metrics_from(pool: DataFrame,
+                         truth: DataFrame) -> DataFrame:
+    """The metric arithmetic from explicit frames — ``pool`` a ranked
+    system frame (query_id, cand_id, rank ≤ TOP_K), ``truth`` a graded
+    relevance frame (query_id, cand_id, rel).  Shared by one-shot
+    q185 and the served quality read (streaming/rrfserve.py)."""
     from .helpers import exact_tdiv
-    pool = q175_bm25_topk(spark, sf_dir).select("query_id", "cand_id",
-                                                "rank")
-    truth = relevance_truth(spark, sf_dir)
     warr = F.array(*[F.lit(w) for w in W_NDCG])
     # matched system rows only: unmatched ranks contribute 0 to every
     # aggregate, so an INNER join suffices (no outer join of the
@@ -1456,6 +1462,17 @@ def q185_retrieval_quality(spark: SparkSession,
         ndcg.cast("bigint").alias("ndcg_ppm"),
         mrr.cast("bigint").alias("mrr_ppm"),
         recall.cast("bigint").alias("recall_ppm"))
+
+
+def q185_retrieval_quality(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Per-query ranking-quality metrics for q175 against the graded
+    phrase/proximity truth set: (query_id, n_rel, hits_k,
+    first_rel_rank, dcg_fp, idcg_fp, ndcg_ppm, mrr_ppm, recall_ppm) —
+    all exact integers (see block comment)."""
+    pool = q175_bm25_topk(spark, sf_dir).select("query_id", "cand_id",
+                                                "rank")
+    return quality_metrics_from(pool, relevance_truth(spark, sf_dir))
 
 
 QUERIES["q185_retrieval_quality"] = q185_retrieval_quality

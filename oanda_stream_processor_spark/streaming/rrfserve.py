@@ -64,12 +64,13 @@ from .bm25gate import (
     read_term_df,
     read_tf,
     serve_bm25_pool,
+    serve_bm25_topk,
 )
 from .phrasegate import serve_phrase_matches
 
 __all__ = ["ann_cosine_pool", "exact_cosine_pool",
            "serve_phrase_filtered_bm25", "serve_proximity_boosted_bm25",
-           "serve_rrf_fusion"]
+           "serve_retrieval_quality", "serve_rrf_fusion"]
 
 
 def exact_cosine_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -152,3 +153,39 @@ def serve_rrf_fusion(spark: SparkSession, state_dir: str,
     c = cosine_pool.select("query_id", "cand_id",
                            F.col("rank").alias("rank_c"))
     return rrf_fuse(b, c)
+
+
+def serve_retrieval_quality(spark: SparkSession, bm25_state: str,
+                            prox_state: str,
+                            phrase_state: str) -> DataFrame:
+    """q185's per-query ranking-quality metrics served ENTIRELY from
+    three persisted stores: the system ranking from the incremental
+    BM25 store (through the q178-gated serve_bm25_topk), the
+    coverage/proximity truth tiers from the token-positional postings
+    store, and the phrase tier from the trigram-positional store.
+    Every half is a shared core (quality_metrics_from,
+    relevance_truth_from, serve_bm25_topk, serve_phrase_matches), so
+    parity with one-shot q185 on the corpus ingested so far reduces
+    to the store theorems — and pytest pins it end-to-end.  This is
+    the serving loop a production index wants: append documents, then
+    read the quality verdict without recomputing anything
+    corpus-global from raw text."""
+    from ..operators.retrieval import (
+        N_QUERIES as NQ,
+        quality_metrics_from,
+        relevance_truth_from,
+    )
+    from .phrasegate import read_postings, serve_phrase_matches
+    from .proxgate import read_token_postings
+
+    pool = (serve_bm25_topk(spark, bm25_state)
+            .select("query_id", "cand_id", "rank"))
+    psh = read_postings(spark, phrase_state)
+    phrases = (psh.where((F.col("pos") == 1) & (F.col("doc_id") < NQ))
+               .select(F.col("doc_id").alias("query_id"),
+                       F.col("sh").alias("qsh")))
+    phr = (serve_phrase_matches(spark, phrase_state, phrases)
+           .select("query_id", "cand_id"))
+    truth = relevance_truth_from(read_token_postings(spark, prox_state),
+                                 phr)
+    return quality_metrics_from(pool, truth)

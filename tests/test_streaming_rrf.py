@@ -239,3 +239,66 @@ def test_served_proximity_boosted_bm25_tracks_appends(spark, tmp_path):
     assert _table(serve_proximity_boosted_bm25(spark, bm25_state,
                                                prox_state, qtermf)) == \
         _table(q184_proximity_boosted_bm25(spark, SF_DIR))
+
+
+def test_served_quality_equals_q185(spark, tmp_path):
+    """r13: the served ranking-quality read composed from the three
+    stores (BM25 system ranking + token-positional truth tiers +
+    trigram phrase tier) equals one-shot q185 — per append prefix via
+    the shared cores, verbatim at full corpus."""
+    from oanda_stream_processor_spark.operators.dedup import (
+        _spark_shingle_hashes,
+    )
+    from oanda_stream_processor_spark.operators.retrieval import (
+        TOP_K,
+        q185_retrieval_quality,
+        quality_metrics_from,
+        relevance_truth_from,
+        token_postings,
+    )
+    from oanda_stream_processor_spark.streaming.phrasegate import (
+        write_batch_postings,
+    )
+    from oanda_stream_processor_spark.streaming.proxgate import (
+        write_batch_token_postings,
+    )
+    from oanda_stream_processor_spark.streaming.rrfserve import (
+        serve_retrieval_quality,
+    )
+
+    def one_shot_on(seen):
+        tf, dfq, dl, stats = corpus_term_frames(seen)
+        qterms = (tf.where(F.col("cand_id") < N_QUERIES)
+                  .select(F.col("cand_id").alias("query_id"), "term"))
+        pool = (bm25_pool_from(tf, dfq, dl, stats, qterms)
+                .where(F.col("rank") <= TOP_K)
+                .select("query_id", "cand_id", "rank"))
+        psh = _spark_shingle_hashes(seen, with_pos=True)
+        qp = (psh.where((F.col("pos") == 1)
+                        & (F.col("doc_id") < N_QUERIES))
+              .select(F.col("doc_id").alias("query_id"),
+                      F.col("sh").alias("qsh")))
+        phr = (psh.join(qp, psh.sh == qp.qsh)
+               .where(F.col("doc_id") != F.col("query_id"))
+               .select("query_id", F.col("doc_id").alias("cand_id"))
+               .distinct())
+        truth = relevance_truth_from(token_postings(seen), phr)
+        return quality_metrics_from(pool, truth)
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    b_state = str(tmp_path / "bm25")
+    p_state = str(tmp_path / "prox")
+    h_state = str(tmp_path / "phrase")
+    seen = None
+    for i in range(2):
+        part = d.where(F.col("doc_id") % 2 == i)
+        write_batch_partials(part, b_state, i)
+        write_batch_token_postings(part, p_state, i)
+        write_batch_postings(part, h_state, i)
+        seen = part if seen is None else seen.unionByName(part)
+        got = serve_retrieval_quality(spark, b_state, p_state, h_state)
+        assert _table(got) == _table(one_shot_on(seen)), \
+            f"diverged after batch {i}"
+    assert _table(serve_retrieval_quality(spark, b_state, p_state,
+                                          h_state)) == \
+        _table(q185_retrieval_quality(spark, SF_DIR))
