@@ -1511,3 +1511,180 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
        CAST((SUM(recall_ppm) - SUM(recall_ppm) % COUNT(*)) / COUNT(*)
             AS BIGINT) AS macro_recall_ppm
 FROM perq""")
+
+
+# --- q187: pseudo-relevance-feedback (RM3-style) expanded BM25 -----------------
+#
+# The classic two-pass PRF loop a lexical stack runs when queries are
+# short: retrieve, mine expansion terms from the top feedback docs,
+# re-retrieve with the expanded query.  Deterministic simplification
+# of RM3 (Lavrenko & Croft relevance models; anchored to public
+# Lucene/Anserini practice): expansion weight = Σ tf(t, d) over the
+# top-PRF_DOCS feedback docs, original query terms excluded, top
+# PRF_TERMS by (weight DESC, term ASC); the second pass is the SAME
+# audited bm25_pool_from plan with qterms ∪ expansion.  Everything up
+# to the (already fixed-point) BM25 scoring is exact integer
+# arithmetic, so both engines mirror bit-for-bit.
+#
+# Scale shape: pass 1 is q175's plan; the expansion mine joins the
+# 10·PRF_DOCS-row feedback frame into tf (AQE broadcasts it) and
+# ranks inside per-query windows bounded by the feedback docs'
+# vocabulary; pass 2 is q175's plan with ≤ PRF_TERMS extra terms per
+# query.  The postings frame is multi-consumer (both passes + the
+# mine), hence the q178-precedent localCheckpoint.
+# ------------------------------------------------------------------------------
+PRF_DOCS = 5     # feedback depth (top docs mined for expansion)
+PRF_TERMS = 10   # expansion terms added per query
+
+
+@query("q187_prf_expanded_bm25", f"""{SQL_BM25_POOL},
+fb AS (SELECT query_id, cand_id FROM bpool WHERE rank <= {PRF_DOCS}),
+ex0 AS (SELECT f.query_id, tf.term, CAST(SUM(tf.tf) AS BIGINT) AS w
+        FROM fb f
+        JOIN tf ON tf.cand_id = f.cand_id
+        LEFT JOIN qterms q ON q.query_id = f.query_id
+                          AND q.term = tf.term
+        WHERE q.term IS NULL
+        GROUP BY 1, 2),
+exr AS (SELECT query_id, term,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY w DESC, term) AS r
+        FROM ex0),
+qx AS (SELECT query_id, term FROM qterms
+       UNION
+       SELECT query_id, term FROM exr WHERE r <= {PRF_TERMS}),
+contrib2 AS (
+  SELECT q.query_id, tf.cand_id,
+         CAST(ROUND(
+           LN(1.0 + ((s.n_docs - d.df) + 0.5) / (d.df + 0.5))
+           * ((tf.tf * {BM25_K1 + 1.0})
+              / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                   + {BM25_B} * (dl.dl / (s.sum_dl / s.n_docs)))))
+           * {FP}) AS BIGINT) AS fp
+  FROM tf
+  JOIN qx q USING (term)
+  JOIN dfq d USING (term)
+  JOIN dl USING (cand_id)
+  CROSS JOIN stats s
+  WHERE tf.cand_id <> q.query_id),
+agg2 AS (SELECT query_id, cand_id, SUM(fp) AS fp_sum
+         FROM contrib2 GROUP BY 1, 2),
+r2 AS (SELECT query_id, cand_id, fp_sum,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY fp_sum DESC, cand_id) AS rank
+       FROM agg2)
+SELECT query_id, cand_id, fp_sum / {FP} AS score, rank
+FROM r2 WHERE rank <= {TOP_K}
+""")
+def q187_prf_expanded_bm25(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """RM3-style PRF: BM25 pass 1 → mine top-PRF_TERMS expansion
+    terms from the top-PRF_DOCS docs → BM25 pass 2 with the expanded
+    query (see block comment).  (query_id, cand_id, score,
+    rank ≤ TOP_K)."""
+    d = load_table(spark, sf_dir, "documents")
+    tf, dfq, dl, stats = corpus_term_frames(d)
+    tf = tf.localCheckpoint(eager=True)  # multi-consumer postings
+    qterms = (tf.where(F.col("cand_id") < N_QUERIES)
+              .select(F.col("cand_id").alias("query_id"), "term"))
+    fb = (bm25_pool_from(tf, dfq, dl, stats, qterms)
+          .where(F.col("rank") <= PRF_DOCS)
+          .select("query_id", "cand_id"))
+    ex0 = (fb.join(tf, "cand_id")
+           .join(qterms, ["query_id", "term"], "left_anti")
+           .groupBy("query_id", "term")
+           .agg(F.sum("tf").alias("w")))
+    w_exp = W.partitionBy("query_id").orderBy(F.desc("w"),
+                                              F.asc("term"))
+    exp = (ex0.withColumn("r", F.row_number().over(w_exp))
+           .where(F.col("r") <= PRF_TERMS)
+           .select("query_id", "term"))
+    qx = qterms.unionByName(exp).distinct()
+    pool2 = bm25_pool_from(tf, dfq, dl, stats, qx)
+    return (pool2.where(F.col("rank") <= TOP_K)
+            .select("query_id", "cand_id",
+                    (F.col("fp_sum") / F.lit(FP)).alias("score"),
+                    "rank"))
+
+
+# --- q188: best-passage extraction (windowed query-term density) ---------------
+#
+# Passage retrieval for a RAG / training-data pipeline: for every
+# (query, candidate) pair sharing at least one query term, the
+# PASS_W-token window of the candidate containing the most query-term
+# hits, then the top-k candidates per query by that density.  One
+# RANGE-frame window over the q182 match stream does the whole sweep:
+# every match position opens a window [pos, pos + PASS_W - 1] and
+# counts the matches inside it — the densest window always starts AT
+# a match position, so scanning window starts at match positions
+# only is exhaustive.  Positions within a doc are distinct, so the
+# RANGE frame is unambiguous and both engines agree exactly (pure
+# integer counts; ties broken by earliest start, then cand_id).
+#
+# Scale shape: the match stream is q182's broadcast-probe join; both
+# windows partition by (query_id, cand_id) — bounded by per-doc match
+# counts, never corpus-sized; the final per-query top-k is the salted
+# two-stage _pool_rank.
+# ------------------------------------------------------------------------------
+PASS_W = 32      # passage width, tokens
+
+
+@query("q188_best_passage", f"""
+WITH t AS (SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '),
+                                      x -> x <> '') AS toks
+           FROM documents),
+p AS (SELECT doc_id, i + 1 AS pos, toks[i + 1] AS term
+      FROM (SELECT doc_id, toks, UNNEST(RANGE(LEN(toks))) AS i FROM t)),
+qt AS (SELECT DISTINCT doc_id AS query_id, term FROM p
+       WHERE doc_id < {N_QUERIES}),
+m AS (SELECT qt.query_id, p.doc_id AS cand_id, p.pos
+      FROM p JOIN qt ON p.term = qt.term AND p.doc_id <> qt.query_id),
+wc AS (SELECT query_id, cand_id, pos,
+              CAST(COUNT(*) OVER (PARTITION BY query_id, cand_id
+                                  ORDER BY pos
+                                  RANGE BETWEEN CURRENT ROW
+                                        AND {PASS_W - 1} FOLLOWING)
+                   AS BIGINT) AS cnt
+       FROM m),
+best AS (SELECT query_id, cand_id, pos, cnt,
+                ROW_NUMBER() OVER (PARTITION BY query_id, cand_id
+                                   ORDER BY cnt DESC, pos) AS rb
+         FROM wc),
+b1 AS (SELECT query_id, cand_id,
+              CAST(pos AS BIGINT) AS passage_start,
+              cnt AS passage_hits
+       FROM best WHERE rb = 1),
+rr AS (SELECT query_id, cand_id, passage_start, passage_hits,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY passage_hits DESC, cand_id)
+                AS rank
+       FROM b1)
+SELECT query_id, cand_id, passage_start, passage_hits, rank
+FROM rr WHERE rank <= {TOP_K}
+""")
+def q188_best_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densest PASS_W-token passage per (query, candidate) + top-k
+    candidates per query by passage density (see block comment):
+    (query_id, cand_id, passage_start, passage_hits, rank ≤ TOP_K)."""
+    d = load_table(spark, sf_dir, "documents")
+    p = token_postings(d)
+    qtermf = (p.where(F.col("doc_id") < N_QUERIES)
+              .select(F.col("doc_id").alias("query_id"), "term")
+              .distinct())
+    m = (p.join(qtermf, "term")
+         .where(F.col("doc_id") != F.col("query_id"))
+         .select("query_id", F.col("doc_id").alias("cand_id"), "pos"))
+    wr = (W.partitionBy("query_id", "cand_id").orderBy("pos")
+          .rangeBetween(W.currentRow, PASS_W - 1))
+    wb = W.partitionBy("query_id", "cand_id").orderBy(F.desc("cnt"),
+                                                      F.asc("pos"))
+    b1 = (m.withColumn("cnt", F.count("*").over(wr))
+          .withColumn("rb", F.row_number().over(wb))
+          .where(F.col("rb") == 1)
+          .select("query_id", "cand_id",
+                  F.col("pos").alias("passage_start"),
+                  F.col("cnt").alias("passage_hits")))
+    ranked = _pool_rank(b1, [F.desc("passage_hits"), F.asc("cand_id")],
+                        TOP_K)
+    return ranked.select("query_id", "cand_id", "passage_start",
+                         "passage_hits", "rank")
