@@ -1537,6 +1537,31 @@ PRF_DOCS = 5     # feedback depth (top docs mined for expansion)
 PRF_TERMS = 10   # expansion terms added per query
 
 
+def prf_expanded_pool(tf: DataFrame, dfq: DataFrame, dl: DataFrame,
+                      stats: DataFrame,
+                      qterms: DataFrame) -> DataFrame:
+    """The PRF loop from explicit corpus frames — (query_id, cand_id,
+    fp_sum, rank ≤ POOL) with the expanded query.  Shared by one-shot
+    q187 and the served read (streaming/bm25gate.py), so parity
+    reduces to the input frames being equal.  ``tf`` must be
+    MATERIALIZED by the caller (multi-consumer: both passes + the
+    expansion mine)."""
+    fb = (bm25_pool_from(tf, dfq, dl, stats, qterms)
+          .where(F.col("rank") <= PRF_DOCS)
+          .select("query_id", "cand_id"))
+    ex0 = (fb.join(tf, "cand_id")
+           .join(qterms, ["query_id", "term"], "left_anti")
+           .groupBy("query_id", "term")
+           .agg(F.sum("tf").alias("w")))
+    w_exp = W.partitionBy("query_id").orderBy(F.desc("w"),
+                                              F.asc("term"))
+    exp = (ex0.withColumn("r", F.row_number().over(w_exp))
+           .where(F.col("r") <= PRF_TERMS)
+           .select("query_id", "term"))
+    qx = qterms.unionByName(exp).distinct()
+    return bm25_pool_from(tf, dfq, dl, stats, qx)
+
+
 @query("q187_prf_expanded_bm25", f"""{SQL_BM25_POOL},
 fb AS (SELECT query_id, cand_id FROM bpool WHERE rank <= {PRF_DOCS}),
 ex0 AS (SELECT f.query_id, tf.term, CAST(SUM(tf.tf) AS BIGINT) AS w
@@ -1587,20 +1612,7 @@ def q187_prf_expanded_bm25(spark: SparkSession,
     tf = tf.localCheckpoint(eager=True)  # multi-consumer postings
     qterms = (tf.where(F.col("cand_id") < N_QUERIES)
               .select(F.col("cand_id").alias("query_id"), "term"))
-    fb = (bm25_pool_from(tf, dfq, dl, stats, qterms)
-          .where(F.col("rank") <= PRF_DOCS)
-          .select("query_id", "cand_id"))
-    ex0 = (fb.join(tf, "cand_id")
-           .join(qterms, ["query_id", "term"], "left_anti")
-           .groupBy("query_id", "term")
-           .agg(F.sum("tf").alias("w")))
-    w_exp = W.partitionBy("query_id").orderBy(F.desc("w"),
-                                              F.asc("term"))
-    exp = (ex0.withColumn("r", F.row_number().over(w_exp))
-           .where(F.col("r") <= PRF_TERMS)
-           .select("query_id", "term"))
-    qx = qterms.unionByName(exp).distinct()
-    pool2 = bm25_pool_from(tf, dfq, dl, stats, qx)
+    pool2 = prf_expanded_pool(tf, dfq, dl, stats, qterms)
     return (pool2.where(F.col("rank") <= TOP_K)
             .select("query_id", "cand_id",
                     (F.col("fp_sum") / F.lit(FP)).alias("score"),
@@ -1627,6 +1639,31 @@ def q187_prf_expanded_bm25(spark: SparkSession,
 # two-stage _pool_rank.
 # ------------------------------------------------------------------------------
 PASS_W = 32      # passage width, tokens
+
+
+def best_passage_from(p: DataFrame, qtermf: DataFrame) -> DataFrame:
+    """q188's scoring core from explicit frames — ``p`` a token-
+    postings frame (doc_id, pos, term), ``qtermf`` a distinct
+    (query_id, term) probe.  Shared by the one-shot plan and the
+    served read (streaming/proxgate.py); parity reduces to the frames
+    being equal (the q182 proximity_from discipline)."""
+    m = (p.join(qtermf, "term")
+         .where(F.col("doc_id") != F.col("query_id"))
+         .select("query_id", F.col("doc_id").alias("cand_id"), "pos"))
+    wr = (W.partitionBy("query_id", "cand_id").orderBy("pos")
+          .rangeBetween(W.currentRow, PASS_W - 1))
+    wb = W.partitionBy("query_id", "cand_id").orderBy(F.desc("cnt"),
+                                                      F.asc("pos"))
+    b1 = (m.withColumn("cnt", F.count("*").over(wr))
+          .withColumn("rb", F.row_number().over(wb))
+          .where(F.col("rb") == 1)
+          .select("query_id", "cand_id",
+                  F.col("pos").alias("passage_start"),
+                  F.col("cnt").alias("passage_hits")))
+    ranked = _pool_rank(b1, [F.desc("passage_hits"), F.asc("cand_id")],
+                        TOP_K)
+    return ranked.select("query_id", "cand_id", "passage_start",
+                         "passage_hits", "rank")
 
 
 @query("q188_best_passage", f"""
@@ -1671,20 +1708,4 @@ def q188_best_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
     qtermf = (p.where(F.col("doc_id") < N_QUERIES)
               .select(F.col("doc_id").alias("query_id"), "term")
               .distinct())
-    m = (p.join(qtermf, "term")
-         .where(F.col("doc_id") != F.col("query_id"))
-         .select("query_id", F.col("doc_id").alias("cand_id"), "pos"))
-    wr = (W.partitionBy("query_id", "cand_id").orderBy("pos")
-          .rangeBetween(W.currentRow, PASS_W - 1))
-    wb = W.partitionBy("query_id", "cand_id").orderBy(F.desc("cnt"),
-                                                      F.asc("pos"))
-    b1 = (m.withColumn("cnt", F.count("*").over(wr))
-          .withColumn("rb", F.row_number().over(wb))
-          .where(F.col("rb") == 1)
-          .select("query_id", "cand_id",
-                  F.col("pos").alias("passage_start"),
-                  F.col("cnt").alias("passage_hits")))
-    ranked = _pool_rank(b1, [F.desc("passage_hits"), F.asc("cand_id")],
-                        TOP_K)
-    return ranked.select("query_id", "cand_id", "passage_start",
-                         "passage_hits", "rank")
+    return best_passage_from(p, qtermf)

@@ -306,3 +306,27 @@ def start_bm25f_stream(stream_docs: DataFrame, state_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def serve_prf_expanded_bm25(spark: SparkSession,
+                            state_dir: str) -> DataFrame:
+    """q187's output served ENTIRELY from the incremental store: both
+    BM25 passes and the expansion mine run over stored postings
+    through the shared ``retrieval.prf_expanded_pool`` core, so
+    parity with one-shot q187 on the corpus ingested so far reduces
+    to the store reproducing the one-shot corpus frames (this gate's
+    SUM-decomposition theorem) — pytest-pinned.  The stored tf is
+    materialized once for the three consumers (both passes + the
+    mine), the q187 localCheckpoint precedent."""
+    from ..operators.retrieval import prf_expanded_pool
+    tf = read_tf(spark, state_dir).localCheckpoint(eager=True)
+    qterms = (tf.where(F.col("cand_id") < N_QUERIES)
+              .select(F.col("cand_id").alias("query_id"), "term"))
+    pool2 = prf_expanded_pool(tf, read_term_df(spark, state_dir),
+                              read_dl(spark, state_dir),
+                              read_corpus_stats(spark, state_dir),
+                              qterms)
+    return (pool2.where(F.col("rank") <= TOP_K)
+            .select("query_id", "cand_id",
+                    (F.col("fp_sum") / F.lit(FP)).alias("score"),
+                    "rank"))

@@ -83,3 +83,15 @@ def start_token_postings_stream(stream_docs: DataFrame, state_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def serve_best_passage(spark: SparkSession, state_dir: str,
+                       qtermf: DataFrame) -> DataFrame:
+    """q188's output for an ARBITRARY (query_id, term) probe frame,
+    served entirely from the token-postings store through the shared
+    ``retrieval.best_passage_from`` core — ad-hoc passage probes
+    against an already-ingested corpus, the serve_term_proximity
+    contract extended to passage extraction."""
+    from ..operators.retrieval import best_passage_from
+    return best_passage_from(read_token_postings(spark, state_dir),
+                             qtermf)

@@ -287,3 +287,41 @@ def test_served_maxscore_gate_and_prune(spark, tmp_path):
         unpruned = _table(serve_bm25_topk(spark, state, prune=False))
         assert pruned == unpruned, name
         assert _table(serve_bm25_topk(spark, state)) == unpruned, name
+
+
+def test_served_prf_equals_q187(spark, tmp_path):
+    """r13: the served PRF read (shared prf_expanded_pool core over
+    the incremental store) equals one-shot q187 per append prefix and
+    verbatim at full corpus."""
+    from oanda_stream_processor_spark.operators.retrieval import (
+        TOP_K,
+        prf_expanded_pool,
+        q187_prf_expanded_bm25,
+    )
+    from oanda_stream_processor_spark.streaming.bm25gate import (
+        serve_prf_expanded_bm25,
+    )
+
+    def one_shot_on(seen):
+        tf, dfq, dl, stats = corpus_term_frames(seen)
+        tf = tf.localCheckpoint(eager=True)
+        qterms = (tf.where(F.col("cand_id") < N_QUERIES)
+                  .select(F.col("cand_id").alias("query_id"), "term"))
+        pool2 = prf_expanded_pool(tf, dfq, dl, stats, qterms)
+        return (pool2.where(F.col("rank") <= TOP_K)
+                .select("query_id", "cand_id",
+                        (F.col("fp_sum") / F.lit(1_000_000.0))
+                        .alias("score"), "rank"))
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    state = str(tmp_path / "state")
+    seen = None
+    for i in range(2):
+        part = d.where(F.col("doc_id") % 2 == i)
+        write_batch_partials(part, state, i)
+        seen = part if seen is None else seen.unionByName(part)
+        got = serve_prf_expanded_bm25(spark, state)
+        assert _table(got) == _table(one_shot_on(seen)), \
+            f"diverged after batch {i}"
+    assert _table(serve_prf_expanded_bm25(spark, state)) == \
+        _table(q187_prf_expanded_bm25(spark, SF_DIR))

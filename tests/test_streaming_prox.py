@@ -85,3 +85,30 @@ def test_served_proximity_adhoc_queries_and_e2e(spark, tmp_path):
     got = _table(serve_term_proximity(spark, state, top2))
     want = _table(_one_shot_on(full, top2))
     assert got == want and len(got) > 0
+
+
+def test_served_best_passage_tracks_appends(spark, tmp_path):
+    """r13: the served passage read (shared best_passage_from core
+    over the token-postings store) equals one-shot q188 per append
+    prefix and verbatim at full corpus."""
+    from oanda_stream_processor_spark.operators.retrieval import (
+        best_passage_from,
+        q188_best_passage,
+    )
+    from oanda_stream_processor_spark.streaming.proxgate import (
+        serve_best_passage,
+    )
+
+    d = load_table(spark, SF_DIR, "documents")
+    qtermf = build_query_term_frame(d)
+    state = str(tmp_path / "state")
+    seen = None
+    for i in range(2):
+        part = d.where(F.col("doc_id") % 2 == i)
+        write_batch_token_postings(part, state, i)
+        seen = part if seen is None else seen.unionByName(part)
+        got = serve_best_passage(spark, state, qtermf)
+        want = best_passage_from(token_postings(seen), qtermf)
+        assert _table(got) == _table(want), f"diverged after batch {i}"
+    assert _table(serve_best_passage(spark, state, qtermf)) == \
+        _table(q188_best_passage(spark, SF_DIR))
