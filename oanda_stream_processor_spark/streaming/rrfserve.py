@@ -156,8 +156,8 @@ def serve_rrf_fusion(spark: SparkSession, state_dir: str,
 
 
 def serve_retrieval_quality(spark: SparkSession, bm25_state: str,
-                            prox_state: str,
-                            phrase_state: str) -> DataFrame:
+                            prox_state: str, phrase_state: str, *,
+                            pool: DataFrame | None = None) -> DataFrame:
     """q185's per-query ranking-quality metrics served ENTIRELY from
     three persisted stores: the system ranking from the incremental
     BM25 store (through the q178-gated serve_bm25_topk), the
@@ -169,7 +169,15 @@ def serve_retrieval_quality(spark: SparkSession, bm25_state: str,
     to the store theorems — and pytest pins it end-to-end.  This is
     the serving loop a production index wants: append documents, then
     read the quality verdict without recomputing anything
-    corpus-global from raw text."""
+    corpus-global from raw text.
+
+    ``pool`` grades an ARBITRARY ranked system frame (query_id,
+    cand_id, rank ≤ TOP_K) against the same stored truth instead of
+    the default gated BM25 read — pass the served PRF read, the
+    proximity-boosted rerank, or a fused list: the quality yardstick
+    is a pure function of (ranking, truth), so one stored truth
+    grades every ranker in the serving stack (pytest: the graded PRF
+    read equals the one-shot metric on one-shot q187)."""
     from ..operators.retrieval import (
         N_QUERIES as NQ,
         quality_metrics_from,
@@ -178,8 +186,9 @@ def serve_retrieval_quality(spark: SparkSession, bm25_state: str,
     from .phrasegate import read_postings, serve_phrase_matches
     from .proxgate import read_token_postings
 
-    pool = (serve_bm25_topk(spark, bm25_state)
-            .select("query_id", "cand_id", "rank"))
+    if pool is None:
+        pool = serve_bm25_topk(spark, bm25_state)
+    pool = pool.select("query_id", "cand_id", "rank")
     psh = read_postings(spark, phrase_state)
     phrases = (psh.where((F.col("pos") == 1) & (F.col("doc_id") < NQ))
                .select(F.col("doc_id").alias("query_id"),

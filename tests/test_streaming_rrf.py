@@ -302,3 +302,59 @@ def test_served_quality_equals_q185(spark, tmp_path):
     assert _table(serve_retrieval_quality(spark, b_state, p_state,
                                           h_state)) == \
         _table(q185_retrieval_quality(spark, SF_DIR))
+
+
+def test_served_quality_grades_arbitrary_rankers(spark, tmp_path):
+    """r13: one stored truth grades every ranker — the served quality
+    read over the served PRF pool equals the one-shot metric computed
+    from one-shot q187 + one-shot truth, and the same for the
+    proximity-boosted rerank (both pools reach TOP_K depth)."""
+    from oanda_stream_processor_spark.operators.retrieval import (
+        q184_proximity_boosted_bm25,
+        q187_prf_expanded_bm25,
+        quality_metrics_from,
+        relevance_truth,
+    )
+    from oanda_stream_processor_spark.streaming.bm25gate import (
+        serve_prf_expanded_bm25,
+    )
+    from oanda_stream_processor_spark.streaming.phrasegate import (
+        write_batch_postings,
+    )
+    from oanda_stream_processor_spark.streaming.proxgate import (
+        build_query_term_frame,
+        write_batch_token_postings,
+    )
+    from oanda_stream_processor_spark.streaming.rrfserve import (
+        serve_proximity_boosted_bm25,
+        serve_retrieval_quality,
+    )
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    b_state = str(tmp_path / "bm25")
+    p_state = str(tmp_path / "prox")
+    h_state = str(tmp_path / "phrase")
+    for i in range(2):
+        part = d.where(F.col("doc_id") % 2 == i)
+        write_batch_partials(part, b_state, i)
+        write_batch_token_postings(part, p_state, i)
+        write_batch_postings(part, h_state, i)
+
+    truth = relevance_truth(spark, SF_DIR)
+    # served PRF pool graded by the served quality read
+    prf_pool = serve_prf_expanded_bm25(spark, b_state)
+    got = serve_retrieval_quality(spark, b_state, p_state, h_state,
+                                  pool=prf_pool)
+    want = quality_metrics_from(
+        q187_prf_expanded_bm25(spark, SF_DIR)
+        .select("query_id", "cand_id", "rank"), truth)
+    assert _table(got) == _table(want)
+    # proximity-boosted rerank graded the same way
+    boosted = serve_proximity_boosted_bm25(
+        spark, b_state, p_state, build_query_term_frame(d))
+    got2 = serve_retrieval_quality(spark, b_state, p_state, h_state,
+                                   pool=boosted)
+    want2 = quality_metrics_from(
+        q184_proximity_boosted_bm25(spark, SF_DIR)
+        .select("query_id", "cand_id", "rank"), truth)
+    assert _table(got2) == _table(want2)

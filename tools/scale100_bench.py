@@ -63,6 +63,24 @@ DEFAULT_SET = [
     "q169_hll_distinct",
     "q170_source_overlap_kmv",
     "q171_leakfree_splits",
+    # unified components + the retrieval family (r12; documents +
+    # static embeddings only)
+    "q174_unified_components",
+    "q175_bm25_topk",
+    "q176_rrf_fusion",
+    "q177_bm25f_topk",
+    "q178_bm25_maxscore_topk",
+    "q179_phrase_match",
+    "q180_training_shards",
+    "q181_phrase_filtered_bm25",
+    "q182_term_proximity",
+    "q183_bm25f_maxscore_topk",
+    "q184_proximity_boosted_bm25",
+    # r13: quality metrics, PRF, passage
+    "q185_retrieval_quality",
+    "q186_retrieval_quality_summary",
+    "q187_prf_expanded_bm25",
+    "q188_best_passage",
 ]
 
 
