@@ -374,3 +374,58 @@ def test_bm25f_maxscore_equals_q177_and_prunes_on_zipfian(spark):
     p2 = sorted(tuple(r) for r in
                 R._pool_rank(scores(full), order, R.TOP_K).collect())
     assert p1 == p2 and len(p1) > 0
+
+
+def test_quality_metrics_hand_computed(spark):
+    """q185's metric arithmetic pinned on a hand-built pool/truth:
+    every output column checked against integer arithmetic done right
+    here in the test (the W_NDCG weights are the shared constants), so
+    a regression in the join/window plumbing cannot hide behind the
+    oracle mirroring the same mistake."""
+    import oanda_stream_processor_spark.operators.retrieval as R
+
+    W1, W2, W3 = R.W_NDCG[0], R.W_NDCG[1], R.W_NDCG[2]
+    # query 1: truth A=3, B=2, C=1; system ranks [B, X, A]
+    pool = spark.createDataFrame(
+        [(1, 20, 1), (1, 99, 2), (1, 10, 3),     # B, X(irrelevant), A
+         (2, 50, 1), (2, 51, 2)],                # query 2: nothing rel
+        "query_id long, cand_id long, rank int")
+    truth = spark.createDataFrame(
+        [(1, 10, 3), (1, 20, 2), (1, 30, 1)],    # C=30 never retrieved
+        "query_id long, cand_id long, rel long")
+    rows = {r.query_id: r for r in
+            R.quality_metrics_from(pool, truth).collect()}
+
+    q1 = rows[1]
+    dcg = 2 * W1 + 3 * W3
+    idcg = 3 * W1 + 2 * W2 + 1 * W3
+    assert q1.n_rel == 3 and q1.hits_k == 2
+    assert q1.first_rel_rank == 1 and q1.mrr_ppm == 1_000_000
+    assert q1.dcg_fp == dcg and q1.idcg_fp == idcg
+    assert q1.ndcg_ppm == (dcg * 1_000_000) // idcg
+    assert q1.recall_ppm == (2 * 1_000_000) // 3
+
+    q2 = rows[2]   # no truth: every metric zero, present in output
+    assert (q2.n_rel, q2.hits_k, q2.first_rel_rank) == (0, 0, 0)
+    assert (q2.dcg_fp, q2.idcg_fp) == (0, 0)
+    assert (q2.ndcg_ppm, q2.mrr_ppm, q2.recall_ppm) == (0, 0, 0)
+
+
+def test_quality_metrics_ideal_ranking_scores_one(spark):
+    """A system that returns the ideal ordering scores ndcg = 1e6
+    exactly, and recall = hits/k when the truth set is deeper than
+    TOP_K (ideal ranking caps IDCG at the k best)."""
+    import oanda_stream_processor_spark.operators.retrieval as R
+
+    n = 25  # truth deeper than TOP_K
+    truth = spark.createDataFrame(
+        [(7, c, 3 - min(2, c // 10)) for c in range(n)],
+        "query_id long, cand_id long, rel long")
+    # ideal order = rel DESC, cand_id ASC = cand_id 0..9 here
+    pool = spark.createDataFrame(
+        [(7, c, c + 1) for c in range(R.TOP_K)],
+        "query_id long, cand_id long, rank int")
+    r = R.quality_metrics_from(pool, truth).collect()[0]
+    assert r.ndcg_ppm == 1_000_000
+    assert r.recall_ppm == (R.TOP_K * 1_000_000) // n
+    assert r.mrr_ppm == 1_000_000 and r.n_rel == n
