@@ -88,3 +88,31 @@ def test_stream_end_to_end(spark, tmp_path):
     q.awaitTermination(120)
     assert _table(serve_shard_assignment(spark, state)) == \
         _table(shard_assignment(d))
+
+
+def test_empty_and_custom_param_batches(spark, tmp_path):
+    """Edge coverage: a batch of only empty-text docs contributes
+    nothing (shard_keys drops empty docs — the q81 convention) and
+    must not corrupt the stores; non-default (n_shards, seed) flow
+    through the gate and reproduce the one-shot assignment."""
+    from oanda_stream_processor_spark.streaming.shardgate import (
+        serve_shard_manifest,
+    )
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    state = str(tmp_path / "state")
+    write_batch_shard_keys(d, state, 0, n_shards=5, seed=777)
+    before = _table(serve_shard_assignment(spark, state, seed=777))
+    # an all-empty batch (doc_ids far outside the corpus)
+    empt = spark.createDataFrame(
+        [(10_000_001, ""), (10_000_002, "   ")],
+        "doc_id long, text string")
+    write_batch_shard_keys(empt, state, 1, n_shards=5, seed=777)
+    after = _table(serve_shard_assignment(spark, state, seed=777))
+    assert after == before
+    assert after == _table(shard_assignment(d, n_shards=5, seed=777))
+    # manifest read tolerates the empty partial too
+    man = {r.shard_id: r for r in
+           serve_shard_manifest(spark, state).collect()}
+    assert set(man) == {r[1] for r in after}  # shard ids present
+    assert sum(r.n_docs for r in man.values()) == len(after)
