@@ -81,9 +81,10 @@ _PARTIAL: dict = {"queries": {}, "errors": {}}
 # floor moved 0.150 -> 0.234 s), and proving that required a manual
 # session re-bench.  Every record now carries the correction
 # mechanically: FLOOR_REF pins the r12 local-record floor, and the
-# emitted sidecar holds (a) the floor-normalized total (value minus
-# one floor per measured query — the BASELINE.md aggregate, no longer
-# hand-computed), (b) the drift-scaled total value*(FLOOR_REF/floor),
+# emitted sidecar holds (a) the floor-normalized total — per-query
+# max(0, t - floor) summed (clamped at zero: a sub-floor timing is
+# measurement noise, not negative work; NOT exactly value - n*floor),
+# (b) the drift-scaled total value*(FLOOR_REF/floor),
 # and (c) a fixed sentinel pair (scan-agg + window-shuffle bound) so
 # movement paragraphs can be read against stable yardsticks.
 FLOOR_REF_SEC = 0.128            # BENCH_LOCAL_r12 floor, the pin
@@ -173,6 +174,10 @@ def run_spark(names: list[str] | None) -> dict[str, float]:
                 else:
                     os.environ["SPARK_GRAFT_EDGE_MEMO"] = prev_memo
         timings[name] = round(min(timings.get(name, dt), dt), 3)
+        # a successful pass supersedes a transient earlier flake —
+        # the emitted record must not list a fully measured query in
+        # both queries and errors (r13 self-review)
+        _PARTIAL["errors"].pop(name, None)
 
     # N_RUNS FULL SUITE PASSES, min per query across passes (see
     # ITERATIVE_FAMILY note above), then one extra pass for the
@@ -199,22 +204,27 @@ def run_duckdb(names: list[str] | None) -> dict[str, float]:
         oracles = {n: oracles[n] for n in names if n in oracles}
     timings: dict[str, float] = {}
     for name, sql in sorted(oracles.items()):
+        # min-of-SUCCESSFUL-passes, the same discipline as the Spark
+        # side (r12 ADVICE applied here too): the try sits INSIDE the
+        # pass loop so a later-pass flake keeps the earlier measured
+        # best instead of erasing it
         best = None
-        try:
-            for _ in range(max(1, N_RUNS)):  # min-of-N, same as Spark side
+        for _ in range(max(1, N_RUNS)):
+            try:
                 t0 = time.perf_counter()
                 con.execute(sql).fetchall()
                 dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-        except Exception as exc:  # noqa: BLE001 - isolate and continue
-            # record ONLY in errors (mirrors the Spark side): a None
-            # in the emitted duckdb_baseline would crash every
-            # consumer that sums/compares timings (r10 ADVICE —
-            # gen_baseline_table.py's sum() and < comparisons)
-            _PARTIAL["errors"][f"duckdb:{name}"] = (
-                f"{type(exc).__name__}: {exc}"[:300])
-            continue
-        timings[name] = round(best, 3)
+            except Exception as exc:  # noqa: BLE001 - isolate, continue
+                _PARTIAL["errors"][f"duckdb:{name}"] = (
+                    f"{type(exc).__name__}: {exc}"[:300])
+                continue
+            best = dt if best is None else min(best, dt)
+        if best is not None:
+            # record ONLY real timings (a None in duckdb_baseline
+            # would crash every consumer that sums/compares — r10
+            # ADVICE); a success also supersedes a transient flake
+            timings[name] = round(best, 3)
+            _PARTIAL["errors"].pop(f"duckdb:{name}", None)
     return timings
 
 

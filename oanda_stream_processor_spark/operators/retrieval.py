@@ -152,15 +152,23 @@ def bm25_pool_from(tf: DataFrame, dfq: DataFrame, dl: DataFrame,
     return _pool_rank(agg, [F.desc("fp_sum"), F.asc("cand_id")], POOL)
 
 
+def query_terms_from(tf: DataFrame) -> DataFrame:
+    """(query_id, term) probe from a postings frame — the ONE spelling
+    of the doc-as-query convention (doc_id < N_QUERIES; tf carries one
+    row per (doc, term), so no distinct needed).  Shared by every BM25
+    plan and every store-served read (r13 self-review: this projection
+    had been copy-pasted at seven call sites)."""
+    return (tf.where(F.col("cand_id") < N_QUERIES)
+            .select(F.col("cand_id").alias("query_id"), "term"))
+
+
 def _bm25_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id, cand_id, fp_sum, rank ≤ POOL) — the BM25 candidate
     pool.  fp_sum is the exact BIGINT sum of 1e-6-snapped per-term
     contributions (see module docstring)."""
     d = load_table(spark, sf_dir, "documents")
     tf, dfq, dl, stats = corpus_term_frames(d)
-    qterms = (tf.where(F.col("cand_id") < N_QUERIES)
-              .select(F.col("cand_id").alias("query_id"), "term"))
-    return bm25_pool_from(tf, dfq, dl, stats, qterms)
+    return bm25_pool_from(tf, dfq, dl, stats, query_terms_from(tf))
 
 
 SQL_BM25_POOL = f"""
@@ -618,9 +626,16 @@ def _spread_decision(doc_ids, term_sets, mod: int) -> bool:
     """The rare+common coexistence test over an in-hand sample —
     ``doc_ids`` a pandas Series, ``term_sets`` an aligned Series of
     per-doc distinct-term sets.  Shared by the text gate above and the
-    postings gate below so both read the SAME statistic (a stored
-    corpus must route exactly like its one-shot twin)."""
-    is_s = doc_ids % mod == 0
+    postings gate below so both read the SAME statistic.  Empty term
+    sets are excluded from n_s (r13 self-review): df proportions are
+    "share of documents that CAN carry a term", and a postings store
+    physically cannot see postings-free docs — counting them only on
+    the text side would skew the two gates apart.  Routing parity is
+    therefore exact on empty-free corpora (the pytest pin) and
+    approximate when empties shift the adaptive MOD; results are
+    exact on either branch regardless."""
+    nonempty = term_sets.map(bool)
+    is_s = (doc_ids % mod == 0) & nonempty
     n_s = int(is_s.sum())
     df_s: dict = {}
     for ts in term_sets[is_s]:
@@ -641,9 +656,13 @@ def maxscore_gate_from_postings(tf: DataFrame, dl: DataFrame) -> bool:
     one-row-per-doc ``dl`` store (no postings read), then the sampled
     docs' (cand_id, term) rows — already tokenized, so the sample read
     is cheaper than the text gate's — through ONE Arrow task into the
-    SHARED ``_spread_decision``.  Routing therefore matches the
-    one-shot gate on the same corpus exactly (pytest-pinned), and
-    either branch downstream is exact."""
+    SHARED ``_spread_decision``.  Routing matches the one-shot gate
+    exactly on corpora without empty documents (the pytest pin); with
+    empties the store cannot see postings-free docs, so n_docs (and
+    hence the adaptive MOD / sample membership) may differ from the
+    text side — the decision statistic itself already excludes
+    empties on both sides (see _spread_decision), and either branch
+    downstream is exact regardless of routing."""
     n_docs = dl.count()
     if n_docs == 0:
         return False
@@ -808,8 +827,7 @@ def q178_bm25_maxscore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return q175_bm25_topk(spark, sf_dir)
     tf, dfq, dl, stats = corpus_term_frames(d)
     tf = tf.localCheckpoint(eager=True)  # multi-consumer postings index
-    qterms = (tf.where(F.col("cand_id") < N_QUERIES)
-              .select(F.col("cand_id").alias("query_id"), "term"))
+    qterms = query_terms_from(tf)
     cands, full_scores = maxscore_candidates(tf, dfq, dl, stats, qterms)
     pool = _pool_rank(full_scores(cands),
                       [F.desc("fp_sum"), F.asc("cand_id")], POOL)
@@ -961,8 +979,7 @@ def q181_phrase_filtered_bm25(spark: SparkSession,
     the query's leading trigram."""
     d = load_table(spark, sf_dir, "documents")
     tf, dfq, dl, stats = corpus_term_frames(d)
-    qterms = (tf.where(F.col("cand_id") < N_QUERIES)
-              .select(F.col("cand_id").alias("query_id"), "term"))
+    qterms = query_terms_from(tf)
     cands = (q179_phrase_match(spark, sf_dir)
              .select("query_id", "cand_id"))
     scores = bm25_full_scores(cands, tf, dfq, dl, stats, qterms)
@@ -1364,7 +1381,8 @@ perq AS (
                     - (COALESCE(s.hits_k, 0) * {NDCG_SCALE})
                       % n.n_rel) / n.n_rel END AS BIGINT)
            AS recall_ppm
-  FROM (SELECT DISTINCT query_id FROM topk) b
+  FROM (SELECT DISTINCT cand_id AS query_id FROM tf
+        WHERE cand_id < {N_QUERIES}) b
   LEFT JOIN sysm s USING (query_id)
   LEFT JOIN nrel n USING (query_id)
   LEFT JOIN idcg i USING (query_id))
@@ -1406,12 +1424,30 @@ def relevance_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 q179_phrase_match(spark, sf_dir))
 
 
-def quality_metrics_from(pool: DataFrame,
-                         truth: DataFrame) -> DataFrame:
+def query_doc_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id) — every non-empty query document (doc_id < N_QUERIES
+    with ≥ 1 token): the metric DENOMINATOR base.  Deriving the base
+    from the pool instead would let a query whose retrieval returns
+    NOTHING silently drop out of the q186 macro average — a retrieval
+    regression would then RAISE the shipped verdict metric (r13
+    self-review).  Mirrors the oracle's `SELECT DISTINCT cand_id FROM
+    tf WHERE cand_id < N_QUERIES` (postings exist iff ≥ 1 token)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    return (d.where(F.col("doc_id") < N_QUERIES)
+            .where(F.size(toks) > 0)
+            .select(F.col("doc_id").alias("query_id")))
+
+
+def quality_metrics_from(pool: DataFrame, truth: DataFrame,
+                         base: DataFrame | None = None) -> DataFrame:
     """The metric arithmetic from explicit frames — ``pool`` a ranked
     system frame (query_id, cand_id, rank ≤ TOP_K), ``truth`` a graded
-    relevance frame (query_id, cand_id, rel).  Shared by one-shot
-    q185 and the served quality read (streaming/rrfserve.py)."""
+    relevance frame (query_id, cand_id, rel), ``base`` the (query_id)
+    denominator frame (defaults to the pool's own query set; pass the
+    full query-doc base so zero-result queries still emit all-zero
+    rows instead of vanishing).  Shared by one-shot q185 and the
+    served quality read (streaming/rrfserve.py)."""
     from .helpers import exact_tdiv
     warr = F.array(*[F.lit(w) for w in W_NDCG])
     # matched system rows only: unmatched ranks contribute 0 to every
@@ -1433,7 +1469,9 @@ def quality_metrics_from(pool: DataFrame,
                      * F.element_at(warr, F.col("rank").cast("int")))
                     .alias("w"))
             .groupBy("query_id").agg(F.sum("w").alias("idcg_fp")))
-    base = pool.select("query_id").distinct()
+    if base is None:
+        base = pool.select("query_id").distinct()
+    base = base.select("query_id").distinct()
     j = (base.join(sysm, "query_id", "left")
          .join(nrel, "query_id", "left")
          .join(idcg, "query_id", "left"))
@@ -1472,7 +1510,8 @@ def q185_retrieval_quality(spark: SparkSession,
     all exact integers (see block comment)."""
     pool = q175_bm25_topk(spark, sf_dir).select("query_id", "cand_id",
                                                 "rank")
-    return quality_metrics_from(pool, relevance_truth(spark, sf_dir))
+    return quality_metrics_from(pool, relevance_truth(spark, sf_dir),
+                                base=query_doc_base(spark, sf_dir))
 
 
 QUERIES["q185_retrieval_quality"] = q185_retrieval_quality
@@ -1610,8 +1649,7 @@ def q187_prf_expanded_bm25(spark: SparkSession,
     d = load_table(spark, sf_dir, "documents")
     tf, dfq, dl, stats = corpus_term_frames(d)
     tf = tf.localCheckpoint(eager=True)  # multi-consumer postings
-    qterms = (tf.where(F.col("cand_id") < N_QUERIES)
-              .select(F.col("cand_id").alias("query_id"), "term"))
+    qterms = query_terms_from(tf)
     pool2 = prf_expanded_pool(tf, dfq, dl, stats, qterms)
     return (pool2.where(F.col("rank") <= TOP_K)
             .select("query_id", "cand_id",

@@ -86,6 +86,7 @@ from ..operators.retrieval import (
     TOP_K,
     bm25_pool_from,
     corpus_term_frames,
+    query_terms_from,
 )
 
 
@@ -146,8 +147,7 @@ def serve_bm25_pool(spark: SparkSession, state_dir: str) -> DataFrame:
     contributions, hence row-for-row equal to one-shot q175 on the
     corpus ingested so far (pytest-proven for every append prefix)."""
     tf = read_tf(spark, state_dir)
-    qterms = (tf.where(F.col("cand_id") < N_QUERIES)
-              .select(F.col("cand_id").alias("query_id"), "term"))
+    qterms = query_terms_from(tf)
     return bm25_pool_from(tf, read_term_df(spark, state_dir),
                           read_dl(spark, state_dir),
                           read_corpus_stats(spark, state_dir), qterms)
@@ -184,8 +184,7 @@ def serve_bm25_topk(spark: SparkSession, state_dir: str, *,
                         "rank"))
     # pruned read — q178's machinery over the stored frames
     tf = read_tf(spark, state_dir).localCheckpoint(eager=True)
-    qterms = (tf.where(F.col("cand_id") < N_QUERIES)
-              .select(F.col("cand_id").alias("query_id"), "term"))
+    qterms = query_terms_from(tf)
     cands, full_scores = maxscore_candidates(
         tf, read_term_df(spark, state_dir), read_dl(spark, state_dir),
         read_corpus_stats(spark, state_dir), qterms)
@@ -320,8 +319,7 @@ def serve_prf_expanded_bm25(spark: SparkSession,
     mine), the q187 localCheckpoint precedent."""
     from ..operators.retrieval import prf_expanded_pool
     tf = read_tf(spark, state_dir).localCheckpoint(eager=True)
-    qterms = (tf.where(F.col("cand_id") < N_QUERIES)
-              .select(F.col("cand_id").alias("query_id"), "term"))
+    qterms = query_terms_from(tf)
     pool2 = prf_expanded_pool(tf, read_term_df(spark, state_dir),
                               read_dl(spark, state_dir),
                               read_corpus_stats(spark, state_dir),

@@ -55,6 +55,7 @@ from ..operators.retrieval import (
     _cosine_pool,
     _pool_rank,
     bm25_full_scores,
+    query_terms_from,
     rrf_fuse,
 )
 from .annsearch import batch_topk_against_index
@@ -108,8 +109,7 @@ def serve_phrase_filtered_bm25(spark: SparkSession, bm25_state: str,
     cands = (serve_phrase_matches(spark, phrase_state, phrases)
              .select("query_id", "cand_id"))
     tf = read_tf(spark, bm25_state)
-    qterms = (tf.where(F.col("cand_id") < N_QUERIES)
-              .select(F.col("cand_id").alias("query_id"), "term"))
+    qterms = query_terms_from(tf)
     scores = bm25_full_scores(cands, tf, read_term_df(spark, bm25_state),
                               read_dl(spark, bm25_state),
                               read_corpus_stats(spark, bm25_state),
@@ -189,6 +189,13 @@ def serve_retrieval_quality(spark: SparkSession, bm25_state: str,
     if pool is None:
         pool = serve_bm25_topk(spark, bm25_state)
     pool = pool.select("query_id", "cand_id", "rank")
+    # denominator base = every non-empty query doc from the dl store
+    # (one row per ingested doc with >= 1 token) — a zero-result query
+    # must emit all-zero metric rows, not vanish from the macro
+    # average (mirrors retrieval.query_doc_base)
+    base = (read_dl(spark, bm25_state)
+            .where(F.col("cand_id") < NQ)
+            .select(F.col("cand_id").alias("query_id")))
     psh = read_postings(spark, phrase_state)
     phrases = (psh.where((F.col("pos") == 1) & (F.col("doc_id") < NQ))
                .select(F.col("doc_id").alias("query_id"),
@@ -197,4 +204,4 @@ def serve_retrieval_quality(spark: SparkSession, bm25_state: str,
            .select("query_id", "cand_id"))
     truth = relevance_truth_from(read_token_postings(spark, prox_state),
                                  phr)
-    return quality_metrics_from(pool, truth)
+    return quality_metrics_from(pool, truth, base=base)

@@ -52,3 +52,18 @@ def test_bounded_global_windows_pass(spark):
                            F.row_number().over(W.orderBy("doc_id"))))
     flagged, ok = unbounded_global_windows(bad_agg)
     assert flagged and not ok
+
+
+def test_generate_breaks_boundedness(spark):
+    """explode over a bounded aggregate is corpus-sized again — the
+    walker must NOT let Generate inherit its child's bound (r13
+    self-review finding)."""
+    unbounded_global_windows = _walkers()
+    d = load_table(spark, SF_DIR, "documents")
+    exploded = (d.groupBy("lang").agg(F.collect_list("doc_id")
+                                      .alias("ids"))
+                .select("lang", F.explode("ids").alias("doc_id"))
+                .withColumn("rn",
+                            F.row_number().over(W.orderBy("doc_id"))))
+    flagged, ok = unbounded_global_windows(exploded)
+    assert flagged and not ok

@@ -429,3 +429,30 @@ def test_quality_metrics_ideal_ranking_scores_one(spark):
     assert r.ndcg_ppm == 1_000_000
     assert r.recall_ppm == (R.TOP_K * 1_000_000) // n
     assert r.mrr_ppm == 1_000_000 and r.n_rel == n
+
+
+def test_quality_metrics_zero_result_query_stays(spark):
+    """The base-frame contract (r13 self-review): a query whose
+    retrieval returns NOTHING still emits a metric row — all zeros
+    when it also has no truth, and zero ndcg/mrr/recall with its real
+    n_rel/idcg when truth exists — instead of silently dropping out
+    of the q186 macro-average denominator."""
+    import oanda_stream_processor_spark.operators.retrieval as R
+
+    pool = spark.createDataFrame([(1, 10, 1)],
+                                 "query_id long, cand_id long, rank int")
+    truth = spark.createDataFrame([(2, 20, 3)],
+                                  "query_id long, cand_id long, rel long")
+    base = spark.createDataFrame([(1,), (2,), (3,)], "query_id long")
+    rows = {r.query_id: r for r in
+            R.quality_metrics_from(pool, truth, base=base).collect()}
+    assert set(rows) == {1, 2, 3}
+    # query 2 retrieved nothing but HAS truth: metrics zero, truth real
+    q2 = rows[2]
+    assert q2.n_rel == 1 and q2.idcg_fp == 3 * R.W_NDCG[0]
+    assert (q2.hits_k, q2.ndcg_ppm, q2.mrr_ppm, q2.recall_ppm) \
+        == (0, 0, 0, 0)
+    # query 3 has neither pool nor truth: the all-zero row
+    q3 = rows[3]
+    assert (q3.n_rel, q3.hits_k, q3.dcg_fp, q3.idcg_fp,
+            q3.ndcg_ppm, q3.mrr_ppm, q3.recall_ppm) == (0,) * 7

@@ -283,7 +283,9 @@ def test_served_quality_equals_q185(spark, tmp_path):
                .select("query_id", F.col("doc_id").alias("cand_id"))
                .distinct())
         truth = relevance_truth_from(token_postings(seen), phr)
-        return quality_metrics_from(pool, truth)
+        base = (tf.where(F.col("cand_id") < N_QUERIES)
+                .select(F.col("cand_id").alias("query_id")).distinct())
+        return quality_metrics_from(pool, truth, base=base)
 
     d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
     b_state = str(tmp_path / "bm25")
@@ -340,14 +342,18 @@ def test_served_quality_grades_arbitrary_rankers(spark, tmp_path):
         write_batch_token_postings(part, p_state, i)
         write_batch_postings(part, h_state, i)
 
+    from oanda_stream_processor_spark.operators.retrieval import (
+        query_doc_base,
+    )
     truth = relevance_truth(spark, SF_DIR)
+    qbase = query_doc_base(spark, SF_DIR)
     # served PRF pool graded by the served quality read
     prf_pool = serve_prf_expanded_bm25(spark, b_state)
     got = serve_retrieval_quality(spark, b_state, p_state, h_state,
                                   pool=prf_pool)
     want = quality_metrics_from(
         q187_prf_expanded_bm25(spark, SF_DIR)
-        .select("query_id", "cand_id", "rank"), truth)
+        .select("query_id", "cand_id", "rank"), truth, base=qbase)
     assert _table(got) == _table(want)
     # proximity-boosted rerank graded the same way
     boosted = serve_proximity_boosted_bm25(
@@ -356,5 +362,5 @@ def test_served_quality_grades_arbitrary_rankers(spark, tmp_path):
                                    pool=boosted)
     want2 = quality_metrics_from(
         q184_proximity_boosted_bm25(spark, SF_DIR)
-        .select("query_id", "cand_id", "rank"), truth)
+        .select("query_id", "cand_id", "rank"), truth, base=qbase)
     assert _table(got2) == _table(want2)

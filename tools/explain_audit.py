@@ -73,12 +73,17 @@ def _bound_of(node):
     cardinality key (a global aggregate = one row; lang/source/field/
     pct/bucket keys = fixed domains); an Aggregate on an unbounded key
     is bounded only if its INPUT already is; a Join/Union is bounded
-    iff every side is.  Leaves (scans, streaming sources) are
-    unbounded."""
+    iff every side is; a Generate (explode) is UNBOUNDED regardless of
+    its child — exploding a collected list over bounded groups can be
+    corpus-sized (r13 self-review) — while Expand multiplies rows by a
+    constant grouping-set count and inherits its child.  Leaves
+    (scans, streaming sources) are unbounded."""
     import re
     name = node.nodeName()
     if "Limit" in name:
         return name
+    if name == "Generate":
+        return None
     if name == "Aggregate":
         ge = node.groupingExpressions()
         keys = [ge.apply(i).sql() for i in range(ge.size())]
@@ -105,12 +110,12 @@ def _bound_of(node):
 
 
 def unbounded_global_windows(df):
-    """[(window spec, child node)] for every UNPARTITIONED Window in
-    the optimized logical plan whose input is not structurally
-    bounded — plus [(spec, bound)] for the bounded ones, so the audit
-    can enumerate each global window WITH its named bound (r12 verdict
-    ask #4: a corpus-sized global window must fail loudly, not warn in
-    a log nobody reads)."""
+    """(bad, ok): ``bad`` is a list of child-node-name strings, one per
+    UNPARTITIONED Window whose input is not structurally bounded;
+    ``ok`` is a list of bound-description strings for the bounded
+    ones, so the audit can enumerate each global window WITH its named
+    bound (r12 verdict ask #4: a corpus-sized global window must fail
+    loudly, not warn in a log nobody reads)."""
     bad, ok = [], []
     stack = [df._jdf.queryExecution().optimizedPlan()]
     while stack:
