@@ -188,7 +188,14 @@ def serve_retrieval_quality(spark: SparkSession, bm25_state: str,
 
     if pool is None:
         pool = serve_bm25_topk(spark, bm25_state)
-    pool = pool.select("query_id", "cand_id", "rank")
+    # the metric arithmetic indexes element_at(W_NDCG, rank): a row
+    # with rank > TOP_K would read a NULL weight — contributing 0 to
+    # DCG while still counting in hits_k/first_rel_rank, an internally
+    # inconsistent grade (r13 ADVICE).  Enforce the precondition here
+    # instead of trusting the docstring: deeper pools are graded on
+    # their top TOP_K, which is what "@k" means.
+    pool = (pool.select("query_id", "cand_id", "rank")
+            .where(F.col("rank") <= TOP_K))
     # denominator base = every non-empty query doc from the dl store
     # (one row per ingested doc with >= 1 token) — a zero-result query
     # must emit all-zero metric rows, not vanish from the macro

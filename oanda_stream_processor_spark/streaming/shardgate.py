@@ -78,9 +78,9 @@ from ..operators.curation import (
 )
 from ..operators.helpers import exact_tdiv
 
-__all__ = ["read_shard_keys", "serve_shard_assignment",
-           "serve_shard_manifest", "start_shard_stream",
-           "write_batch_shard_keys"]
+__all__ = ["read_shard_keys", "read_shard_meta",
+           "serve_shard_assignment", "serve_shard_manifest",
+           "start_shard_stream", "write_batch_shard_keys"]
 
 
 def write_batch_shard_keys(docs: DataFrame, state_dir: str,
@@ -92,6 +92,16 @@ def write_batch_shard_keys(docs: DataFrame, state_dir: str,
     projection — cache it so the batch's text pass runs once."""
     k = shard_keys(docs, n_shards=n_shards, seed=seed).cache()
     try:
+        # one-row (seed, n_shards) meta: the stored pk/shard_id rows
+        # are a pure function of these two knobs, and serving with a
+        # DIFFERENT seed would silently recompute ok != stored pk at
+        # epoch 0 (r13 ADVICE) — persist them so the read side can
+        # default to (and validate against) what was actually written
+        spk = docs.sparkSession
+        (spk.createDataFrame([(int(seed), int(n_shards))],
+                             "seed long, n_shards long")
+         .coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(state_dir, "meta")))
         k.write.mode("overwrite").parquet(
             os.path.join(state_dir, "keys", f"batch_id={batch_id}"))
         counts = (k.groupBy("shard_id")
@@ -116,14 +126,35 @@ def read_shard_keys(spark: SparkSession, state_dir: str) -> DataFrame:
             .select("doc_id", "n_tokens", "pk", "shard_id"))
 
 
+def read_shard_meta(spark: SparkSession, state_dir: str) -> tuple[int, int]:
+    """(seed, n_shards) the key store was written with."""
+    row = (spark.read.parquet(os.path.join(state_dir, "meta"))
+           .select("seed", "n_shards").first())
+    return int(row.seed), int(row.n_shards)
+
+
 def serve_shard_assignment(spark: SparkSession, state_dir: str, *,
-                           seed: int = SHARD_SEED,
+                           seed: int | None = None,
                            epoch: int = 0) -> DataFrame:
     """q180's output shape (doc_id, shard_id, seq, pack_id, n_tokens)
     served from the persisted key store — the shared
     ``assignment_from_keys`` window half over the merged keys, so the
     read equals one-shot q180 on the corpus ingested so far for ANY
-    epoch (pytest-proven per append prefix).  Never re-reads text."""
+    epoch (pytest-proven per append prefix).  Never re-reads text.
+
+    ``seed`` defaults to the seed recorded in the store's ``meta`` at
+    write time; passing a DIFFERENT seed raises instead of silently
+    re-keying epochs against a pk/shard layout that was computed under
+    the written seed (r13 ADVICE — the mismatch used to return an
+    order inconsistent with the persisted shard_id with no error)."""
+    stored_seed, _ = read_shard_meta(spark, state_dir)
+    if seed is None:
+        seed = stored_seed
+    elif seed != stored_seed:
+        raise ValueError(
+            f"shard key store at {state_dir} was written with "
+            f"seed={stored_seed}; serving with seed={seed} would be "
+            f"inconsistent with the persisted pk/shard_id layout")
     return assignment_from_keys(read_shard_keys(spark, state_dir),
                                 seed=seed, epoch=epoch)
 

@@ -288,6 +288,33 @@ def test_served_maxscore_gate_and_prune(spark, tmp_path):
         assert pruned == unpruned, name
         assert _table(serve_bm25_topk(spark, state)) == unpruned, name
 
+    # empty-doc corpus (r13 ADVICE): the text gate derives its
+    # adaptive MOD from ALL documents (a metadata count) while the
+    # postings gate can only count docs carrying >= 1 token, so with
+    # empty-text docs the two sides may pick different MODs, sample
+    # different doc sets, and ROUTE differently — the ACCEPTED
+    # divergence (_spread_decision itself excludes empties from the
+    # statistic on both sides, so only the MOD-induced sample shift
+    # can split them).  What must hold regardless of routing — and
+    # what this pins — is that BOTH branches stay exact.  4800 docs
+    # with a third empty puts the two counts on opposite sides of a
+    # MOD boundary (4800 // 2048 = 2 vs 3200 // 2048 = 1), the exact
+    # condition under which the divergence can manifest.
+    mixed = spark.createDataFrame(
+        [(i, "" if i % 3 == 2
+          else f"{common} rare{i % 25}a rare{i % 25}b")
+         for i in range(4800)], "doc_id long, text string")
+    state = str(tmp_path / "mixed")
+    write_batch_partials(mixed.where(F.col("doc_id") % 2 == 0), state, 0)
+    write_batch_partials(mixed.where(F.col("doc_id") % 2 == 1), state, 1)
+    g_store = maxscore_gate_from_postings(
+        read_tf(spark, state), read_dl(spark, state))
+    g_text = maxscore_gate_is_prunable(mixed)
+    assert isinstance(g_store, bool) and isinstance(g_text, bool)
+    pruned = _table(serve_bm25_topk(spark, state, prune=True))
+    unpruned = _table(serve_bm25_topk(spark, state, prune=False))
+    assert pruned == unpruned, "empty-doc corpus: branches diverged"
+
 
 def test_served_prf_equals_q187(spark, tmp_path):
     """r13: the served PRF read (shared prf_expanded_pool core over

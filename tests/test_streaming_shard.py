@@ -116,3 +116,16 @@ def test_empty_and_custom_param_batches(spark, tmp_path):
            serve_shard_manifest(spark, state).collect()}
     assert set(man) == {r[1] for r in after}  # shard ids present
     assert sum(r.n_docs for r in man.values()) == len(after)
+
+    # (seed, n_shards) meta (r13 ADVICE): the serve defaults to the
+    # seed the store was WRITTEN with, and an explicit mismatched seed
+    # raises instead of silently re-keying against a layout computed
+    # under a different seed
+    from oanda_stream_processor_spark.streaming.shardgate import (
+        read_shard_meta,
+    )
+    assert read_shard_meta(spark, state) == (777, 5)
+    assert _table(serve_shard_assignment(spark, state)) == after
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="seed=777"):
+        serve_shard_assignment(spark, state, seed=12345)
