@@ -172,10 +172,15 @@ def run_spark(names: list[str] | None) -> dict[str, float]:
         # bypass the (app, sf_dir) memo for its runs so min-of-N
         # doesn't report the cache-hit path (r11 ADVICE).  q174 keeps
         # the memoized reuse by design — ledgered in BASELINE.md.
-        memo_off = name == "q167_winnow_components"
-        prev_memo = os.environ.get("SPARK_GRAFT_EDGE_MEMO")
-        if memo_off:
-            os.environ["SPARK_GRAFT_EDGE_MEMO"] = "0"
+        # q185/q186 follow the same split (r14): q185's number is the
+        # TRUE 3-pass grading-pipeline cost (quality memo bypassed);
+        # q186's number is the memoized aggregate read by design.
+        memo_env = {"q167_winnow_components": "SPARK_GRAFT_EDGE_MEMO",
+                    "q185_retrieval_quality": "SPARK_GRAFT_QUALITY_MEMO"
+                    }.get(name)
+        prev_memo = os.environ.get(memo_env) if memo_env else None
+        if memo_env:
+            os.environ[memo_env] = "0"
         try:
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -187,11 +192,11 @@ def run_spark(names: list[str] | None) -> dict[str, float]:
             _PARTIAL["errors"][name] = f"{type(exc).__name__}: {exc}"[:300]
             return
         finally:
-            if memo_off:
+            if memo_env:
                 if prev_memo is None:
-                    os.environ.pop("SPARK_GRAFT_EDGE_MEMO", None)
+                    os.environ.pop(memo_env, None)
                 else:
-                    os.environ["SPARK_GRAFT_EDGE_MEMO"] = prev_memo
+                    os.environ[memo_env] = prev_memo
         _PARTIAL["passes"].setdefault(name, []).append(round(dt, 3))
         timings[name] = round(min(timings.get(name, dt), dt), 3)
         # a successful pass supersedes a transient earlier flake —

@@ -1502,16 +1502,49 @@ def quality_metrics_from(pool: DataFrame, truth: DataFrame,
         recall.cast("bigint").alias("recall_ppm"))
 
 
+_QUALITY_MEMO: dict = {}
+
+
+def graded_quality_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q185's per-query metric frame — the suite's most expensive
+    pipeline (3 corpus passes: BM25 pool + proximity/coverage truth +
+    phrase truth), shared by q185 (returns it) and q186 (aggregates
+    it).  Memoized per (applicationId, sf_dir) — the
+    winnow_verified_star_edges precedent (r13 verdict, What's-wrong
+    #1: composition-by-call paid the pipeline once per caller, 6.7%
+    of suite wall-time for two N_QUERIES-row frames).  The memoized
+    frame is eagerly localCheckpointed (N_QUERIES rows — trivial to
+    hold) so the second consumer reads materialized rows instead of
+    re-deriving three corpus passes.  SPARK_GRAFT_QUALITY_MEMO=0
+    bypasses the cache entirely (no read, no write): bench.py sets it
+    around q185's own runs so every benched q185 sample measures the
+    TRUE pipeline cost under min-of-N in one app; q186's bench entry
+    reuses the frame by design — BASELINE.md ledgers that (the
+    q167/q174 edge-memo split, applied verbatim)."""
+    import os
+    use_memo = os.environ.get("SPARK_GRAFT_QUALITY_MEMO", "1") != "0"
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if use_memo:
+        hit = _QUALITY_MEMO.get(key)
+        if hit is not None:
+            return hit
+    pool = q175_bm25_topk(spark, sf_dir).select("query_id", "cand_id",
+                                                "rank")
+    out = quality_metrics_from(pool, relevance_truth(spark, sf_dir),
+                               base=query_doc_base(spark, sf_dir))
+    if use_memo:
+        out = out.localCheckpoint(eager=True)
+        _QUALITY_MEMO[key] = out
+    return out
+
+
 def q185_retrieval_quality(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
     """Per-query ranking-quality metrics for q175 against the graded
     phrase/proximity truth set: (query_id, n_rel, hits_k,
     first_rel_rank, dcg_fp, idcg_fp, ndcg_ppm, mrr_ppm, recall_ppm) —
     all exact integers (see block comment)."""
-    pool = q175_bm25_topk(spark, sf_dir).select("query_id", "cand_id",
-                                                "rank")
-    return quality_metrics_from(pool, relevance_truth(spark, sf_dir),
-                                base=query_doc_base(spark, sf_dir))
+    return graded_quality_frame(spark, sf_dir)
 
 
 QUERIES["q185_retrieval_quality"] = q185_retrieval_quality
@@ -1523,9 +1556,11 @@ def q186_retrieval_quality_summary(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
     """Macro-averaged (floor-ppm) nDCG/MRR/recall over q185's
     per-query rows — the one-line verdict an index change is judged
-    by.  A global aggregate of an N_QUERIES-bounded frame."""
+    by.  A global aggregate of an N_QUERIES-bounded frame, read from
+    the shared (memoized) graded frame instead of rebuilding the
+    3-pass grading pipeline per caller."""
     from .helpers import exact_tdiv
-    q = q185_retrieval_quality(spark, sf_dir)
+    q = graded_quality_frame(spark, sf_dir)
     agg = q.agg(F.count("*").alias("n_queries"),
                 F.sum("ndcg_ppm").alias("s_ndcg"),
                 F.sum("mrr_ppm").alias("s_mrr"),

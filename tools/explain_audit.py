@@ -155,8 +155,16 @@ def hinted_unbounded_broadcasts(df):
 
 
 def main() -> int:
+    import os
+
     from oanda_stream_processor_spark.operators import relational, scalar
     from oanda_stream_processor_spark.session import get_spark
+
+    # the q185/q186 graded-frame memo returns an eagerly-checkpointed
+    # frame whose plan is a bare RDD scan — the audit must walk the
+    # REAL grading pipeline (its windows/joins), so bypass the memo
+    # for the whole audit process (r14; the bench.py q185 precedent)
+    os.environ["SPARK_GRAFT_QUALITY_MEMO"] = "0"
 
     spark = get_spark(app_name="explain_audit")
     failures = []
