@@ -65,6 +65,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return out
 
 
+# Registry entries whose CONSTRUCTION runs Spark jobs — i.e. calling
+# queries()[name](spark, sf) is NOT purely lazy (r13 verdict, Next-round
+# #6: a harness that builds-but-defers all frames must not be surprised
+# by hidden jobs).  Four causes, all deliberate:
+#   * plan-gate probes: a bounded (~2k-doc) sampled statistic picks the
+#     physical plan before the frame exists (q178/q183/q189 MaxScore
+#     spread gate; q98/q136/q142/q166 calibration reads);
+#   * eager localCheckpoints: multi-consumer frames (postings indexes,
+#     star edges, ANN codebooks) materialize once at build (q42/q44/
+#     q55-family, q87/q95, ANN q56/q88/q92/q128/q147/q148/q156, q187);
+#   * driver-side iterative loops: star contraction / power iteration /
+#     BPE merges run their rounds at build time (q55/q90/q146/q151/
+#     q155/q158/q160/q161/q167/q174, q159, q99, q135/q139/q152);
+#   * build-once memos: q185 materializes the shared graded frame on
+#     FIRST build per (app, sf_dir) (q186 is then lazy); q127/q159/
+#     q168 build eagerly on first touch of their memoized inputs and
+#     keep some eager work of their own past the memo.
+# The set is the FIRST-build profile in registry-sorted order — the
+# production profile of a process that builds the whole registry;
+# tests/test_eager_registry.py sweeps exactly that and pins this set.
+EAGER_BUILD_QUERIES = frozenset({
+    "q127_hard_negatives", "q128_ann_pq", "q135_temporal_split",
+    "q136_bloom_prefilter", "q139_semantic_dedup",
+    "q142_minhash_calibration", "q146_graph_triangles",
+    "q147_ann_ivf_pq", "q148_ann_ivf_multiprobe", "q150_winnow_matches",
+    "q151_pca_power", "q152_dsir_importance", "q155_bpe_merges",
+    "q156_ann_recall_curve", "q158_bpe_encode", "q159_split_leakage",
+    "q160_incremental_components", "q161_component_merge_events",
+    "q166_dedup_threshold_curve", "q167_winnow_components",
+    "q168_winnow_canonical", "q172_histogram_quantiles",
+    "q173_hist_mad_outliers", "q174_unified_components",
+    "q178_bm25_maxscore_topk", "q183_bm25f_maxscore_topk",
+    "q185_retrieval_quality", "q187_prf_expanded_bm25",
+    "q42_lsh_candidates", "q44_jaccard_pairs", "q55_dedup_components",
+    "q56_ann_ivf", "q57_lsh_verified_pairs", "q87_jaccard_dfcut",
+    "q88_ann_sq", "q90_pagerank", "q92_ann_ivf_sq", "q95_simhash_pairs",
+    "q98_skipping_effectiveness", "q99_curation_pipeline",
+})
+
+
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for m in _MODULES:
