@@ -729,25 +729,18 @@ def bm25_full_scores(cands: DataFrame, tf: DataFrame, dfq: DataFrame,
             .agg(F.sum("fp").alias("fp_sum")))
 
 
-def _maxscore_prune(postings: DataFrame, qterms: DataFrame,
-                    qub: DataFrame, full_scores,
-                    theta_rank: int = POOL) -> DataFrame:
-    """The generic seed/θ/essential MaxScore machinery, shared by the
-    BM25 (q178) and BM25F (q183) pruned plans.  ``postings`` needs one
-    (cand_id, term) row per pair; ``full_scores(cands)`` must return
-    exact (query_id, cand_id, fp_sum) for an explicit candidate set;
-    ``qub`` carries per-(query, term) score upper bounds in the same
-    fixed point.  Exactness does not depend on the scoring model —
-    only on UB_fp ≥ every snapped per-term contribution and θ being a
-    TRUE achieved ``theta_rank``-th score (see the q178 block
-    comment)."""
-    # seeds: rarest terms -> smallest postings, highest impact.  Only
-    # terms within 2x of the query's best UB qualify — when rare terms
-    # exist they dominate the seed set (tiny postings, high θ), and on
-    # a flat-UB vocabulary every term qualifies and the cap keeps the
-    # old top-N behavior.  Seed choice affects only θ quality, never
-    # exactness (θ is the theta_rank-th TRUE score of any candidate
-    # subset).
+def _seed_theta(postings: DataFrame, qub: DataFrame, full_scores,
+                theta_rank: int):
+    """(cand1, theta) — the seed candidate set and the achieved
+    ``theta_rank``-th TRUE score per query, the first half of the
+    MaxScore machinery (extracted r14 so the block-max variant reuses
+    it verbatim).  Seeds: rarest terms -> smallest postings, highest
+    impact.  Only terms within 2x of the query's best UB qualify —
+    when rare terms exist they dominate the seed set (tiny postings,
+    high θ), and on a flat-UB vocabulary every term qualifies and the
+    cap keeps the old top-N behavior.  Seed choice affects only θ
+    quality, never exactness (θ is the theta_rank-th TRUE score of
+    any candidate subset)."""
     w_q = W.partitionBy("query_id")
     w_seed = W.partitionBy("query_id").orderBy(F.desc("ub_fp"), F.asc("term"))
     seeds = (qub.withColumn("_mx", F.max("ub_fp").over(w_q))
@@ -764,29 +757,55 @@ def _maxscore_prune(postings: DataFrame, qterms: DataFrame,
     # the terminal per-query agg is a semantic no-op (the _r filter
     # already leaves one row per query) but makes theta's boundedness
     # STRUCTURAL — its topmost aggregate groups by query_id, the
-    # explain_audit-exempt bounded key — so the broadcast hint below
-    # is legal under the r8 global hint rule
+    # explain_audit-exempt bounded key — so broadcast hints on it are
+    # legal under the r8 global hint rule
     theta = (s1.withColumn("_r", F.row_number().over(w_th))
              .where(F.col("_r") == theta_rank)
              .groupBy("query_id")
              .agg(F.min("fp_sum").alias("theta")))
+    return cand1, theta
 
-    # essential split: ascending-UB prefix with strict cumsum < theta
-    # is prunable; null theta (< theta_rank seed candidates) keeps all
-    # terms.  theta is <= |queries| rows by construction — broadcast
-    # it, else it sort-merge-joins (r11 plan audit).
+
+def _essential_terms(qub: DataFrame, theta: DataFrame) -> DataFrame:
+    """(query_id, term) — the essential split given a θ frame
+    (query_id, theta): the ascending-UB prefix with strict cumsum <
+    theta is prunable; null / absent theta keeps all terms.  Extracted
+    (r14) so the store-derived-θ serving read (streaming/thetagate.py)
+    reuses the exact split the one-shot plans run.  theta is <=
+    |queries| rows by construction — broadcast it, else it
+    sort-merge-joins (r11 plan audit).  SOUND FOR ANY θ LOWER BOUND:
+    a doc matching only pruned terms scores <= the pruned prefix's UB
+    cumsum < θ_supplied <= θ_true, so it can never displace a
+    theta_rank-th-or-better row (the q178 block comment's argument
+    verbatim — it never uses that θ is the EXACT kth score, only that
+    some theta_rank true scores are >= it)."""
     w_cum = (W.partitionBy("query_id")
              .orderBy(F.asc("ub_fp"), F.asc("term"))
              .rowsBetween(W.unboundedPreceding, W.currentRow))
-    ess = (qub.join(F.broadcast(theta), "query_id", "left")
-           .withColumn("_cum", F.sum("ub_fp").over(w_cum))
-           .where(~(F.col("_cum") < F.col("theta"))
-                  | F.col("theta").isNull())
-           .select("query_id", "term"))
+    return (qub.join(F.broadcast(theta), "query_id", "left")
+            .withColumn("_cum", F.sum("ub_fp").over(w_cum))
+            .where(~(F.col("_cum") < F.col("theta"))
+                   | F.col("theta").isNull())
+            .select("query_id", "term"))
+
+
+def _maxscore_prune(postings: DataFrame, qterms: DataFrame,
+                    qub: DataFrame, full_scores,
+                    theta_rank: int = POOL) -> DataFrame:
+    """The generic seed/θ/essential MaxScore machinery, shared by the
+    BM25 (q178) and BM25F (q183) pruned plans.  ``postings`` needs one
+    (cand_id, term) row per pair; ``full_scores(cands)`` must return
+    exact (query_id, cand_id, fp_sum) for an explicit candidate set;
+    ``qub`` carries per-(query, term) score upper bounds in the same
+    fixed point.  Exactness does not depend on the scoring model —
+    only on UB_fp ≥ every snapped per-term contribution and θ being a
+    TRUE achieved ``theta_rank``-th score (see the q178 block
+    comment)."""
+    cand1, theta = _seed_theta(postings, qub, full_scores, theta_rank)
+    ess = _essential_terms(qub, theta)
     cand2 = (postings.join(ess, "term")
              .where(F.col("cand_id") != F.col("query_id"))
              .select("query_id", "cand_id").distinct())
-
     return cand1.unionByName(cand2).distinct()
 
 
@@ -829,6 +848,276 @@ def q178_bm25_maxscore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tf.localCheckpoint(eager=True)  # multi-consumer postings index
     qterms = query_terms_from(tf)
     cands, full_scores = maxscore_candidates(tf, dfq, dl, stats, qterms)
+    pool = _pool_rank(full_scores(cands),
+                      [F.desc("fp_sum"), F.asc("cand_id")], POOL)
+    return (pool.where(F.col("rank") <= TOP_K)
+            .select("query_id", "cand_id",
+                    (F.col("fp_sum") / F.lit(FP)).alias("score"),
+                    "rank"))
+
+
+# --- q189: block-max MaxScore (blocked postings + per-block impact UBs) --------
+#
+# The next index structure after term-level MaxScore (r13 verdict,
+# Next-round #1; ROADMAP's named candidate): Block-Max WAND/MaxScore
+# (Ding & Suel, SIGIR 2011) keeps, per (term, fixed doc-range block),
+# the block-LOCAL score upper bound instead of the whole-term analytic
+# bound.  q178's UB(t) = idf·(k1+1) assumes a doc could saturate tf
+# and have minimal length; inside one 64-doc block the REAL max tf and
+# min dl are known, so
+#
+#   UB_blk(t, b) = idf(t) · satur(max_tf(t,b), min_dl(t,b))
+#                <= idf(t) · (k1+1) = UB(t)
+#
+# — with satur(tf, dl) = tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)),
+# increasing in tf and decreasing in dl, so satur(max_tf, min_dl)
+# dominates every doc in the block.  Tighter bounds prune at block
+# granularity: a (query, block) whose Σ_{t ∈ q ∩ b} UB_blk(t, b) < θ
+# cannot hold any doc scoring >= θ — the WHOLE block skips, including
+# blocks of essential terms that term-level MaxScore must scan.
+#
+# Exactness (composes with the q178 argument): a doc d excluded from
+# the candidate set either (a) matches no essential term — score <=
+# pruned-prefix UB cumsum < θ (q178's essential argument) — or (b)
+# sits in a pruned block b — score(q, d) = Σ_{t ∈ q ∩ d} fp(t, d)
+# <= Σ_{t ∈ q present in b} UB_blk(t, b) < θ (every term of d in
+# block b contributes at most its block bound, and terms of q absent
+# from b contribute nothing to d).  Either way score < θ = a TRUE
+# achieved POOL-th score, and the (fp DESC, cand ASC) tie-break ranks
+# it below all POOL θ-or-better docs — so q189 ≡ q175 row-for-row
+# (oracle: q175's SQL verbatim; pytest: flat + Zipfian + block-skewed
+# corpora).
+#
+# Fixed-point care: UB_blk is ceil'd with the same +2 ulp margin as
+# term_upper_bounds, so UB_blk_fp >= every SNAPPED fp(t, d) in the
+# block (round(x) <= ceil(x_ub) + 1 whenever x <= x_ub).
+#
+# Scale shape (100 TB): the block-stats frame has one row per (term,
+# block) — postings/|block| in the worst case, ~64x smaller than the
+# postings themselves — and is exactly the "blocked postings layout"
+# a BMW index persists (the streaming store keeps it as a MAX/MIN-
+# mergeable partial: max_tf MAX-merges and min_dl MIN-merges across
+# doc-disjoint batches, streaming/bm25gate.py).  The (query, block)
+# survivor frame is |queries| x |blocks|-bounded, and the skip itself
+# is a LEFT SEMI join of essential postings against it — the big side
+# streams past once, no shuffle beyond the groupBys that build the
+# bounded frames.
+#
+# PLAN GATE (the r13 ask's "prunability gate extended with the block
+# statistic"): routing is three-way now — "flat" (no UB spread: q175's
+# plan, pruning can't win), "term" (spread but tf-saturated postings:
+# q178's machinery — when typical tf is high, satur(max_tf, ·) ≈ k1+1
+# and block bounds collapse onto the whole-term bound, so the blocked
+# index adds joins for nothing), "block" (spread + headroom).  The
+# block statistic reuses the SAME bounded sample as the spread gate
+# (one Arrow task, ~2k docs) and measures the per-block TIGHTENING
+# available: headroom = 1 − tf_p90/(tf_p90 + k1·B(dl_p10)) — the
+# factor by which a typical block's bound sits below the analytic
+# bound, computed from the sample's p90 term frequency and p10 doc
+# length (quantiles, not maxima, so one pathological doc cannot flip
+# the route; conservative on the term side — underestimating headroom
+# only costs the block optimization, never correctness, and BOTH
+# branches are exact).
+# ------------------------------------------------------------------------------
+BLOCK_DOCS = 64       # fixed doc-range block width (BMW-standard scale)
+BM_HEADROOM = 0.25    # min sampled per-block UB tightening to go "block"
+
+
+def block_stats_from(tf: DataFrame, dl: DataFrame) -> DataFrame:
+    """(term, block_id, max_tf, min_dl) — the blocked postings layout:
+    per (term, fixed 64-doc block) max term frequency and min document
+    length, everything UB_blk needs at read time.  MAX/MIN-mergeable
+    over any doc-disjoint partition of the corpus (the streaming
+    store's merge theorem: a block's docs split across batches, and
+    MAX of per-batch maxima IS the block max)."""
+    from .helpers import exact_tdiv
+    return (tf.join(dl, "cand_id")
+            .groupBy(exact_tdiv(F.col("cand_id"),
+                                F.lit(BLOCK_DOCS)).alias("block_id"),
+                     "term")
+            .agg(F.max("tf").alias("max_tf"),
+                 F.min("dl").alias("min_dl")))
+
+
+def block_upper_bounds(blk: DataFrame, dfq: DataFrame, stats: DataFrame,
+                       qterms: DataFrame) -> DataFrame:
+    """(query_id, term, block_id, ub_blk_fp) — per-(query-term, block)
+    fixed-point score upper bounds from the blocked layout.  The
+    (query, term, idf) probe is |queries|·|query terms|-bounded and
+    joins INTO the block-stats frame on term, so the blocked index
+    streams past a broadcast probe — never the reverse."""
+    idf = F.log(F.lit(1.0)
+                + ((F.col("n_docs") - F.col("df")) + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    qidf = (qterms.join(dfq, "term").crossJoin(F.broadcast(stats))
+            .select("query_id", "term", idf.alias("_idf"),
+                    (F.col("sum_dl") / F.col("n_docs")).alias("_avgdl")))
+    satur = ((F.col("max_tf") * F.lit(BM25_K1 + 1.0))
+             / (F.col("max_tf")
+                + F.lit(BM25_K1) * (F.lit(1.0) - F.lit(BM25_B)
+                                    + F.lit(BM25_B)
+                                    * (F.col("min_dl") / F.col("_avgdl")))))
+    ub = (F.ceil(F.col("_idf") * satur * F.lit(FP)) + F.lit(2)) \
+        .cast("long")
+    return (blk.join(qidf, "term")
+            .select("query_id", "term", "block_id",
+                    ub.alias("ub_blk_fp")))
+
+
+def blockmax_candidates(tf: DataFrame, dfq: DataFrame, dl: DataFrame,
+                        stats: DataFrame, qterms: DataFrame,
+                        blk: DataFrame | None = None):
+    """(cands, full_scores) — the block-max MaxScore pruning entry:
+    q178's seed/θ/essential machinery PLUS the per-(query, block)
+    skip from the blocked layout's local bounds (see the q189 block
+    comment for the soundness argument).  ``blk`` lets the serving
+    read pass the PERSISTED blocked store (streaming/bm25gate.py);
+    absent, it derives fresh from tf ⋈ dl (the one-shot path)."""
+    from .helpers import exact_tdiv
+    qub = term_upper_bounds(dfq, stats, qterms)
+
+    def full_scores(cands: DataFrame) -> DataFrame:
+        return bm25_full_scores(cands, tf, dfq, dl, stats, qterms)
+
+    cand1, theta = _seed_theta(tf, qub, full_scores, POOL)
+    ess = _essential_terms(qub, theta)
+    if blk is None:
+        blk = block_stats_from(tf, dl)
+    bsum = (block_upper_bounds(blk, dfq, stats, qterms)
+            .groupBy("query_id", "block_id")
+            .agg(F.sum("ub_blk_fp").alias("blk_ub")))
+    live = (bsum.join(F.broadcast(theta), "query_id", "left")
+            .where(F.col("theta").isNull()
+                   | ~(F.col("blk_ub") < F.col("theta")))
+            .select("query_id", "block_id"))
+    cand2 = (tf.join(ess, "term")
+             .where(F.col("cand_id") != F.col("query_id"))
+             .withColumn("block_id",
+                         exact_tdiv(F.col("cand_id"), F.lit(BLOCK_DOCS)))
+             .join(live, ["query_id", "block_id"], "left_semi")
+             .select("query_id", "cand_id").distinct())
+    return cand1.unionByName(cand2).distinct(), full_scores
+
+
+def _plan_decision(doc_ids, term_counts, mod: int) -> str:
+    """The three-way q189 route over an in-hand sample — ``doc_ids`` a
+    pandas Series, ``term_counts`` an aligned Series of per-doc
+    term -> tf Counters.  The spread half IS q178's _spread_decision
+    (sets derived from the counters, so the prunable verdict matches
+    the binary gate exactly); the block half adds the sampled
+    headroom statistic (q189 block comment).  Conservative-side-only:
+    every route returns exact rows — the statistic picks cost, never
+    correctness."""
+    term_sets = term_counts.map(lambda c: set(c))
+    if not _spread_decision(doc_ids, term_sets, mod):
+        return "flat"
+    is_s = (doc_ids % mod == 0) & term_counts.map(bool)
+    tfs = [v for c in term_counts[is_s] for v in c.values()]
+    dls = [sum(c.values()) for c in term_counts[is_s]]
+    if not tfs:
+        return "term"
+    tfs.sort()
+    dls.sort()
+    tf90 = float(tfs[min(len(tfs) - 1, (len(tfs) * 9) // 10)])
+    dl10 = float(dls[min(len(dls) - 1, len(dls) // 10)])
+    avgdl = sum(dls) / len(dls)
+    b_min = 1.0 - BM25_B + BM25_B * dl10 / avgdl
+    headroom = 1.0 - tf90 / (tf90 + BM25_K1 * b_min)
+    return "block" if headroom >= BM_HEADROOM else "term"
+
+
+def maxscore_gate_plan(d: DataFrame) -> str:
+    """'flat' | 'term' | 'block' — the q189 plan gate over raw text:
+    the q178 sampled-statistic shape verbatim (one metadata count +
+    one bounded Arrow task over ~MS_SAMPLE_TARGET docs), extended
+    with the block-headroom statistic.  The prunable half reads the
+    SAME _spread_decision as maxscore_gate_is_prunable, so
+    (plan != 'flat') == the binary gate on any corpus."""
+    n_docs = d.count()
+    if n_docs == 0:
+        return "flat"
+    mod = max(1, n_docs // MS_SAMPLE_TARGET)
+    pick = (d.where((F.col("doc_id") % mod == 0)
+                    | (F.col("doc_id") < N_QUERIES))
+            .select("doc_id", "text").repartition(1))
+
+    def _gate(batches):
+        import pandas as pd
+        frames = list(batches)
+        if not frames:
+            yield pd.DataFrame({"plan": ["flat"]})
+            return
+        from collections import Counter
+        pdf = pd.concat(frames, ignore_index=True)
+        counts = pdf.text.map(
+            lambda t: Counter(x for x in t.split(" ") if x))
+        yield pd.DataFrame(
+            {"plan": [_plan_decision(pdf.doc_id, counts, mod)]})
+
+    return str(pick.mapInPandas(_gate, "plan string").first().plan)
+
+
+def maxscore_gate_plan_from_postings(tf: DataFrame,
+                                     dl: DataFrame) -> str:
+    """The q189 plan gate over a STORED postings index — the
+    maxscore_gate_from_postings shape (sampled (cand_id, term, tf)
+    rows through one Arrow task) feeding the SAME _plan_decision, so
+    served block-max reads route like the one-shot on empty-free
+    corpora (the q178 gate-pair contract, including its documented
+    MOD-boundary divergence on corpora with postings-free docs)."""
+    n_docs = dl.count()
+    if n_docs == 0:
+        return "flat"
+    mod = max(1, n_docs // MS_SAMPLE_TARGET)
+    pick = (tf.where((F.col("cand_id") % mod == 0)
+                     | (F.col("cand_id") < N_QUERIES))
+            .select("cand_id", "term", "tf").repartition(1))
+
+    def _gate(batches):
+        import pandas as pd
+        frames = list(batches)
+        if not frames:
+            yield pd.DataFrame({"plan": ["flat"]})
+            return
+        from collections import Counter
+        pdf = pd.concat(frames, ignore_index=True)
+        g = pdf.groupby("cand_id").apply(
+            lambda s: Counter(dict(zip(s["term"], s["tf"]))),
+            include_groups=False)
+        ids = g.index.to_series().reset_index(drop=True)
+        counts = g.reset_index(drop=True)
+        yield pd.DataFrame(
+            {"plan": [_plan_decision(ids, counts, mod)]})
+
+    return str(pick.mapInPandas(_gate, "plan string").first().plan)
+
+
+@query("q189_bm25_blockmax_topk", f"""{SQL_BM25_POOL}
+SELECT query_id, cand_id, fp_sum / {FP} AS score, rank
+FROM bpool WHERE rank <= {TOP_K}
+""")
+def q189_bm25_blockmax_topk(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Exact block-max MaxScore BM25 top-k (see block comment):
+    q175's rows from a candidate set pruned at BLOCK granularity via
+    the blocked postings layout's local (max_tf, min_dl) bounds.
+    Three-way plan gate: flat -> q175's plan verbatim; term -> q178's
+    whole-term machinery (saturated postings, block bounds collapse);
+    block -> the blocked skip.  Every branch is exact — the oracle is
+    q175's SQL verbatim, the q178 precedent."""
+    d = load_table(spark, sf_dir, "documents")
+    plan = maxscore_gate_plan(d)
+    if plan == "flat":
+        return q175_bm25_topk(spark, sf_dir)
+    tf, dfq, dl, stats = corpus_term_frames(d)
+    tf = tf.localCheckpoint(eager=True)  # multi-consumer postings index
+    qterms = query_terms_from(tf)
+    if plan == "term":
+        cands, full_scores = maxscore_candidates(tf, dfq, dl, stats,
+                                                 qterms)
+    else:
+        cands, full_scores = blockmax_candidates(tf, dfq, dl, stats,
+                                                 qterms)
     pool = _pool_rank(full_scores(cands),
                       [F.desc("fp_sum"), F.asc("cand_id")], POOL)
     return (pool.where(F.col("rank") <= TOP_K)
@@ -1170,18 +1459,15 @@ def q183_bm25f_maxscore_topk(spark: SparkSession,
 PROX_W = 10_000_000  # fixed-point proximity bonus at distance 1
 
 
-def proximity_boosted_rerank(pool: DataFrame,
-                             prox: DataFrame) -> DataFrame:
-    """The q184 boost/rerank core from explicit frames — ``pool`` is a
-    BM25 pool (query_id, cand_id, fp_sum), ``prox`` a proximity
-    feature frame (query_id, cand_id, min_dist).  Shared by one-shot
-    q184 and the served read (streaming/rrfserve.py), so parity
-    between them reduces to the input frames being equal (the
-    rrf_fuse / bm25_full_scores / proximity_from discipline; r12
-    verdict ask #3 — previously a token-for-token copy).  Pure
-    integer arithmetic: bonus = floor(PROX_W / min_dist) via
-    exact_tdiv, 0 when the pair has no proximity row; rerank window
-    is pool-bounded per query by construction."""
+def proximity_boosted_pool(pool: DataFrame, prox: DataFrame,
+                           depth: int = TOP_K) -> DataFrame:
+    """(query_id, cand_id, min_dist, bfp, rank ≤ depth) — the boosted
+    pool at an arbitrary rank depth (r14 extraction: q184 projects its
+    TOP_K slice; q190 fuses the full POOL-deep list).  Pure integer
+    arithmetic: bonus = floor(PROX_W / min_dist) via exact_tdiv, 0
+    when the pair has no proximity row; the rerank window is
+    pool-bounded per query by construction (rerank-only — candidates
+    outside the input pool cannot enter)."""
     from .helpers import exact_tdiv
     bonus = F.coalesce(
         exact_tdiv(F.lit(PROX_W), F.col("min_dist")), F.lit(0))
@@ -1191,13 +1477,27 @@ def proximity_boosted_rerank(pool: DataFrame,
     w = W.partitionBy("query_id").orderBy(F.desc("bfp"),
                                           F.asc("cand_id"))
     return (boosted.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= TOP_K)
+            .where(F.col("rank") <= depth))
+
+
+def proximity_boosted_rerank(pool: DataFrame,
+                             prox: DataFrame) -> DataFrame:
+    """The q184 boost/rerank core from explicit frames — ``pool`` is a
+    BM25 pool (query_id, cand_id, fp_sum), ``prox`` a proximity
+    feature frame (query_id, cand_id, min_dist).  Shared by one-shot
+    q184 and the served read (streaming/rrfserve.py), so parity
+    between them reduces to the input frames being equal (the
+    rrf_fuse / bm25_full_scores / proximity_from discipline; r12
+    verdict ask #3 — previously a token-for-token copy).  The TOP_K
+    projection of proximity_boosted_pool."""
+    return (proximity_boosted_pool(pool, prox, TOP_K)
             .select("query_id", "cand_id", "min_dist",
                     (F.col("bfp") / F.lit(FP)).alias("score"), "rank"))
 
 
-@query("q184_proximity_boosted_bm25", f"""{SQL_BM25_POOL},
-p AS (SELECT doc_id, i + 1 AS pos, toks[i + 1] AS term
+# the q182-shaped proximity CTEs (min_dist only) and the boost CTE,
+# shared verbatim by the q184/q190 oracles (r14 extraction)
+SQL_PROX_MIN_CTES = f"""p AS (SELECT doc_id, i + 1 AS pos, toks[i + 1] AS term
       FROM (SELECT doc_id, toks, UNNEST(RANGE(LEN(toks))) AS i FROM t)),
 qt AS (SELECT DISTINCT doc_id AS query_id, term FROM p
        WHERE doc_id < {N_QUERIES}),
@@ -1213,15 +1513,21 @@ prox AS (SELECT query_id, cand_id,
                 CAST(MIN(CASE WHEN pterm IS NOT NULL AND pterm <> term
                               THEN pos - ppos END) AS BIGINT) AS min_dist
          FROM mw GROUP BY 1, 2
-         HAVING COUNT(DISTINCT term) >= 2),
-boosted AS (
+         HAVING COUNT(DISTINCT term) >= 2)"""
+
+SQL_BOOSTED_CTE = f"""boosted AS (
   SELECT b.query_id, b.cand_id, x.min_dist,
          b.fp_sum + COALESCE(
            CAST(({PROX_W} - {PROX_W} % x.min_dist) / x.min_dist
                 AS BIGINT), 0) AS bfp
   FROM bpool b
   LEFT JOIN prox x ON x.query_id = b.query_id
-                  AND x.cand_id = b.cand_id),
+                  AND x.cand_id = b.cand_id)"""
+
+
+@query("q184_proximity_boosted_bm25", f"""{SQL_BM25_POOL},
+{SQL_PROX_MIN_CTES},
+{SQL_BOOSTED_CTE},
 rr AS (SELECT query_id, cand_id, min_dist, bfp,
               ROW_NUMBER() OVER (PARTITION BY query_id
                                  ORDER BY bfp DESC, cand_id) AS rank
@@ -1237,6 +1543,66 @@ def q184_proximity_boosted_bm25(spark: SparkSession,
     prox = (q182_term_proximity(spark, sf_dir)
             .select("query_id", "cand_id", "min_dist"))
     return proximity_boosted_rerank(pool, prox)
+
+
+# --- q190: RRF fusion over the proximity-boosted pool ---------------------------
+#
+# The r13 verdict's fusion upgrade (Next-round #2): q176 fuses the
+# PLAIN BM25 ranking with the cosine ranking, but q184's proximity-
+# boosted pool is strictly better lexical input — same candidates
+# (rerank-only), better order.  q190 is rrf_fuse over (boosted pool
+# at full POOL depth, cosine pool): the production hybrid a serving
+# stack actually ships once it has the proximity feature.  q191
+# proves the point with the q185 yardstick: the fused ranking's
+# macro-nDCG must dominate both inputs on the graded truth (measured
+# and pytest-pinned on the fixtures; RRF gives no such theorem in
+# general, so the claim is an oracled MEASUREMENT, not an assumption).
+#
+# Scale shape: the boost joins two bounded frames (the POOL-deep pool
+# and its matching proximity rows); the fusion joins two
+# |queries|·POOL-row rank lists — everything after the audited q175 /
+# q182 corpus passes is broadcast-sized.  Determinism: the boosted
+# order is exact integer arithmetic (q184), the RRF sum is q176's
+# two-term fixed-operand-order double — both already oracled.
+# ------------------------------------------------------------------------------
+@query("q190_proximity_fused_rrf", f"""{SQL_BM25_POOL},
+{SQL_PROX_MIN_CTES},
+{SQL_BOOSTED_CTE},
+bb AS (SELECT query_id, cand_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY bfp DESC, cand_id) AS rank
+       FROM boosted),
+{SQL_COS_POOL},
+fused AS (
+  SELECT COALESCE(b.query_id, c.query_id) AS query_id,
+         COALESCE(b.cand_id, c.cand_id) AS cand_id,
+         b.rank AS rank_b, c.rank AS rank_c,
+         COALESCE(1.0 / ({RRF_K} + b.rank), 0.0)
+           + COALESCE(1.0 / ({RRF_K} + c.rank), 0.0) AS rrf
+  FROM (SELECT * FROM bb WHERE rank <= {POOL}) b
+  FULL OUTER JOIN cpool c
+    ON b.query_id = c.query_id AND b.cand_id = c.cand_id),
+franked AS (
+  SELECT query_id, cand_id, rank_b, rank_c, rrf,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY rrf DESC, cand_id) AS fused_rank
+  FROM fused)
+SELECT * FROM franked WHERE fused_rank <= {TOP_K}
+""")
+def q190_proximity_fused_rrf(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """RRF fusion of the proximity-boosted BM25 pool (q184's order at
+    full POOL depth) and the cosine pool — q176's output shape
+    (query_id, cand_id, rank_b, rank_c, rrf, fused_rank ≤ TOP_K),
+    with rank_b now the BOOSTED lexical rank."""
+    pool = _bm25_pool(spark, sf_dir)
+    prox = (q182_term_proximity(spark, sf_dir)
+            .select("query_id", "cand_id", "min_dist"))
+    b = (proximity_boosted_pool(pool, prox, POOL)
+         .select("query_id", "cand_id", F.col("rank").alias("rank_b")))
+    c = (_cosine_pool(spark, sf_dir)
+         .select("query_id", "cand_id", F.col("rank").alias("rank_c")))
+    return rrf_fuse(b, c)
 
 
 # --- q185/q186: ranking-quality metrics (nDCG@k, MRR, recall@k) ----------------

@@ -115,6 +115,19 @@ def batch_dl_partial(docs: DataFrame) -> DataFrame:
     return dl
 
 
+def batch_block_partial(docs: DataFrame) -> DataFrame:
+    """(term, block_id, max_tf, min_dl) — one batch's slice of the
+    BLOCKED postings layout (r14; retrieval.block_stats_from over the
+    batch).  Unlike tf/dl, a BLOCK's docs may span batches (blocks are
+    fixed doc-id ranges, batches are arrival slices), so this partial
+    is MAX/MIN-merged on read — max of per-batch maxima is the block
+    max over doc-disjoint batches, same for min; both are order-free
+    and replay-idempotent under the partition-overwrite scheme."""
+    from ..operators.retrieval import block_stats_from
+    tf, _, dl, _ = corpus_term_frames(docs)
+    return block_stats_from(tf, dl)
+
+
 def read_term_df(spark: SparkSession, state_dir: str) -> DataFrame:
     """Merged (term, df) over all persisted batch partials."""
     return (spark.read.parquet(os.path.join(state_dir, "df"))
@@ -139,6 +152,17 @@ def read_dl(spark: SparkSession, state_dir: str) -> DataFrame:
     """Stored per-doc lengths across all batches."""
     return (spark.read.parquet(os.path.join(state_dir, "dl"))
             .select("cand_id", "dl"))
+
+
+def read_block_stats(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Merged blocked layout (term, block_id, max_tf, min_dl) —
+    MAX/MIN-merge over the per-batch partials (a block's docs may
+    arrive across batches; see batch_block_partial)."""
+    return (spark.read.parquet(os.path.join(state_dir, "blk"))
+            .groupBy("term", "block_id")
+            .agg(F.max("max_tf").alias("max_tf"),
+                 F.min("min_dl").alias("min_dl"))
+            .select("block_id", "term", "max_tf", "min_dl"))
 
 
 def serve_bm25_pool(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -196,12 +220,65 @@ def serve_bm25_topk(spark: SparkSession, state_dir: str, *,
                     "rank"))
 
 
+def serve_bm25_blockmax_topk(spark: SparkSession, state_dir: str, *,
+                             plan: str | None = None) -> DataFrame:
+    """q175's output shape served from the incremental store through
+    the BLOCK-MAX machinery (r14; r13 verdict ask #1's serving half):
+    the three-way q189 plan gate evaluated over stored postings picks
+    flat (full-pool plan) / term (q178 whole-term pruning) / block —
+    and the block branch reads the PERSISTED blocked layout
+    (read_block_stats' MAX/MIN merge) instead of rebuilding it from
+    postings, so appending a batch keeps the skip index current at
+    the cost of one batch-local aggregate.  Every branch is exact
+    (the q189 soundness argument is source-independent); pytest pins
+    all three branches row-for-row equal per append prefix on flat,
+    Zipfian, and block-skewed stored corpora.  ``plan`` forces a
+    branch (tests); None lets the gate decide."""
+    from ..operators.retrieval import (
+        POOL,
+        _pool_rank,
+        blockmax_candidates,
+        maxscore_candidates,
+        maxscore_gate_plan_from_postings,
+    )
+    if plan is None:
+        plan = maxscore_gate_plan_from_postings(
+            read_tf(spark, state_dir), read_dl(spark, state_dir))
+    if plan == "flat":
+        return (serve_bm25_pool(spark, state_dir)
+                .where(F.col("rank") <= TOP_K)
+                .select("query_id", "cand_id",
+                        (F.col("fp_sum") / F.lit(FP)).alias("score"),
+                        "rank"))
+    tf = read_tf(spark, state_dir).localCheckpoint(eager=True)
+    qterms = query_terms_from(tf)
+    dfq = read_term_df(spark, state_dir)
+    dl = read_dl(spark, state_dir)
+    stats = read_corpus_stats(spark, state_dir)
+    if plan == "term":
+        cands, full_scores = maxscore_candidates(tf, dfq, dl, stats,
+                                                 qterms)
+    else:
+        cands, full_scores = blockmax_candidates(
+            tf, dfq, dl, stats, qterms,
+            blk=read_block_stats(spark, state_dir))
+    pool = _pool_rank(full_scores(cands),
+                      [F.desc("fp_sum"), F.asc("cand_id")], POOL)
+    return (pool.where(F.col("rank") <= TOP_K)
+            .select("query_id", "cand_id",
+                    (F.col("fp_sum") / F.lit(FP)).alias("score"),
+                    "rank"))
+
+
 def write_batch_partials(docs: DataFrame, state_dir: str,
                          batch_id: int) -> None:
-    """Persist all four partials of one doc-disjoint batch under their
+    """Persist all five partials of one doc-disjoint batch under their
     batch_id=<id> partitions (overwrite = idempotent replay).  All
-    four hang off the same (doc, term) aggregate — cache it for the
-    batch so the batch scan and tokenize run once, not four times."""
+    five hang off the same (doc, term) aggregate — cache it for the
+    batch so the batch scan and tokenize run once, not five times.
+    The fifth (r14) is the batch's blocked-layout slice, serving the
+    block-max read (retrieval.q189's machinery over stored state)."""
+    from ..operators.retrieval import block_stats_from
     tf, dfq, dl, stats = corpus_term_frames(docs)
     tf = tf.cache()
     try:
@@ -213,6 +290,8 @@ def write_batch_partials(docs: DataFrame, state_dir: str,
             os.path.join(state_dir, "dl", f"batch_id={batch_id}"))
         stats.write.mode("overwrite").parquet(
             os.path.join(state_dir, "corpus", f"batch_id={batch_id}"))
+        block_stats_from(tf, dl).write.mode("overwrite").parquet(
+            os.path.join(state_dir, "blk", f"batch_id={batch_id}"))
     finally:
         tf.unpersist()
 

@@ -259,6 +259,107 @@ def test_maxscore_prunes_hard_on_zipfian_vocab(spark):
     assert p1 == p2 and len(p1) > 0
 
 
+def _block_skewed_corpus(spark):
+    """512 docs / 8 fixed 64-doc blocks, built so BLOCK pruning wins
+    where TERM pruning cannot: every query doc (0-9) carries a rare
+    pair (rare0a/rare0b) confined to block 0, four medium-df terms
+    (~40% of docs — too common to be seeds, too high-UB for the
+    essential prefix to drop them all), and two corpus-wide commons.
+    Non-query docs pad to a uniform dl=8 with per-doc filler terms
+    (queries deliberately have NO fillers — a df=1 filler would be
+    the query's rarest term and hijack the seed set).  Result: θ from
+    the rare pair ≈ 2 rare contributions; blocks 1-7 carry only
+    commons + mediums whose per-block UB sum stays under θ, so the
+    blocked skip drops them while the term-level essential split must
+    keep ~40% of the corpus (measured: 470 vs 2250 vs 5120 full)."""
+    def mk(i):
+        toks = ["c0", "c1"]
+        if i < 10 or (i < 64 and i % 2 == 0):
+            toks += ["rare0a", "rare0b"]
+        for k in range(4):
+            if i < 10 or (i * 13 + k * 7) % 10 < 4:
+                toks.append(f"m{k}")
+        while len(toks) < 8:
+            toks.append(f"f{i}x{len(toks)}")
+        return (i, " ".join(toks[:8]))
+
+    return spark.createDataFrame([mk(i) for i in range(512)],
+                                 "doc_id long, text string")
+
+
+def test_blockmax_topk_equals_q175(spark):
+    """q189's exactness contract (the q178 precedent): the block-max
+    plan and the full q175 plan are row-for-row identical at both
+    fixture SFs — whichever branch the three-way gate picks."""
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = sorted(tuple(r) for r in
+                     R.q189_bm25_blockmax_topk(spark, sf).collect())
+        want = sorted(tuple(r) for r in
+                      R.q175_bm25_topk(spark, sf).collect())
+        assert got == want and len(want) > 0, sf
+
+
+def test_blockmax_prunes_blocks_and_stays_exact(spark):
+    """On the block-skewed corpus the blocked skip must cut the
+    candidate set STRICTLY below term-level MaxScore's (which itself
+    cuts below the full fan-out), while the pooled result stays
+    row-for-row exact against the unpruned pool — the whole point of
+    the blocked layout."""
+    from pyspark.sql import functions as F
+
+    d = _block_skewed_corpus(spark)
+    tf, dfq, dl, stats = R.corpus_term_frames(d)
+    tf = tf.localCheckpoint(eager=True)
+    qterms = R.query_terms_from(tf)
+    full_set = (tf.join(qterms, "term")
+                .where(F.col("cand_id") != F.col("query_id"))
+                .select("query_id", "cand_id").distinct())
+    c_term, _ = R.maxscore_candidates(tf, dfq, dl, stats, qterms)
+    c_blk, full_scores = R.blockmax_candidates(tf, dfq, dl, stats,
+                                               qterms)
+    n_full, n_term, n_blk = (full_set.count(), c_term.count(),
+                             c_blk.count())
+    assert n_blk < n_term < n_full, (n_blk, n_term, n_full)
+    p_blk = sorted(tuple(r) for r in
+                   R._pool_rank(full_scores(c_blk),
+                                [F.desc("fp_sum"), F.asc("cand_id")],
+                                R.POOL).collect())
+    p_full = sorted(tuple(r) for r in
+                    R._pool_rank(full_scores(full_set),
+                                 [F.desc("fp_sum"), F.asc("cand_id")],
+                                 R.POOL).collect())
+    assert p_blk == p_full and len(p_full) > 0
+
+
+def test_blockmax_gate_three_way_routing(spark):
+    """The extended plan gate: flat corpus -> 'flat' (no UB spread);
+    spread corpus with SATURATED postings (every tf = 5, sampled
+    headroom 1 − 5/(5 + k1) ≈ 0.19 < BM_HEADROOM) -> 'term' (block
+    bounds collapse onto the whole-term bound); spread corpus with
+    tf = 1 postings -> 'block'.  The prunable half must agree with
+    the binary q178 gate on every corpus (same _spread_decision over
+    the same sample), and every route returns exact rows — routing
+    is cost-only, conservative-side-only."""
+    common = "the of and to in for a is on at"
+    flat = spark.createDataFrame(
+        [(i, common) for i in range(400)], "doc_id long, text string")
+    zipf = spark.createDataFrame(
+        [(i, f"{common} rare{i % 25}a rare{i % 25}b")
+         for i in range(400)], "doc_id long, text string")
+    sat_txt = " ".join(w for w in common.split() for _ in range(5))
+    saturated = spark.createDataFrame(
+        [(i, f"{sat_txt} " + " ".join([f"rare{i % 25}"] * 5))
+         for i in range(400)], "doc_id long, text string")
+    blockish = _block_skewed_corpus(spark)
+    for name, d, want in (("flat", flat, "flat"),
+                          ("zipf", zipf, "block"),
+                          ("saturated", saturated, "term"),
+                          ("blockish", blockish, "block")):
+        plan = R.maxscore_gate_plan(d)
+        assert plan == want, (name, plan)
+        assert (plan != "flat") == R.maxscore_gate_is_prunable(d), name
+
+
 def test_phrase_filtered_bm25_invariants(spark):
     """q181's gate contract: every ranked row's (query, cand) pair is
     a q179 phrase match; ranks are dense 1..k per query; scores agree

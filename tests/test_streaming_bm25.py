@@ -316,6 +316,97 @@ def test_served_maxscore_gate_and_prune(spark, tmp_path):
     assert pruned == unpruned, "empty-doc corpus: branches diverged"
 
 
+def _block_skewed(spark):
+    from tests.test_retrieval import _block_skewed_corpus
+    return _block_skewed_corpus(spark)
+
+
+def test_block_store_merges_and_serves_blockmax(spark, tmp_path):
+    """r14 (r13 verdict ask #1, serving half): the per-batch blocked-
+    layout partials MAX/MIN-merge to the one-shot block stats even
+    when every block's docs span batches (docs split by parity, so
+    all 8 blocks straddle both), the block-max read served from the
+    PERSISTED blocked store equals the unpruned served read and the
+    one-shot per append prefix, replay is idempotent, and the stored-
+    postings plan gate routes like the one-shot text gate."""
+    from oanda_stream_processor_spark.operators.retrieval import (
+        block_stats_from,
+        maxscore_gate_plan,
+        maxscore_gate_plan_from_postings,
+    )
+    from oanda_stream_processor_spark.streaming.bm25gate import (
+        read_block_stats,
+        read_dl,
+        read_tf,
+        serve_bm25_blockmax_topk,
+    )
+
+    d = _block_skewed(spark)
+    state = str(tmp_path / "blkstate")
+    seen = None
+    for i in range(2):
+        part = d.where(F.col("doc_id") % 2 == i)
+        write_batch_partials(part, state, i)
+        seen = part if seen is None else seen.unionByName(part)
+        # merged blocked layout == one-shot block stats on docs-so-far
+        tf, _, dl, _ = corpus_term_frames(seen)
+        assert _table(read_block_stats(spark, state)) == \
+            _table(block_stats_from(tf, dl)), f"blk merge, batch {i}"
+        # served block-max == served unpruned == one-shot, every prefix
+        blk_served = _table(serve_bm25_blockmax_topk(spark, state,
+                                                     plan="block"))
+        assert blk_served == _table(serve_bm25_topk(spark, state,
+                                                    prune=False)), \
+            f"served blockmax diverged after batch {i}"
+        assert blk_served == _table(
+            _one_shot_pool_on(spark, seen).where(F.col("rank") <= 10)
+            .select("query_id", "cand_id",
+                    (F.col("fp_sum") / F.lit(1_000_000.0)).alias("score"),
+                    "rank"))
+    # replay idempotence: overwriting one batch's blk partition is a no-op
+    write_batch_partials(d.where(F.col("doc_id") % 2 == 0), state, 0)
+    tf, _, dl, _ = corpus_term_frames(d)
+    assert _table(read_block_stats(spark, state)) == \
+        _table(block_stats_from(tf, dl))
+    # stored-postings plan gate routes like the one-shot text gate,
+    # and the default gated read equals every forced branch
+    plan = maxscore_gate_plan_from_postings(read_tf(spark, state),
+                                            read_dl(spark, state))
+    assert plan == maxscore_gate_plan(d) == "block"
+    want = _table(serve_bm25_blockmax_topk(spark, state, plan="block"))
+    assert _table(serve_bm25_blockmax_topk(spark, state)) == want
+    assert _table(serve_bm25_blockmax_topk(spark, state,
+                                           plan="term")) == want
+    assert _table(serve_bm25_blockmax_topk(spark, state,
+                                           plan="flat")) == want
+
+
+def test_served_blockmax_on_fixture_routes_and_matches(spark, tmp_path):
+    """Fixture corpus through the stored three-way gate: route must
+    match the one-shot text gate and the served read must equal
+    one-shot q175 (= q189, the exactness theorem) regardless of
+    branch."""
+    from oanda_stream_processor_spark.operators.retrieval import (
+        maxscore_gate_plan,
+        maxscore_gate_plan_from_postings,
+    )
+    from oanda_stream_processor_spark.streaming.bm25gate import (
+        read_dl,
+        read_tf,
+        serve_bm25_blockmax_topk,
+    )
+
+    d = load_table(spark, SF_DIR, "documents")
+    state = str(tmp_path / "fixstate")
+    for i in range(3):
+        write_batch_partials(d.where(F.col("doc_id") % 3 == i), state, i)
+    assert maxscore_gate_plan_from_postings(
+        read_tf(spark, state), read_dl(spark, state)) == \
+        maxscore_gate_plan(d)
+    assert _table(serve_bm25_blockmax_topk(spark, state)) == \
+        _table(q175_bm25_topk(spark, SF_DIR))
+
+
 def test_served_prf_equals_q187(spark, tmp_path):
     """r13: the served PRF read (shared prf_expanded_pool core over
     the incremental store) equals one-shot q187 per append prefix and
