@@ -71,7 +71,8 @@ from .phrasegate import serve_phrase_matches
 
 __all__ = ["ann_cosine_pool", "exact_cosine_pool",
            "serve_phrase_filtered_bm25", "serve_proximity_boosted_bm25",
-           "serve_retrieval_quality", "serve_rrf_fusion"]
+           "serve_proximity_fused_rrf", "serve_retrieval_quality",
+           "serve_rrf_fusion"]
 
 
 def exact_cosine_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -140,6 +141,31 @@ def serve_proximity_boosted_bm25(spark: SparkSession, bm25_state: str,
     prox = (serve_term_proximity(spark, prox_state, qtermf)
             .select("query_id", "cand_id", "min_dist"))
     return proximity_boosted_rerank(pool, prox)
+
+
+def serve_proximity_fused_rrf(spark: SparkSession, bm25_state: str,
+                              prox_state: str, qtermf: DataFrame,
+                              cosine_pool: DataFrame) -> DataFrame:
+    """q190's output served ENTIRELY from two persisted stores plus a
+    supplied cosine pool (r14): the BM25 pool from the incremental
+    tf/df/dl/corpus store, the proximity feature from the token-
+    positional postings store, boosted at full POOL depth through the
+    shared ``proximity_boosted_pool`` core, fused via the shared
+    ``rrf_fuse``.  Parity with one-shot q190 on the corpus ingested
+    so far reduces to the input frames being equal (the bm25gate and
+    proxgate store theorems + the same pure fusion function) —
+    pytest-proven per append prefix."""
+    from ..operators.retrieval import proximity_boosted_pool
+    from .proxgate import serve_term_proximity
+
+    pool = serve_bm25_pool(spark, bm25_state)
+    prox = (serve_term_proximity(spark, prox_state, qtermf)
+            .select("query_id", "cand_id", "min_dist"))
+    b = (proximity_boosted_pool(pool, prox, POOL)
+         .select("query_id", "cand_id", F.col("rank").alias("rank_b")))
+    c = cosine_pool.select("query_id", "cand_id",
+                           F.col("rank").alias("rank_c"))
+    return rrf_fuse(b, c)
 
 
 def serve_rrf_fusion(spark: SparkSession, state_dir: str,

@@ -1,0 +1,209 @@
+"""Streaming θ gate — a store-derived pruning threshold for the
+served MaxScore read (r14; r13 verdict Next-round #4).
+
+THE PROBLEM: θ — the POOL-th best true BM25 score per query — is a
+RANK statistic, not SUM-mergeable (ROADMAP names it "NOT mergeable"),
+and no stored SCORE can survive corpus growth anyway: every per-term
+idf moves when df/n_docs change, in either direction.  The one-shot
+q178 plan and the served serve_bm25_topk both pay a seed-scoring pass
+at read time to obtain θ.
+
+THE HISTOGRAM WAY AROUND IT (the histgate pattern, conservative-side-
+only): don't store scores — store the SCORE-FREE per-posting facts
+(term, capped tf, dl bucket) as SUM-mergeable counts, and derive a θ
+LOWER BOUND at read time by pricing those facts with the CURRENT
+merged (df, n_docs, Σdl):
+
+  c(term, tfc, dlb) = floor(idf_now · satur(tfc, 2^(dlb+1)) · FP) − 2
+
+is ≤ the snapped contribution fp(term, d) of EVERY doc d counted in
+that cell: tfc = min(tf, TG_TF_CAP) ≤ tf (saturation is increasing in
+tf), 2^(dlb+1) > dl for dlb = floor(log2 dl) (saturation is
+decreasing in dl), idf is the exact current value, and the −2 covers
+the floor-vs-round snap gap.  A doc's FULL score is ≥ any single
+term's contribution, so if a term's histogram shows ≥ POOL + 1 docs
+in cells priced ≥ c* (the +1 spends one doc on the possibility that
+the query document itself is among them — the store cannot know),
+then at least POOL true candidates score ≥ c*, hence
+
+  θ_true ≥ θ_lb = max over the query's terms of that c*.
+
+PRUNE-SAFETY (why a lower bound is enough): the essential split
+(retrieval._essential_terms) prunes the ascending-UB prefix with
+cumsum STRICTLY below the supplied θ.  With θ_lb ≤ θ_true, every
+pruned doc scores < θ_lb ≤ θ_true, so it can never displace a
+POOL-th-or-better row — underestimating θ only prunes LESS, never
+wrongly.  The served read built on it is therefore exact for ANY
+store state (pytest: pruned ≡ unpruned per append prefix), and the
+routing decision is conservative-side-only: when the histogram is
+too coarse to clear any prefix, the read degrades to the full-pool
+plan's candidate set, never to a wrong answer.
+
+What this buys at read time: serve_bm25_topk's θ costs a seed
+CANDIDATE SCORING pass (join seed postings, score, rank) per read;
+the histogram θ is arithmetic over a (vocab × TG_TF_CAP × ~40)-
+bounded merged sketch joined to the |queries|-bounded term probe —
+no candidate scoring before the single exact scoring pass.
+
+State shape: one (term, tfc, dlb, n) SUM partial per batch under
+batch_id=<id> (overwrite = idempotent replay, the histgate/bm25gate
+scheme).  Cells are ≤ |vocab| · 32 · ~40 but physically bounded by
+the batch's distinct postings — in practice ~|vocab| rows (tf and dl
+concentrate).  Docs are atomic per batch, so tf and dl are final at
+write time; merging is exact integer SUM over doc-disjoint batches.
+
+Citation: the reference (433-line tick ETL, /root/reference/src/
+main.rs) has no retrieval surface; north-star extension.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..operators.retrieval import (
+    BM25_B,
+    BM25_K1,
+    FP,
+    POOL,
+    TOP_K,
+    corpus_term_frames,
+)
+
+TG_TF_CAP = 32   # tf cap in the histogram key (satur ↑ in tf: safe)
+
+
+def batch_impact_partial(docs: DataFrame) -> DataFrame:
+    """(term, tfc, dlb, n) — one batch's score-free impact histogram:
+    capped term frequency × log2 doc-length bucket, counted.  A pure
+    SUM partial (each (doc, term) posting lives in exactly one
+    batch)."""
+    tf, _, dl, _ = corpus_term_frames(docs)
+    return (tf.join(dl, "cand_id")
+            .select("term",
+                    F.least(F.col("tf"), F.lit(TG_TF_CAP)).alias("tfc"),
+                    F.floor(F.log2(F.col("dl").cast("double")))
+                    .cast("int").alias("dlb"))
+            .groupBy("term", "tfc", "dlb")
+            .agg(F.count("*").alias("n")))
+
+
+def read_impact_hist(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Merged (term, tfc, dlb, n) over all persisted batch partials."""
+    return (spark.read.parquet(state_dir)
+            .groupBy("term", "tfc", "dlb")
+            .agg(F.sum("n").alias("n")))
+
+
+def theta_lower_bound(hist: DataFrame, dfq: DataFrame,
+                      stats: DataFrame, qterms: DataFrame,
+                      theta_rank: int = POOL) -> DataFrame:
+    """(query_id, theta) — the conservative θ lower bound priced from
+    the merged histogram with CURRENT corpus stats (module docstring
+    for the soundness argument).  Queries where no single term shows
+    theta_rank + 1 docs above any positive cell price get NO row —
+    the essential split then keeps all their terms (prunes less,
+    stays exact).  Bounded: the priced frame is |query terms| ×
+    histogram cells per term; the window partitions on (query, term)
+    over ≤ TG_TF_CAP · ~40 rows."""
+    idf = F.log(F.lit(1.0)
+                + ((F.col("n_docs") - F.col("df")) + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    qstat = (qterms.join(dfq, "term").crossJoin(F.broadcast(stats))
+             .select("query_id", "term", idf.alias("_idf"),
+                     (F.col("sum_dl") / F.col("n_docs"))
+                     .alias("_avgdl")))
+    dl_ub = F.pow(F.lit(2.0), F.col("dlb") + F.lit(1))
+    satur_lb = (F.col("tfc") * F.lit(BM25_K1 + 1.0)
+                / (F.col("tfc")
+                   + F.lit(BM25_K1) * (F.lit(1.0) - F.lit(BM25_B)
+                                       + F.lit(BM25_B)
+                                       * (dl_ub / F.col("_avgdl")))))
+    c = (F.floor(F.col("_idf") * satur_lb * F.lit(FP)) - F.lit(2)) \
+        .cast("long")
+    priced = (hist.join(qstat, "term")
+              .select("query_id", "term", c.alias("c"), "n")
+              .groupBy("query_id", "term", "c")
+              .agg(F.sum("n").alias("n")))
+    w = (W.partitionBy("query_id", "term").orderBy(F.desc("c"))
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    reached = (priced.withColumn("_cum", F.sum("n").over(w))
+               .where((F.col("_cum") >= theta_rank + 1)
+                      & (F.col("c") > 0)))
+    return reached.groupBy("query_id").agg(F.max("c").alias("theta"))
+
+
+def serve_bm25_topk_hist_theta(spark: SparkSession, bm25_state: str,
+                               theta_state: str, *,
+                               prune: bool | None = None) -> DataFrame:
+    """q175's output shape served from the incremental BM25 store with
+    the pruning θ derived from the PERSISTED histogram instead of a
+    read-time seed-scoring pass.  Routed through the same stored-
+    postings spread gate as serve_bm25_topk; the pruned branch runs
+    the shared essential split with θ_lb and scores the essential-
+    matched candidate set once — exact for any θ lower bound (module
+    docstring), pytest-pinned pruned ≡ unpruned per append prefix on
+    flat and Zipfian stored corpora.  ``prune`` forces a branch
+    (tests); None lets the gate decide."""
+    from ..operators.retrieval import (
+        _essential_terms,
+        _pool_rank,
+        bm25_full_scores,
+        maxscore_gate_from_postings,
+        query_terms_from,
+        term_upper_bounds,
+    )
+    from .bm25gate import (
+        read_corpus_stats,
+        read_dl,
+        read_term_df,
+        read_tf,
+        serve_bm25_pool,
+    )
+
+    tf = read_tf(spark, bm25_state)
+    dl = read_dl(spark, bm25_state)
+    if prune is None:
+        prune = maxscore_gate_from_postings(tf, dl)
+    if not prune:
+        return (serve_bm25_pool(spark, bm25_state)
+                .where(F.col("rank") <= TOP_K)
+                .select("query_id", "cand_id",
+                        (F.col("fp_sum") / F.lit(FP)).alias("score"),
+                        "rank"))
+    tf = tf.localCheckpoint(eager=True)
+    qterms = query_terms_from(tf)
+    dfq = read_term_df(spark, bm25_state)
+    stats = read_corpus_stats(spark, bm25_state)
+    theta = theta_lower_bound(read_impact_hist(spark, theta_state),
+                              dfq, stats, qterms)
+    ess = _essential_terms(term_upper_bounds(dfq, stats, qterms),
+                           theta)
+    cands = (tf.join(ess, "term")
+             .where(F.col("cand_id") != F.col("query_id"))
+             .select("query_id", "cand_id").distinct())
+    scores = bm25_full_scores(cands, tf, dfq, dl, stats, qterms)
+    pool = _pool_rank(scores, [F.desc("fp_sum"), F.asc("cand_id")],
+                      POOL)
+    return (pool.where(F.col("rank") <= TOP_K)
+            .select("query_id", "cand_id",
+                    (F.col("fp_sum") / F.lit(FP)).alias("score"),
+                    "rank"))
+
+
+def start_theta_stream(stream_docs: DataFrame, state_dir: str,
+                       checkpoint_dir: str):
+    """availableNow/foreachBatch wiring for the impact histogram:
+    each batch overwrites its own partial under batch_id=<id>."""
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_impact_partial(batch_df)
+         .write.mode("overwrite")
+         .parquet(os.path.join(state_dir, f"batch_id={batch_id}")))
+
+    return (stream_docs.writeStream
+            .foreachBatch(body)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

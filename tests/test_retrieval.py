@@ -557,3 +557,90 @@ def test_quality_metrics_zero_result_query_stays(spark):
     q3 = rows[3]
     assert (q3.n_rel, q3.hits_k, q3.dcg_fp, q3.idcg_fp,
             q3.ndcg_ppm, q3.mrr_ppm, q3.recall_ppm) == (0,) * 7
+
+
+def test_fused_rrf_twin_and_rank_consistency(spark, duck):
+    """q190: DuckDB-twin equality at sf0.001 plus structural pins —
+    fused ranks dense 1..TOP_K per query, rrf bit-exact re-derivable
+    from the two input ranks (the q176 contract, boosted input)."""
+    rows, cols = _twin(spark, duck, "q190_proximity_fused_rrf")
+    i = {c: j for j, c in enumerate(cols)}
+    by_q: dict = {}
+    for r in rows:
+        rb, rc = r[i["rank_b"]], r[i["rank_c"]]
+        assert rb is not None or rc is not None
+        expect = ((1.0 / (R.RRF_K + rb) if rb is not None else 0.0)
+                  + (1.0 / (R.RRF_K + rc) if rc is not None else 0.0))
+        assert r[i["rrf"]] == pytest.approx(expect, abs=0, rel=0)
+        by_q.setdefault(r[i["query_id"]], []).append(r[i["fused_rank"]])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, R.TOP_K + 1)), f"q{q}"
+
+
+def test_fusion_quality_compare_fixture_verdict(spark, duck):
+    """q191: DuckDB-twin equality at sf0.001, plus the MEASURED
+    fixture verdict pinned honestly (the q191 block comment): the
+    proximity boost ties BM25 (uniform min_dist=1 bonus across the
+    shared-vocabulary pool shifts, never reorders), and the fusion
+    LOSES to its lexical input — the synthetic embeddings carry no
+    signal about the lexical phrase/proximity truth, and the quality
+    yardstick exists exactly to catch that before a fusion change
+    ships."""
+    rows, cols = _twin(spark, duck, "q191_fusion_quality_compare")
+    i = {c: j for j, c in enumerate(cols)}
+    by_sys = {r[i["system"]]: r for r in rows}
+    assert set(by_sys) == {"bm25", "boosted", "fused"}
+    bm25, boosted, fused = (by_sys["bm25"], by_sys["boosted"],
+                            by_sys["fused"])
+    assert all(r[i["n_queries"]] == R.N_QUERIES for r in rows)
+    assert boosted[i["macro_ndcg_ppm"]] >= bm25[i["macro_ndcg_ppm"]]
+    # the honest fixture measurement: uninformative second ranker
+    # drags the fusion below the lexical ranking on the lexical truth
+    assert fused[i["macro_ndcg_ppm"]] < bm25[i["macro_ndcg_ppm"]]
+    assert 0 < fused[i["macro_ndcg_ppm"]] <= 1_000_000
+    assert bm25[i["macro_ndcg_ppm"]] <= 1_000_000
+
+
+def test_fusion_wins_on_complementary_rankers(spark):
+    """The fusion-win direction q191 cannot show on the fixtures,
+    pinned through the SAME cores (rrf_fuse + quality_metrics_from):
+    two rankers that each surface a DIFFERENT half of the relevant
+    set — with disjoint irrelevant tails, so no irrelevant doc
+    double-scores — fuse into a ranking whose nDCG@k and recall@k
+    strictly dominate both inputs.  This is the classic RRF setting
+    (Cormack et al. 2009); with it, q191's fixture verdict (fusion
+    loses when ranker B is noise) and this test (fusion wins when B
+    is complementary) bracket the decision the metric exists to
+    make."""
+    from pyspark.sql import functions as F
+
+    rel = {1: 3, 2: 2, 3: 2, 4: 1, 5: 1, 6: 3, 7: 2, 8: 2, 9: 1, 10: 1}
+    truth = spark.createDataFrame(
+        [(0, c, r) for c, r in rel.items()],
+        "query_id long, cand_id long, rel long")
+    # ranker A finds docs 1-5 (ranks 1-5), tail 101-115 irrelevant;
+    # ranker B finds docs 6-10, tail 201-215 irrelevant (disjoint)
+    a = [(0, c, r + 1) for r, c in enumerate([1, 2, 3, 4, 5])] + \
+        [(0, 100 + j, 5 + j) for j in range(1, 16)]
+    b = [(0, c, r + 1) for r, c in enumerate([6, 7, 8, 9, 10])] + \
+        [(0, 200 + j, 5 + j) for j in range(1, 16)]
+    schema = "query_id long, cand_id long, rank long"
+    pa = spark.createDataFrame(a, schema)
+    pb = spark.createDataFrame(b, schema)
+    fused = (R.rrf_fuse(
+        pa.select("query_id", "cand_id", F.col("rank").alias("rank_b")),
+        pb.select("query_id", "cand_id", F.col("rank").alias("rank_c")))
+        .select("query_id", "cand_id",
+                F.col("fused_rank").alias("rank")))
+
+    def metrics(pool):
+        r = R.quality_metrics_from(
+            pool.where(F.col("rank") <= R.TOP_K), truth).collect()
+        assert len(r) == 1
+        return r[0]
+
+    ma, mb, mf = metrics(pa), metrics(pb), metrics(fused)
+    assert mf.recall_ppm == 1_000_000  # fused top-10 = all 10 relevant
+    assert mf.recall_ppm > max(ma.recall_ppm, mb.recall_ppm)
+    assert mf.ndcg_ppm > max(ma.ndcg_ppm, mb.ndcg_ppm), \
+        (mf.ndcg_ppm, ma.ndcg_ppm, mb.ndcg_ppm)

@@ -241,6 +241,56 @@ def test_served_proximity_boosted_bm25_tracks_appends(spark, tmp_path):
         _table(q184_proximity_boosted_bm25(spark, SF_DIR))
 
 
+def test_served_proximity_fused_rrf_tracks_appends(spark, tmp_path):
+    """r14 (the q190 serving twin): the fused read composed from the
+    BM25 store + the token-positional postings store + the static
+    cosine pool equals the one-shot proximity-boosted fusion after
+    every prefix of a 2-batch append, and q190 verbatim at full
+    corpus."""
+    from oanda_stream_processor_spark.operators.retrieval import (
+        POOL,
+        proximity_boosted_pool,
+        proximity_from,
+        q190_proximity_fused_rrf,
+        token_postings,
+    )
+    from oanda_stream_processor_spark.streaming.proxgate import (
+        build_query_term_frame,
+        write_batch_token_postings,
+    )
+    from oanda_stream_processor_spark.streaming.rrfserve import (
+        serve_proximity_fused_rrf,
+    )
+
+    def one_shot_on(d, qtermf, cos):
+        pool = _one_shot_bm25_pool(d)
+        prox = (proximity_from(token_postings(d), qtermf)
+                .select("query_id", "cand_id", "min_dist"))
+        b = (proximity_boosted_pool(pool, prox, POOL)
+             .select("query_id", "cand_id",
+                     F.col("rank").alias("rank_b")))
+        return rrf_fuse(b, _rank_c(cos))
+
+    d = load_table(spark, SF_DIR, "documents")
+    qtermf = build_query_term_frame(d)
+    cos = exact_cosine_pool(spark, SF_DIR)
+    bm25_state = str(tmp_path / "bm25")
+    prox_state = str(tmp_path / "prox")
+    seen = None
+    for i in range(2):
+        part = d.where(F.col("doc_id") % 2 == i)
+        write_batch_partials(part, bm25_state, i)
+        write_batch_token_postings(part, prox_state, i)
+        seen = part if seen is None else seen.unionByName(part)
+        got = serve_proximity_fused_rrf(spark, bm25_state, prox_state,
+                                        qtermf, cos)
+        assert _table(got) == _table(one_shot_on(seen, qtermf, cos)), \
+            f"diverged after batch {i}"
+    assert _table(serve_proximity_fused_rrf(spark, bm25_state,
+                                            prox_state, qtermf, cos)) \
+        == _table(q190_proximity_fused_rrf(spark, SF_DIR))
+
+
 def test_served_quality_equals_q185(spark, tmp_path):
     """r13: the served ranking-quality read composed from the three
     stores (BM25 system ranking + token-positional truth tiers +

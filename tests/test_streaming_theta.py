@@ -1,0 +1,155 @@
+"""Streaming θ gate (streaming/thetagate.py): the histogram-derived
+pruning threshold must LOWER-bound the true per-query POOL-th best
+score for any store state (conservative-side-only), actually engage
+the essential split on a spread corpus, and leave the served read
+row-for-row exact per append prefix — the r13 verdict's Next-round #4
+contract ("θ is a rank statistic, not SUM-mergeable; the histogram
+bound is the honest way around that")."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oanda_stream_processor_spark.io import load_table
+from oanda_stream_processor_spark.operators.retrieval import (
+    N_QUERIES,
+    POOL,
+    bm25_pool_from,
+    corpus_term_frames,
+    q175_bm25_topk,
+    query_terms_from,
+    term_upper_bounds,
+)
+from oanda_stream_processor_spark.streaming.bm25gate import (
+    read_corpus_stats,
+    read_term_df,
+    write_batch_partials,
+)
+from oanda_stream_processor_spark.streaming.thetagate import (
+    batch_impact_partial,
+    read_impact_hist,
+    serve_bm25_topk_hist_theta,
+    start_theta_stream,
+    theta_lower_bound,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _table(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _zipf(spark, n=400):
+    common = "the of and to in for a is on at"
+    return spark.createDataFrame(
+        [(i, f"{common} rare{i % 8}a rare{i % 8}b") for i in range(n)],
+        "doc_id long, text string")
+
+
+def _write_both(d, bm25_state, theta_state, n_batches=2):
+    for i in range(n_batches):
+        part = d.where(F.col("doc_id") % n_batches == i)
+        write_batch_partials(part, bm25_state, i)
+        (batch_impact_partial(part).write.mode("overwrite")
+         .parquet(f"{theta_state}/batch_id={i}"))
+
+
+def _true_theta(spark, d):
+    """(query_id, POOL-th best true fp_sum) from the full pool."""
+    tf, dfq, dl, stats = corpus_term_frames(d)
+    pool = bm25_pool_from(tf, dfq, dl, stats, query_terms_from(tf))
+    return {r.query_id: r.fp_sum for r in
+            pool.where(F.col("rank") == POOL).collect()}
+
+
+def test_theta_bound_is_conservative_and_engages(spark, tmp_path):
+    """θ_lb ≤ the true achieved POOL-th score for every query that
+    gets a θ row — on the fixture corpus AND a Zipfian corpus — and
+    on the Zipfian corpus the bound is strong enough to prune at
+    least one term from at least one query's essential split (the
+    gate is not vacuous)."""
+    for name, d in (("fixture",
+                     load_table(spark, SF_DIR, "documents")),
+                    ("zipf", _zipf(spark))):
+        bm25_state = str(tmp_path / f"{name}_bm25")
+        theta_state = str(tmp_path / f"{name}_theta")
+        _write_both(d, bm25_state, theta_state)
+        tf, _, _, _ = corpus_term_frames(d)
+        qterms = query_terms_from(tf)
+        dfq = read_term_df(spark, bm25_state)
+        stats = read_corpus_stats(spark, bm25_state)
+        theta = theta_lower_bound(
+            read_impact_hist(spark, theta_state), dfq, stats, qterms)
+        got = {r.query_id: r.theta for r in theta.collect()}
+        want = _true_theta(spark, d)
+        assert got, f"{name}: no θ row at all (bound vacuous)"
+        for q, lb in got.items():
+            assert lb <= want[q], (name, q, lb, want[q])
+        if name == "zipf":
+            from oanda_stream_processor_spark.operators.retrieval import (
+                _essential_terms,
+            )
+            qub = term_upper_bounds(dfq, stats, qterms)
+            ess = _essential_terms(qub, theta)
+            n_all, n_ess = qub.count(), ess.count()
+            assert n_ess < n_all, (n_ess, n_all)
+
+
+def test_served_hist_theta_read_is_exact_per_prefix(spark, tmp_path):
+    """The serving contract: after every prefix of a 2-batch append,
+    the hist-θ pruned read equals the unpruned read row-for-row on
+    both a Zipfian and the fixture corpus (exactness holds for ANY θ
+    lower bound), the default gated read equals the forced branches,
+    and the full-corpus read equals one-shot q175 on the fixture."""
+    for name, d in (("zipf", _zipf(spark)),
+                    ("fixture",
+                     load_table(spark, SF_DIR, "documents"))):
+        bm25_state = str(tmp_path / f"{name}_bm25")
+        theta_state = str(tmp_path / f"{name}_theta")
+        seen = None
+        for i in range(2):
+            part = d.where(F.col("doc_id") % 2 == i)
+            write_batch_partials(part, bm25_state, i)
+            (batch_impact_partial(part).write.mode("overwrite")
+             .parquet(f"{theta_state}/batch_id={i}"))
+            seen = part if seen is None else seen.unionByName(part)
+            pruned = _table(serve_bm25_topk_hist_theta(
+                spark, bm25_state, theta_state, prune=True))
+            unpruned = _table(serve_bm25_topk_hist_theta(
+                spark, bm25_state, theta_state, prune=False))
+            assert pruned == unpruned, (name, i)
+        assert _table(serve_bm25_topk_hist_theta(
+            spark, bm25_state, theta_state)) == pruned, name
+    assert pruned == _table(q175_bm25_topk(spark, SF_DIR))
+
+
+def test_theta_stream_e2e_and_replay(spark, tmp_path):
+    """availableNow e2e for the histogram store, plus replay
+    idempotence: re-overwriting one batch partial leaves the merged
+    histogram unchanged."""
+    d = _zipf(spark).select("doc_id", "text")
+    src = tmp_path / "docs"
+    src.mkdir()
+    d.where("doc_id % 2 = 0").coalesce(1).write.json(str(src / "f1"))
+    d.where("doc_id % 2 = 1").coalesce(1).write.json(str(src / "f2"))
+    stream = (spark.readStream
+              .schema("doc_id bigint, text string")
+              .option("maxFilesPerTrigger", "1")
+              .json(str(src / "*")))
+    theta_state = str(tmp_path / "tstate")
+    q = start_theta_stream(stream, theta_state, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert _table(read_impact_hist(spark, theta_state)) == \
+        _table(batch_impact_partial(d))
+    # replay idempotence on a manually-keyed store (stream batch->file
+    # assignment is not contractual, so replay there is untestable)
+    manual = str(tmp_path / "manual")
+    for i in range(2):
+        part = d.where(F.col("doc_id") % 2 == i)
+        (batch_impact_partial(part).write.mode("overwrite")
+         .parquet(f"{manual}/batch_id={i}"))
+    (batch_impact_partial(d.where(F.col("doc_id") % 2 == 1))
+     .write.mode("overwrite").parquet(f"{manual}/batch_id=1"))
+    assert _table(read_impact_hist(spark, manual)) == \
+        _table(batch_impact_partial(d))
