@@ -2162,6 +2162,74 @@ UNION ALL
 {_sql_macro('fused', 'perq_f')}"""
 
 
+# --- q192: PRF quality comparison ----------------------------------------------
+#
+# The yardstick over the PRF decision (ROADMAP's "quality metrics
+# over the PRF variants" — the same read q191 gives the fusion
+# decision): grade plain BM25 and the PRF-expanded ranking (q187)
+# against the shared truth, one macro row per system.  MEASURED
+# fixture verdict (pytest-pinned, reported honestly): PRF HURTS —
+# macro-nDCG 600k vs 768k ppm at sf0.001, 842k vs 857k at sf0.01.
+# Cause: the shared-vocabulary fixture queries already cover most of
+# the (tiny) vocabulary, so expansion can only add common terms,
+# diluting the ranking toward coverage-irrelevant candidates — the
+# classic PRF failure mode on short-vocabulary corpora (expansion
+# pays off when queries UNDER-cover a large vocabulary).  Like
+# q191's fusion verdict, this is the read a production gate takes
+# before shipping the expansion change — and here it says "don't".
+#
+# Cost shape: truth/pool read from the memoized quality_corpus_frames
+# trio (free when warm); the PRF side re-runs q187's two-pass
+# machinery (its own postings checkpoint — the pass-2 qterms differ
+# per corpus, nothing to share); metric chains are arithmetic over
+# bounded frames with nrel/idcg computed once.
+# ------------------------------------------------------------------------------
+def q192_prf_quality_compare(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """(system ∈ {bm25, prf}, n_queries, macro_ndcg_ppm,
+    macro_mrr_ppm, macro_recall_ppm) — plain vs PRF-expanded BM25
+    graded against the shared phrase/proximity truth."""
+    pool, _, truth = quality_corpus_frames(spark, sf_dir)
+    base = query_doc_base(spark, sf_dir)
+    nrel, idcg = truth_side_frames(truth)
+    if _quality_memo_on():
+        nrel = nrel.localCheckpoint(eager=True)
+        idcg = idcg.localCheckpoint(eager=True)
+    bm25_tk = (pool.where(F.col("rank") <= TOP_K)
+               .select("query_id", "cand_id", "rank"))
+    prf_tk = (q187_prf_expanded_bm25(spark, sf_dir)
+              .select("query_id", "cand_id", "rank"))
+    out = None
+    for name, tk in (("bm25", bm25_tk), ("prf", prf_tk)):
+        row = (_macro_summary(quality_metrics_from(tk, truth,
+                                                   base=base,
+                                                   nrel=nrel,
+                                                   idcg=idcg))
+               .select(F.lit(name).alias("system"), "n_queries",
+                       "macro_ndcg_ppm", "macro_mrr_ppm",
+                       "macro_recall_ppm"))
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _register_q192() -> None:
+    """Deferred registration: the oracle composes the truth CTEs
+    (built at call time — dedup's token-hash chain) with the shared
+    PRF fragment, so it is assembled once at import tail."""
+    QUERIES["q192_prf_quality_compare"] = q192_prf_quality_compare
+    ORACLES["q192_prf_quality_compare"] = f"""{_sql_truth_ctes()},
+topk AS (SELECT query_id, cand_id, rank FROM bpool
+         WHERE rank <= {TOP_K}),
+{_sql_system_metrics('topk', '')},
+{SQL_PRF_CTES},
+ptk AS (SELECT query_id, cand_id, rank FROM r2
+        WHERE rank <= {TOP_K}),
+{_sql_system_metrics('ptk', '_p')}
+{_sql_macro('bm25', 'perq')}
+UNION ALL
+{_sql_macro('prf', 'perq_p')}"""
+
+
 # --- q187: pseudo-relevance-feedback (RM3-style) expanded BM25 -----------------
 #
 # The classic two-pass PRF loop a lexical stack runs when queries are
@@ -2211,8 +2279,9 @@ def prf_expanded_pool(tf: DataFrame, dfq: DataFrame, dl: DataFrame,
     return bm25_pool_from(tf, dfq, dl, stats, qx)
 
 
-@query("q187_prf_expanded_bm25", f"""{SQL_BM25_POOL},
-fb AS (SELECT query_id, cand_id FROM bpool WHERE rank <= {PRF_DOCS}),
+# the PRF second-pass CTE chain appended after SQL_BM25_POOL, shared
+# verbatim by the q187/q192 oracles (r14 extraction)
+SQL_PRF_CTES = f"""fb AS (SELECT query_id, cand_id FROM bpool WHERE rank <= {PRF_DOCS}),
 ex0 AS (SELECT f.query_id, tf.term, CAST(SUM(tf.tf) AS BIGINT) AS w
         FROM fb f
         JOIN tf ON tf.cand_id = f.cand_id
@@ -2246,7 +2315,11 @@ agg2 AS (SELECT query_id, cand_id, SUM(fp) AS fp_sum
 r2 AS (SELECT query_id, cand_id, fp_sum,
               ROW_NUMBER() OVER (PARTITION BY query_id
                                  ORDER BY fp_sum DESC, cand_id) AS rank
-       FROM agg2)
+       FROM agg2)"""
+
+
+@query("q187_prf_expanded_bm25", f"""{SQL_BM25_POOL},
+{SQL_PRF_CTES}
 SELECT query_id, cand_id, fp_sum / {FP} AS score, rank
 FROM r2 WHERE rank <= {TOP_K}
 """)
@@ -2357,3 +2430,6 @@ def q188_best_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select(F.col("doc_id").alias("query_id"), "term")
               .distinct())
     return best_passage_from(p, qtermf)
+
+
+_register_q192()

@@ -70,9 +70,9 @@ from .bm25gate import (
 from .phrasegate import serve_phrase_matches
 
 __all__ = ["ann_cosine_pool", "exact_cosine_pool",
-           "serve_phrase_filtered_bm25", "serve_proximity_boosted_bm25",
-           "serve_proximity_fused_rrf", "serve_retrieval_quality",
-           "serve_rrf_fusion"]
+           "serve_fusion_quality_compare", "serve_phrase_filtered_bm25",
+           "serve_proximity_boosted_bm25", "serve_proximity_fused_rrf",
+           "serve_retrieval_quality", "serve_rrf_fusion"]
 
 
 def exact_cosine_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -179,6 +179,81 @@ def serve_rrf_fusion(spark: SparkSession, state_dir: str,
     c = cosine_pool.select("query_id", "cand_id",
                            F.col("rank").alias("rank_c"))
     return rrf_fuse(b, c)
+
+
+def serve_fusion_quality_compare(spark: SparkSession, bm25_state: str,
+                                 prox_state: str, phrase_state: str,
+                                 cosine_pool: DataFrame) -> DataFrame:
+    """q191's three macro rows (bm25 / boosted / fused vs the graded
+    truth) served ENTIRELY from the three persisted stores plus a
+    supplied cosine pool (r14): the BM25 pool from the incremental
+    store, the proximity feature AND the coverage/adjacency truth
+    tiers from the token-positional store, the phrase tier from the
+    trigram store — every half a shared core (serve_bm25_pool,
+    serve_term_proximity, relevance_truth_from, truth_side_frames,
+    proximity_boosted_pool, rrf_fuse, quality_metrics_from,
+    _macro_summary), so parity with one-shot q191 on the corpus
+    ingested so far reduces to the store theorems; pytest pins it per
+    append prefix and verbatim at full corpus.  This closes the
+    serving loop on the fusion DECISION itself: append documents,
+    then read which ranker to ship without recomputing anything
+    corpus-global from raw text."""
+    from ..operators.retrieval import (
+        POOL,
+        TOP_K,
+        _macro_summary,
+        proximity_boosted_pool,
+        quality_metrics_from,
+        query_terms_from,
+        relevance_truth_from,
+        rrf_fuse,
+        truth_side_frames,
+    )
+    from .phrasegate import read_postings, serve_phrase_matches
+    from .proxgate import read_token_postings, serve_term_proximity
+
+    pool = serve_bm25_pool(spark, bm25_state)
+    qtermf = query_terms_from(read_tf(spark, bm25_state))
+    px = serve_term_proximity(spark, prox_state, qtermf)
+    psh = read_postings(spark, phrase_state)
+    phrases = (psh.where((F.col("pos") == 1)
+                         & (F.col("doc_id") < N_QUERIES))
+               .select(F.col("doc_id").alias("query_id"),
+                       F.col("sh").alias("qsh")))
+    phr = (serve_phrase_matches(spark, phrase_state, phrases)
+           .select("query_id", "cand_id"))
+    truth = relevance_truth_from(
+        read_token_postings(spark, prox_state), phr, prox=px)
+    base = (read_dl(spark, bm25_state)
+            .where(F.col("cand_id") < N_QUERIES)
+            .select(F.col("cand_id").alias("query_id")))
+    nrel, idcg = truth_side_frames(truth)
+    bm25_tk = (pool.where(F.col("rank") <= TOP_K)
+               .select("query_id", "cand_id", "rank"))
+    boosted = proximity_boosted_pool(
+        pool.select("query_id", "cand_id", "fp_sum"),
+        px.select("query_id", "cand_id", "min_dist"), POOL)
+    boost_tk = (boosted.where(F.col("rank") <= TOP_K)
+                .select("query_id", "cand_id", "rank"))
+    c = cosine_pool.select("query_id", "cand_id",
+                           F.col("rank").alias("rank_c"))
+    fused_tk = (rrf_fuse(boosted.select("query_id", "cand_id",
+                                        F.col("rank").alias("rank_b")),
+                         c)
+                .select("query_id", "cand_id",
+                        F.col("fused_rank").alias("rank")))
+    out = None
+    for name, tk in (("bm25", bm25_tk), ("boosted", boost_tk),
+                     ("fused", fused_tk)):
+        row = (_macro_summary(quality_metrics_from(tk, truth,
+                                                   base=base,
+                                                   nrel=nrel,
+                                                   idcg=idcg))
+               .select(F.lit(name).alias("system"), "n_queries",
+                       "macro_ndcg_ppm", "macro_mrr_ppm",
+                       "macro_recall_ppm"))
+        out = row if out is None else out.unionByName(row)
+    return out
 
 
 def serve_retrieval_quality(spark: SparkSession, bm25_state: str,

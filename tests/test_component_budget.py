@@ -40,6 +40,12 @@ def test_q167_cold_build_stays_within_job_budget(spark):
             os.environ.pop("SPARK_GRAFT_EDGE_MEMO", None)
         else:
             os.environ["SPARK_GRAFT_EDGE_MEMO"] = prev_memo
-        sc.setJobGroup("", "")
+        # clear via the local properties, NOT setJobGroup("", "") —
+        # the empty STRING is itself a group, and every later job in
+        # the session would land in it, blinding any other test that
+        # reads the default-group tracker (this broke the eager-
+        # registry sweep when the two tests shared one session)
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
     assert 0 < len(ids) <= JOB_BUDGET, \
         f"q167 cold build ran {len(ids)} jobs (budget {JOB_BUDGET})"

@@ -32,13 +32,22 @@ def test_eager_build_marker_matches_reality(spark):
     for t in TABLES:  # warm schema inference / file-index caches
         load_table(spark, SF, t).schema
 
-    tracker = spark.sparkContext.statusTracker()
+    # sweep under an OWN job group: the default-group tracker reads
+    # nothing if any earlier test in the shared session left a group
+    # set (the empty-string-group hazard, see test_component_budget)
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    sc.setJobGroup("eager_sweep", "registry build-time job sweep")
     eager: set[str] = set()
-    for name, fn in sorted(ent.queries().items()):
-        before = len(tracker.getJobIdsForGroup())
-        fn(spark, SF)  # build only — never executed
-        if len(tracker.getJobIdsForGroup()) > before:
-            eager.add(name)
+    try:
+        for name, fn in sorted(ent.queries().items()):
+            before = len(tracker.getJobIdsForGroup("eager_sweep"))
+            fn(spark, SF)  # build only — never executed
+            if len(tracker.getJobIdsForGroup("eager_sweep")) > before:
+                eager.add(name)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
 
     missing = ent.EAGER_BUILD_QUERIES - eager
     extra = eager - ent.EAGER_BUILD_QUERIES

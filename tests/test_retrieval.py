@@ -644,3 +644,22 @@ def test_fusion_wins_on_complementary_rankers(spark):
     assert mf.recall_ppm > max(ma.recall_ppm, mb.recall_ppm)
     assert mf.ndcg_ppm > max(ma.ndcg_ppm, mb.ndcg_ppm), \
         (mf.ndcg_ppm, ma.ndcg_ppm, mb.ndcg_ppm)
+
+
+def test_prf_quality_compare_fixture_verdict(spark, duck):
+    """q192: DuckDB-twin equality at sf0.001 plus the MEASURED
+    fixture verdict pinned honestly (the q192 block comment): on the
+    shared-vocabulary fixture PRF expansion HURTS — queries already
+    cover most of the tiny vocabulary, so mined expansion terms are
+    common terms that dilute the ranking (the classic short-
+    vocabulary PRF failure; expansion pays off when queries
+    UNDER-cover a large vocabulary).  Both systems are graded over
+    the same denominator."""
+    rows, cols = _twin(spark, duck, "q192_prf_quality_compare")
+    i = {c: j for j, c in enumerate(cols)}
+    by_sys = {r[i["system"]]: r for r in rows}
+    assert set(by_sys) == {"bm25", "prf"}
+    assert all(r[i["n_queries"]] == R.N_QUERIES for r in rows)
+    bm25, prf = by_sys["bm25"], by_sys["prf"]
+    assert 0 < prf[i["macro_ndcg_ppm"]] < bm25[i["macro_ndcg_ppm"]]
+    assert bm25[i["macro_ndcg_ppm"]] <= 1_000_000

@@ -414,3 +414,102 @@ def test_served_quality_grades_arbitrary_rankers(spark, tmp_path):
         q184_proximity_boosted_bm25(spark, SF_DIR)
         .select("query_id", "cand_id", "rank"), truth, base=qbase)
     assert _table(got2) == _table(want2)
+
+
+def test_served_fusion_quality_compare_equals_q191(spark, tmp_path):
+    """r14: the served three-system fusion-quality comparison (the
+    fusion DECISION read) composed from the three stores + the static
+    cosine pool equals one-shot q191 — per append prefix via the
+    shared cores, verbatim at full corpus."""
+    from oanda_stream_processor_spark.operators.dedup import (
+        _spark_shingle_hashes,
+    )
+    from oanda_stream_processor_spark.operators.retrieval import (
+        POOL,
+        TOP_K,
+        _macro_summary,
+        proximity_boosted_pool,
+        proximity_from,
+        q191_fusion_quality_compare,
+        quality_metrics_from,
+        relevance_truth_from,
+        token_postings,
+        truth_side_frames,
+    )
+    from oanda_stream_processor_spark.streaming.phrasegate import (
+        write_batch_postings,
+    )
+    from oanda_stream_processor_spark.streaming.proxgate import (
+        write_batch_token_postings,
+    )
+    from oanda_stream_processor_spark.streaming.rrfserve import (
+        serve_fusion_quality_compare,
+    )
+
+    cos = exact_cosine_pool(spark, SF_DIR)
+
+    def one_shot_on(seen):
+        tf, dfq, dl, stats = corpus_term_frames(seen)
+        qterms = (tf.where(F.col("cand_id") < N_QUERIES)
+                  .select(F.col("cand_id").alias("query_id"), "term"))
+        pool = bm25_pool_from(tf, dfq, dl, stats, qterms)
+        p = token_postings(seen)
+        qtermf = (p.where(F.col("doc_id") < N_QUERIES)
+                  .select(F.col("doc_id").alias("query_id"), "term")
+                  .distinct())
+        px = proximity_from(p, qtermf)
+        psh = _spark_shingle_hashes(seen, with_pos=True)
+        qp = (psh.where((F.col("pos") == 1)
+                        & (F.col("doc_id") < N_QUERIES))
+              .select(F.col("doc_id").alias("query_id"),
+                      F.col("sh").alias("qsh")))
+        phr = (psh.join(qp, psh.sh == qp.qsh)
+               .where(F.col("doc_id") != F.col("query_id"))
+               .select("query_id", F.col("doc_id").alias("cand_id"))
+               .distinct())
+        truth = relevance_truth_from(p, phr, prox=px)
+        base = (tf.where(F.col("cand_id") < N_QUERIES)
+                .select(F.col("cand_id").alias("query_id")).distinct())
+        nrel, idcg = truth_side_frames(truth)
+        bm25_tk = (pool.where(F.col("rank") <= TOP_K)
+                   .select("query_id", "cand_id", "rank"))
+        boosted = proximity_boosted_pool(
+            pool.select("query_id", "cand_id", "fp_sum"),
+            px.select("query_id", "cand_id", "min_dist"), POOL)
+        boost_tk = (boosted.where(F.col("rank") <= TOP_K)
+                    .select("query_id", "cand_id", "rank"))
+        fused_tk = (rrf_fuse(
+            boosted.select("query_id", "cand_id",
+                           F.col("rank").alias("rank_b")),
+            _rank_c(cos))
+            .select("query_id", "cand_id",
+                    F.col("fused_rank").alias("rank")))
+        out = None
+        for name, tk in (("bm25", bm25_tk), ("boosted", boost_tk),
+                         ("fused", fused_tk)):
+            row = (_macro_summary(quality_metrics_from(
+                tk, truth, base=base, nrel=nrel, idcg=idcg))
+                .select(F.lit(name).alias("system"), "n_queries",
+                        "macro_ndcg_ppm", "macro_mrr_ppm",
+                        "macro_recall_ppm"))
+            out = row if out is None else out.unionByName(row)
+        return out
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    b_state = str(tmp_path / "bm25")
+    p_state = str(tmp_path / "prox")
+    h_state = str(tmp_path / "phrase")
+    seen = None
+    for i in range(2):
+        part = d.where(F.col("doc_id") % 2 == i)
+        write_batch_partials(part, b_state, i)
+        write_batch_token_postings(part, p_state, i)
+        write_batch_postings(part, h_state, i)
+        seen = part if seen is None else seen.unionByName(part)
+        got = serve_fusion_quality_compare(spark, b_state, p_state,
+                                           h_state, cos)
+        assert _table(got) == _table(one_shot_on(seen)), \
+            f"diverged after batch {i}"
+    assert _table(serve_fusion_quality_compare(
+        spark, b_state, p_state, h_state, cos)) == \
+        _table(q191_fusion_quality_compare(spark, SF_DIR))
