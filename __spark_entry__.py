@@ -78,10 +78,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #   * driver-side iterative loops: star contraction / power iteration /
 #     BPE merges run their rounds at build time (q55/q90/q146/q151/
 #     q155/q158/q160/q161/q167/q174, q159, q99, q135/q139/q152);
-#   * build-once memos: q185 materializes the shared graded frame on
-#     FIRST build per (app, sf_dir) (q186 is then lazy); q127/q159/
-#     q168 build eagerly on first touch of their memoized inputs and
-#     keep some eager work of their own past the memo.
+#   * build-once memos: q185 materializes the shared graded frame AND
+#     the quality_corpus_frames trio on FIRST build per (app, sf_dir)
+#     (q186 is then lazy; q191/q192 read the warm trio but stay eager
+#     via their own nrel/idcg checkpoints and, for q192, q187's
+#     postings checkpoint); q127/q159/q168 build eagerly on first
+#     touch of their memoized inputs and keep some eager work of
+#     their own past the memo.
 # The set is the FIRST-build profile in registry-sorted order — the
 # production profile of a process that builds the whole registry;
 # tests/test_eager_registry.py sweeps exactly that and pins this set.

@@ -245,11 +245,7 @@ def serve_bm25_blockmax_topk(spark: SparkSession, state_dir: str, *,
         plan = maxscore_gate_plan_from_postings(
             read_tf(spark, state_dir), read_dl(spark, state_dir))
     if plan == "flat":
-        return (serve_bm25_pool(spark, state_dir)
-                .where(F.col("rank") <= TOP_K)
-                .select("query_id", "cand_id",
-                        (F.col("fp_sum") / F.lit(FP)).alias("score"),
-                        "rank"))
+        return serve_bm25_topk(spark, state_dir, prune=False)
     tf = read_tf(spark, state_dir).localCheckpoint(eager=True)
     qterms = query_terms_from(tf)
     dfq = read_term_df(spark, state_dir)

@@ -199,14 +199,10 @@ def serve_fusion_quality_compare(spark: SparkSession, bm25_state: str,
     then read which ranker to ship without recomputing anything
     corpus-global from raw text."""
     from ..operators.retrieval import (
-        POOL,
-        TOP_K,
         _macro_summary,
         proximity_boosted_pool,
         quality_metrics_from,
-        query_terms_from,
         relevance_truth_from,
-        rrf_fuse,
         truth_side_frames,
     )
     from .phrasegate import read_postings, serve_phrase_matches

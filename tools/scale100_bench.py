@@ -81,6 +81,11 @@ DEFAULT_SET = [
     "q186_retrieval_quality_summary",
     "q187_prf_expanded_bm25",
     "q188_best_passage",
+    # r14: block-max, proximity fusion, quality comparisons
+    "q189_bm25_blockmax_topk",
+    "q190_proximity_fused_rrf",
+    "q191_fusion_quality_compare",
+    "q192_prf_quality_compare",
 ]
 
 
