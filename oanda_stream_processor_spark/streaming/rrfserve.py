@@ -71,7 +71,8 @@ from .phrasegate import serve_phrase_matches
 
 __all__ = ["ann_cosine_pool", "exact_cosine_pool",
            "serve_fusion_quality_compare", "serve_phrase_filtered_bm25",
-           "serve_proximity_boosted_bm25", "serve_proximity_fused_rrf",
+           "serve_prf_quality_compare", "serve_proximity_boosted_bm25",
+           "serve_proximity_fused_rrf",
            "serve_retrieval_quality", "serve_rrf_fusion"]
 
 
@@ -245,6 +246,34 @@ def serve_fusion_quality_compare(spark: SparkSession, bm25_state: str,
                                                    base=base,
                                                    nrel=nrel,
                                                    idcg=idcg))
+               .select(F.lit(name).alias("system"), "n_queries",
+                       "macro_ndcg_ppm", "macro_mrr_ppm",
+                       "macro_recall_ppm"))
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def serve_prf_quality_compare(spark: SparkSession, bm25_state: str,
+                              prox_state: str,
+                              phrase_state: str) -> DataFrame:
+    """q192's two macro rows (bm25 / prf vs the graded truth) served
+    ENTIRELY from the three persisted stores (r14): the plain system
+    from the gated BM25 read, the PRF system from the served
+    expansion loop (bm25gate.serve_prf_expanded_bm25), both graded by
+    serve_retrieval_quality against the stored truth and
+    macro-averaged — the PRF DECISION as a store read, completing the
+    q191 pattern for the expansion axis.  Parity with one-shot q192
+    reduces to the store theorems; pytest pins it per append prefix
+    and verbatim at full corpus."""
+    from ..operators.retrieval import _macro_summary
+    from .bm25gate import serve_prf_expanded_bm25
+
+    prf_pool = serve_prf_expanded_bm25(spark, bm25_state)
+    out = None
+    for name, pool in (("bm25", None), ("prf", prf_pool)):
+        q = serve_retrieval_quality(spark, bm25_state, prox_state,
+                                    phrase_state, pool=pool)
+        row = (_macro_summary(q)
                .select(F.lit(name).alias("system"), "n_queries",
                        "macro_ndcg_ppm", "macro_mrr_ppm",
                        "macro_recall_ppm"))

@@ -513,3 +513,90 @@ def test_served_fusion_quality_compare_equals_q191(spark, tmp_path):
     assert _table(serve_fusion_quality_compare(
         spark, b_state, p_state, h_state, cos)) == \
         _table(q191_fusion_quality_compare(spark, SF_DIR))
+
+
+def test_served_prf_quality_compare_equals_q192(spark, tmp_path):
+    """r14: the served PRF-decision read (two macro rows from the
+    three stores) equals one-shot q192 — per append prefix via the
+    shared cores, verbatim at full corpus."""
+    from oanda_stream_processor_spark.operators.dedup import (
+        _spark_shingle_hashes,
+    )
+    from oanda_stream_processor_spark.operators.retrieval import (
+        TOP_K,
+        _macro_summary,
+        prf_expanded_pool,
+        proximity_from,
+        q192_prf_quality_compare,
+        quality_metrics_from,
+        relevance_truth_from,
+        token_postings,
+        truth_side_frames,
+    )
+    from oanda_stream_processor_spark.streaming.phrasegate import (
+        write_batch_postings,
+    )
+    from oanda_stream_processor_spark.streaming.proxgate import (
+        write_batch_token_postings,
+    )
+    from oanda_stream_processor_spark.streaming.rrfserve import (
+        serve_prf_quality_compare,
+    )
+
+    def one_shot_on(seen):
+        tf, dfq, dl, stats = corpus_term_frames(seen)
+        tf = tf.localCheckpoint(eager=True)
+        qterms = (tf.where(F.col("cand_id") < N_QUERIES)
+                  .select(F.col("cand_id").alias("query_id"), "term"))
+        bm25_tk = (bm25_pool_from(tf, dfq, dl, stats, qterms)
+                   .where(F.col("rank") <= TOP_K)
+                   .select("query_id", "cand_id", "rank"))
+        prf_tk = (prf_expanded_pool(tf, dfq, dl, stats, qterms)
+                  .where(F.col("rank") <= TOP_K)
+                  .select("query_id", "cand_id", "rank"))
+        p = token_postings(seen)
+        qtermf = (p.where(F.col("doc_id") < N_QUERIES)
+                  .select(F.col("doc_id").alias("query_id"), "term")
+                  .distinct())
+        px = proximity_from(p, qtermf)
+        psh = _spark_shingle_hashes(seen, with_pos=True)
+        qp = (psh.where((F.col("pos") == 1)
+                        & (F.col("doc_id") < N_QUERIES))
+              .select(F.col("doc_id").alias("query_id"),
+                      F.col("sh").alias("qsh")))
+        phr = (psh.join(qp, psh.sh == qp.qsh)
+               .where(F.col("doc_id") != F.col("query_id"))
+               .select("query_id", F.col("doc_id").alias("cand_id"))
+               .distinct())
+        truth = relevance_truth_from(p, phr, prox=px)
+        base = (tf.where(F.col("cand_id") < N_QUERIES)
+                .select(F.col("cand_id").alias("query_id")).distinct())
+        nrel, idcg = truth_side_frames(truth)
+        out = None
+        for name, tk in (("bm25", bm25_tk), ("prf", prf_tk)):
+            row = (_macro_summary(quality_metrics_from(
+                tk, truth, base=base, nrel=nrel, idcg=idcg))
+                .select(F.lit(name).alias("system"), "n_queries",
+                        "macro_ndcg_ppm", "macro_mrr_ppm",
+                        "macro_recall_ppm"))
+            out = row if out is None else out.unionByName(row)
+        return out
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    b_state = str(tmp_path / "bm25")
+    p_state = str(tmp_path / "prox")
+    h_state = str(tmp_path / "phrase")
+    seen = None
+    for i in range(2):
+        part = d.where(F.col("doc_id") % 2 == i)
+        write_batch_partials(part, b_state, i)
+        write_batch_token_postings(part, p_state, i)
+        write_batch_postings(part, h_state, i)
+        seen = part if seen is None else seen.unionByName(part)
+        got = serve_prf_quality_compare(spark, b_state, p_state,
+                                        h_state)
+        assert _table(got) == _table(one_shot_on(seen)), \
+            f"diverged after batch {i}"
+    assert _table(serve_prf_quality_compare(spark, b_state, p_state,
+                                            h_state)) == \
+        _table(q192_prf_quality_compare(spark, SF_DIR))
