@@ -2255,15 +2255,40 @@ PRF_TERMS = 10   # expansion terms added per query
 
 
 def prf_expanded_pool(tf: DataFrame, dfq: DataFrame, dl: DataFrame,
-                      stats: DataFrame,
-                      qterms: DataFrame) -> DataFrame:
+                      stats: DataFrame, qterms: DataFrame, *,
+                      plan: str = "flat",
+                      blk: DataFrame | None = None) -> DataFrame:
     """The PRF loop from explicit corpus frames — (query_id, cand_id,
     fp_sum, rank ≤ POOL) with the expanded query.  Shared by one-shot
     q187 and the served read (streaming/bm25gate.py), so parity
     reduces to the input frames being equal.  ``tf`` must be
     MATERIALIZED by the caller (multi-consumer: both passes + the
-    expansion mine)."""
-    fb = (bm25_pool_from(tf, dfq, dl, stats, qterms)
+    expansion mine).
+
+    ``plan`` routes BOTH scoring passes through the MaxScore
+    machinery (r14 roadmap item: block-max inside the PRF loop):
+    'flat' keeps the direct bm25_pool_from plan (the one-shot q187
+    default — exact and cheapest on flat-vocabulary corpora); 'term'
+    / 'block' run the seed/θ/essential (± blocked-skip) candidate
+    pruning on each pass — the machinery is query-set agnostic, so
+    exactness holds for the EXPANDED pass-2 term set exactly as for
+    pass 1 (qub/θ derive from whatever qterms frame is passed).
+    Every route returns identical rows (pytest: served reads forced
+    through all three plans equal one-shot q187).  ``blk`` feeds the
+    block branch a PERSISTED blocked layout (the served read passes
+    bm25gate.read_block_stats); absent, it derives from tf ⋈ dl."""
+    def pool_for(qt: DataFrame) -> DataFrame:
+        if plan == "flat":
+            return bm25_pool_from(tf, dfq, dl, stats, qt)
+        if plan == "term":
+            cands, fs = maxscore_candidates(tf, dfq, dl, stats, qt)
+        else:
+            cands, fs = blockmax_candidates(tf, dfq, dl, stats, qt,
+                                            blk=blk)
+        return _pool_rank(fs(cands),
+                          [F.desc("fp_sum"), F.asc("cand_id")], POOL)
+
+    fb = (pool_for(qterms)
           .where(F.col("rank") <= PRF_DOCS)
           .select("query_id", "cand_id"))
     ex0 = (fb.join(tf, "cand_id")
@@ -2276,7 +2301,7 @@ def prf_expanded_pool(tf: DataFrame, dfq: DataFrame, dl: DataFrame,
            .where(F.col("r") <= PRF_TERMS)
            .select("query_id", "term"))
     qx = qterms.unionByName(exp).distinct()
-    return bm25_pool_from(tf, dfq, dl, stats, qx)
+    return pool_for(qx)
 
 
 # the PRF second-pass CTE chain appended after SQL_BM25_POOL, shared

@@ -382,8 +382,8 @@ def start_bm25f_stream(stream_docs: DataFrame, state_dir: str,
             .start())
 
 
-def serve_prf_expanded_bm25(spark: SparkSession,
-                            state_dir: str) -> DataFrame:
+def serve_prf_expanded_bm25(spark: SparkSession, state_dir: str, *,
+                            plan: str | None = None) -> DataFrame:
     """q187's output served ENTIRELY from the incremental store: both
     BM25 passes and the expansion mine run over stored postings
     through the shared ``retrieval.prf_expanded_pool`` core, so
@@ -391,14 +391,31 @@ def serve_prf_expanded_bm25(spark: SparkSession,
     to the store reproducing the one-shot corpus frames (this gate's
     SUM-decomposition theorem) — pytest-pinned.  The stored tf is
     materialized once for the three consumers (both passes + the
-    mine), the q187 localCheckpoint precedent."""
-    from ..operators.retrieval import prf_expanded_pool
+    mine), the q187 localCheckpoint precedent.
+
+    r14: the read routes BOTH scoring passes through the three-way
+    MaxScore plan gate evaluated over stored postings (the roadmap's
+    "block-max inside the served PRF second pass" — the machinery is
+    query-set agnostic, so the blocked skip applies to the EXPANDED
+    pass-2 term set unchanged); the block branch additionally reads
+    the PERSISTED blocked layout.  Every route is exact (pytest: all
+    three forced plans equal one-shot q187 per append prefix).
+    ``plan`` forces a route (tests); None lets the gate decide."""
+    from ..operators.retrieval import (
+        maxscore_gate_plan_from_postings,
+        prf_expanded_pool,
+    )
+    if plan is None:
+        plan = maxscore_gate_plan_from_postings(
+            read_tf(spark, state_dir), read_dl(spark, state_dir))
     tf = read_tf(spark, state_dir).localCheckpoint(eager=True)
     qterms = query_terms_from(tf)
+    blk = (read_block_stats(spark, state_dir) if plan == "block"
+           else None)
     pool2 = prf_expanded_pool(tf, read_term_df(spark, state_dir),
                               read_dl(spark, state_dir),
                               read_corpus_stats(spark, state_dir),
-                              qterms)
+                              qterms, plan=plan, blk=blk)
     return (pool2.where(F.col("rank") <= TOP_K)
             .select("query_id", "cand_id",
                     (F.col("fp_sum") / F.lit(FP)).alias("score"),

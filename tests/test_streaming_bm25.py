@@ -443,3 +443,37 @@ def test_served_prf_equals_q187(spark, tmp_path):
             f"diverged after batch {i}"
     assert _table(serve_prf_expanded_bm25(spark, state)) == \
         _table(q187_prf_expanded_bm25(spark, SF_DIR))
+    # r14: every forced plan route is exact on the stored fixture
+    want = _table(q187_prf_expanded_bm25(spark, SF_DIR))
+    for plan in ("flat", "term", "block"):
+        assert _table(serve_prf_expanded_bm25(spark, state,
+                                              plan=plan)) == want, plan
+
+
+def test_served_prf_block_route_on_skewed_store(spark, tmp_path):
+    """r14 roadmap item (block-max inside the served PRF passes): on
+    the block-skewed stored corpus — where the gate routes 'block' —
+    all three forced PRF routes agree (the pruning machinery is
+    query-set agnostic, so exactness holds for the expanded pass-2
+    term set), and the default gated read equals them."""
+    from oanda_stream_processor_spark.operators.retrieval import (
+        maxscore_gate_plan_from_postings,
+    )
+    from oanda_stream_processor_spark.streaming.bm25gate import (
+        read_dl,
+        read_tf,
+        serve_prf_expanded_bm25,
+    )
+
+    d = _block_skewed(spark)
+    state = str(tmp_path / "prfblk")
+    for i in range(2):
+        write_batch_partials(d.where(F.col("doc_id") % 2 == i), state, i)
+    assert maxscore_gate_plan_from_postings(
+        read_tf(spark, state), read_dl(spark, state)) == "block"
+    want = _table(serve_prf_expanded_bm25(spark, state, plan="flat"))
+    assert len(want) > 0
+    for plan in ("term", "block"):
+        assert _table(serve_prf_expanded_bm25(spark, state,
+                                              plan=plan)) == want, plan
+    assert _table(serve_prf_expanded_bm25(spark, state)) == want
