@@ -102,7 +102,7 @@ EAGER_BUILD_QUERIES = frozenset({
     "q178_bm25_maxscore_topk", "q183_bm25f_maxscore_topk",
     "q185_retrieval_quality", "q187_prf_expanded_bm25",
     "q189_bm25_blockmax_topk", "q191_fusion_quality_compare",
-    "q192_prf_quality_compare",
+    "q192_prf_quality_compare", "q193_quality_gated_fusion",
     "q42_lsh_candidates", "q44_jaccard_pairs", "q55_dedup_components",
     "q56_ann_ivf", "q57_lsh_verified_pairs", "q87_jaccard_dfcut",
     "q88_ann_sq", "q90_pagerank", "q92_ann_ivf_sq", "q95_simhash_pairs",

@@ -2078,13 +2078,12 @@ def _sql_macro(system: str, perq: str) -> str:
 FROM {perq}"""
 
 
-def q191_fusion_quality_compare(spark: SparkSession,
-                                sf_dir: str) -> DataFrame:
-    """(system ∈ {bm25, boosted, fused}, n_queries, macro_ndcg_ppm,
-    macro_mrr_ppm, macro_recall_ppm) — the three rankers graded
-    against the shared phrase/proximity truth (see block comment).
-    Reads the memoized quality_corpus_frames trio and computes the
-    truth-side halves (nrel/idcg) once for all three systems."""
+def _three_system_macros(spark: SparkSession, sf_dir: str):
+    """[(system, tk_frame, macro_frame)] for bm25/boosted/fused over
+    the shared truth — q191's body, extracted (r14) so the q193 gate
+    reuses the same graded frames.  Reads the memoized
+    quality_corpus_frames trio; truth-side halves (nrel/idcg)
+    computed once for all three systems."""
     pool, px, truth = quality_corpus_frames(spark, sf_dir)
     base = query_doc_base(spark, sf_dir)
     nrel, idcg = truth_side_frames(truth)
@@ -2105,22 +2104,34 @@ def q191_fusion_quality_compare(spark: SparkSession,
                          c)
                 .select("query_id", "cand_id",
                         F.col("fused_rank").alias("rank")))
+    return [(name, tk,
+             _macro_summary(quality_metrics_from(tk, truth, base=base,
+                                                 nrel=nrel,
+                                                 idcg=idcg)))
+            for name, tk in (("bm25", bm25_tk), ("boosted", boost_tk),
+                             ("fused", fused_tk))]
+
+
+def q191_fusion_quality_compare(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """(system ∈ {bm25, boosted, fused}, n_queries, macro_ndcg_ppm,
+    macro_mrr_ppm, macro_recall_ppm) — the three rankers graded
+    against the shared phrase/proximity truth (see block comment)."""
     out = None
-    for name, tk in (("bm25", bm25_tk), ("boosted", boost_tk),
-                     ("fused", fused_tk)):
-        row = (_macro_summary(quality_metrics_from(tk, truth,
-                                                   base=base,
-                                                   nrel=nrel,
-                                                   idcg=idcg))
-               .select(F.lit(name).alias("system"), "n_queries",
-                       "macro_ndcg_ppm", "macro_mrr_ppm",
-                       "macro_recall_ppm"))
+    for name, _, macro in _three_system_macros(spark, sf_dir):
+        row = macro.select(F.lit(name).alias("system"), "n_queries",
+                           "macro_ndcg_ppm", "macro_mrr_ppm",
+                           "macro_recall_ppm")
         out = row if out is None else out.unionByName(row)
     return out
 
 
-QUERIES["q191_fusion_quality_compare"] = q191_fusion_quality_compare
-ORACLES["q191_fusion_quality_compare"] = f"""{_sql_truth_ctes()},
+def _sql_three_system_body() -> str:
+    """The q191 oracle body — truth CTEs + the three system pools
+    (bm25 topk / boosted btk / fused ftk) with their metric chains
+    (perq / perq_b / perq_f) — shared by the q191 and q193 oracles
+    (r14 extraction)."""
+    return f"""{_sql_truth_ctes()},
 topk AS (SELECT query_id, cand_id, rank FROM bpool
          WHERE rank <= {TOP_K}),
 {_sql_system_metrics('topk', '')},
@@ -2154,12 +2165,94 @@ ffr AS (SELECT query_id, cand_id,
         FROM fusedq),
 ftk AS (SELECT query_id, cand_id, rank FROM ffr
         WHERE rank <= {TOP_K}),
-{_sql_system_metrics('ftk', '_f')}
+{_sql_system_metrics('ftk', '_f')}"""
+
+
+QUERIES["q191_fusion_quality_compare"] = q191_fusion_quality_compare
+ORACLES["q191_fusion_quality_compare"] = f"""{_sql_three_system_body()}
 {_sql_macro('bm25', 'perq')}
 UNION ALL
 {_sql_macro('boosted', 'perq_b')}
 UNION ALL
 {_sql_macro('fused', 'perq_f')}"""
+
+
+# --- q193: quality-gated fusion (champion/challenger serving gate) -------------
+#
+# q191 operationalized: the ranking a stack should SHIP is the one
+# the yardstick scores highest — so emit exactly that system's top-k,
+# chosen by macro-nDCG over the stored truth with a DETERMINISTIC
+# preference order on ties (champion bm25 first, then the boosted
+# rerank, then the fused hybrid: a challenger must strictly WIN to
+# displace the incumbent — the standard champion/challenger rule).
+# On the fixtures the verdict is 'bm25' (boosted ties the champion —
+# uniform min_dist=1 bonus — and the fusion loses to it, q191's
+# measured rows), so q193 emits the champion's rows; the
+# challenger-wins path is pinned in pytest through the same
+# gate_winner core on constructed macro frames.
+#
+# Shape: the winner is ONE row derived from three global-aggregate
+# macro rows (the q83 bounded-union-window precedent), broadcast into
+# a union of three TOP_K-bounded rank lists — nothing corpus-sized
+# moves after the shared grading frames.
+# ------------------------------------------------------------------------------
+GATE_ORDER = ("bm25", "boosted", "fused")   # tie-break preference
+
+
+def gate_winner(macros: DataFrame) -> DataFrame:
+    """1-row (system) winner from a (system, priority,
+    macro_ndcg_ppm) frame: highest macro nDCG, ties to the LOWEST
+    priority (the incumbent).  Exposed so pytest can drive the
+    gate with constructed macro frames (challenger-wins path)."""
+    w = W.orderBy(F.desc("macro_ndcg_ppm"), F.asc("priority"))
+    return (macros.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") == 1).select("system"))
+
+
+def q193_quality_gated_fusion(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """(system, query_id, cand_id, rank ≤ TOP_K) — the top-k of the
+    yardstick-winning system only (see block comment)."""
+    systems = _three_system_macros(spark, sf_dir)
+    macros = None
+    cand = None
+    for pri, (name, tk, macro) in enumerate(systems, start=1):
+        mrow = macro.select(F.lit(name).alias("system"),
+                            F.lit(pri).alias("priority"),
+                            "macro_ndcg_ppm")
+        crow = tk.select(F.lit(name).alias("system"), "query_id",
+                         "cand_id", "rank")
+        macros = mrow if macros is None else macros.unionByName(mrow)
+        cand = crow if cand is None else cand.unionByName(crow)
+    winner = gate_winner(macros)
+    return (cand.join(F.broadcast(winner), "system")
+            .select("system", "query_id", "cand_id", "rank"))
+
+
+QUERIES["q193_quality_gated_fusion"] = q193_quality_gated_fusion
+ORACLES["q193_quality_gated_fusion"] = f"""{_sql_three_system_body()},
+mac AS (
+  SELECT 'bm25' AS system, 1 AS pri,
+         CAST((SUM(ndcg_ppm) - SUM(ndcg_ppm) % COUNT(*)) / COUNT(*)
+              AS BIGINT) AS m FROM perq
+  UNION ALL
+  SELECT 'boosted', 2,
+         CAST((SUM(ndcg_ppm) - SUM(ndcg_ppm) % COUNT(*)) / COUNT(*)
+              AS BIGINT) FROM perq_b
+  UNION ALL
+  SELECT 'fused', 3,
+         CAST((SUM(ndcg_ppm) - SUM(ndcg_ppm) % COUNT(*)) / COUNT(*)
+              AS BIGINT) FROM perq_f),
+winner AS (SELECT system FROM (
+  SELECT system, ROW_NUMBER() OVER (ORDER BY m DESC, pri) AS r
+  FROM mac) WHERE r = 1),
+gcand AS (SELECT 'bm25' AS system, query_id, cand_id, rank FROM topk
+          UNION ALL
+          SELECT 'boosted', query_id, cand_id, rank FROM btk
+          UNION ALL
+          SELECT 'fused', query_id, cand_id, rank FROM ftk)
+SELECT c.system, c.query_id, c.cand_id, c.rank
+FROM gcand c JOIN winner w ON c.system = w.system"""
 
 
 # --- q192: PRF quality comparison ----------------------------------------------

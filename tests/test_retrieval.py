@@ -663,3 +663,33 @@ def test_prf_quality_compare_fixture_verdict(spark, duck):
     bm25, prf = by_sys["bm25"], by_sys["prf"]
     assert 0 < prf[i["macro_ndcg_ppm"]] < bm25[i["macro_ndcg_ppm"]]
     assert bm25[i["macro_ndcg_ppm"]] <= 1_000_000
+
+
+def test_quality_gated_fusion_fixture_and_gate_core(spark, duck):
+    """q193: DuckDB-twin equality at sf0.001, the measured fixture
+    verdict (the champion's rows are emitted — boosted ties bm25 and
+    the fusion loses, q191's pinned rows, and ties go to the
+    incumbent), and the challenger-wins path driven through the same
+    gate_winner core on constructed macro frames."""
+    from pyspark.sql import functions as F
+
+    rows, cols = _twin(spark, duck, "q193_quality_gated_fusion")
+    i = {c: j for j, c in enumerate(cols)}
+    assert {r[i["system"]] for r in rows} == {"bm25"}
+    assert len(rows) == R.N_QUERIES * R.TOP_K
+    # the emitted rows ARE the champion's top-k
+    want = sorted((r.query_id, r.cand_id, r.rank) for r in
+                  R.q175_bm25_topk(spark, SF)
+                  .select("query_id", "cand_id", "rank").collect())
+    got = sorted((r[i["query_id"]], r[i["cand_id"]], r[i["rank"]])
+                 for r in rows)
+    assert got == want
+    # challenger-wins and tie-to-incumbent paths through the core
+    mk = lambda t: spark.createDataFrame(
+        t, "system string, priority int, macro_ndcg_ppm long")
+    w1 = R.gate_winner(mk([("bm25", 1, 700_000), ("boosted", 2, 700_000),
+                           ("fused", 3, 900_000)])).collect()
+    assert [r.system for r in w1] == ["fused"]
+    w2 = R.gate_winner(mk([("bm25", 1, 700_000), ("boosted", 2, 700_000),
+                           ("fused", 3, 700_000)])).collect()
+    assert [r.system for r in w2] == ["bm25"]
