@@ -70,21 +70,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # #6: a harness that builds-but-defers all frames must not be surprised
 # by hidden jobs).  Four causes, all deliberate:
 #   * plan-gate probes: a bounded (~2k-doc) sampled statistic picks the
-#     physical plan before the frame exists (q178/q183/q189 MaxScore
-#     spread gate; q98/q136/q142/q166 calibration reads);
+#     physical plan before the frame exists (q178/q183/q189/q194
+#     MaxScore spread gate; q98/q136/q142/q166 calibration reads);
 #   * eager localCheckpoints: multi-consumer frames (postings indexes,
 #     star edges, ANN codebooks) materialize once at build (q42/q44/
-#     q55-family, q87/q95, ANN q56/q88/q92/q128/q147/q148/q156, q187);
+#     q55-family, q87/q95, ANN q56/q88/q92/q128/q147/q148/q156);
 #   * driver-side iterative loops: star contraction / power iteration /
 #     BPE merges run their rounds at build time (q55/q90/q146/q151/
 #     q155/q158/q160/q161/q167/q174, q159, q99, q135/q139/q152);
 #   * build-once memos: q185 materializes the shared graded frame AND
-#     the quality_corpus_frames trio on FIRST build per (app, sf_dir)
-#     (q186 is then lazy; q191/q192 read the warm trio but stay eager
-#     via their own nrel/idcg checkpoints and, for q192, q187's
-#     postings checkpoint); q127/q159/q168 build eagerly on first
-#     touch of their memoized inputs and keep some eager work of
-#     their own past the memo.
+#     the quality_corpus_frames trio — including the shared postings
+#     checkpoint + BM25 pool (corpus_term_frames_memo/bm25_pool_memo,
+#     r15 single-scan) — on FIRST build per (app, sf_dir); q186 AND
+#     q187 are then lazy (q187's pass 1 IS the warm pool); q191/q192
+#     read the warm trio but stay eager via their own nrel/idcg
+#     checkpoints; q127/q159/q168 build eagerly on first touch of
+#     their memoized inputs and keep some eager work of their own
+#     past the memo.
 # The set is the FIRST-build profile in registry-sorted order — the
 # production profile of a process that builds the whole registry;
 # tests/test_eager_registry.py sweeps exactly that and pins this set.
@@ -100,8 +102,9 @@ EAGER_BUILD_QUERIES = frozenset({
     "q168_winnow_canonical", "q172_histogram_quantiles",
     "q173_hist_mad_outliers", "q174_unified_components",
     "q178_bm25_maxscore_topk", "q183_bm25f_maxscore_topk",
-    "q185_retrieval_quality", "q187_prf_expanded_bm25",
+    "q185_retrieval_quality",
     "q189_bm25_blockmax_topk", "q191_fusion_quality_compare",
+    "q194_bm25f_blockmax_topk",
     "q192_prf_quality_compare", "q193_quality_gated_fusion",
     "q42_lsh_candidates", "q44_jaccard_pairs", "q55_dedup_components",
     "q56_ann_ivf", "q57_lsh_verified_pairs", "q87_jaccard_dfcut",

@@ -175,8 +175,13 @@ def run_spark(names: list[str] | None) -> dict[str, float]:
         # q185/q186 follow the same split (r14): q185's number is the
         # TRUE 3-pass grading-pipeline cost (quality memo bypassed);
         # q186's number is the memoized aggregate read by design.
+        # q187 joins the true-cost side (r15 single-scan pipeline):
+        # its number is the TRUE two-pass PRF cost (postings + pass-1
+        # + pass-2, memo bypassed), while q191/q192/q193 read the
+        # shared warm frames by design — ledgered in BASELINE.md.
         memo_env = {"q167_winnow_components": "SPARK_GRAFT_EDGE_MEMO",
-                    "q185_retrieval_quality": "SPARK_GRAFT_QUALITY_MEMO"
+                    "q185_retrieval_quality": "SPARK_GRAFT_QUALITY_MEMO",
+                    "q187_prf_expanded_bm25": "SPARK_GRAFT_QUALITY_MEMO"
                     }.get(name)
         prev_memo = os.environ.get(memo_env) if memo_env else None
         if memo_env:

@@ -1081,11 +1081,17 @@ def maxscore_gate_plan_from_postings(tf: DataFrame,
             return
         from collections import Counter
         pdf = pd.concat(frames, ignore_index=True)
-        g = pdf.groupby("cand_id").apply(
-            lambda s: Counter(dict(zip(s["term"], s["tf"]))),
-            include_groups=False)
-        ids = g.index.to_series().reset_index(drop=True)
-        counts = g.reset_index(drop=True)
+        # list-agg then rowwise Counter: the version-agnostic shape
+        # (groupby().apply(..., include_groups=False) needs pandas
+        # >= 2.2 on executors, while the sibling binary gate runs on
+        # any pandas — r14 ADVICE: keep the two gates' floor equal)
+        tl = (pdf.groupby("cand_id")
+              .agg(term=("term", list), tf=("tf", list)))
+        ids = tl.index.to_series().reset_index(drop=True)
+        counts = (tl.apply(lambda r: Counter(dict(zip(r["term"],
+                                                      r["tf"]))),
+                           axis=1)
+                  .reset_index(drop=True))
         yield pd.DataFrame(
             {"plan": [_plan_decision(ids, counts, mod)]})
 
@@ -1431,6 +1437,175 @@ def q183_bm25f_maxscore_topk(spark: SparkSession,
 
     cands = _maxscore_prune(wtf.select("cand_id", "term"), qterms, qub,
                             full_scores, theta_rank=TOP_K)
+    pool = _pool_rank(full_scores(cands),
+                      [F.desc("fp_sum"), F.asc("cand_id")], TOP_K)
+    return pool.select("query_id", "cand_id",
+                       (F.col("fp_sum") / F.lit(FP)).alias("score"),
+                       "rank")
+
+
+# --- q194: block-max MaxScore for BM25F (per-field blocked layout) -------------
+#
+# q189's index structure extended to the field-weighted model (r15;
+# r14 verdict Next-round #5): q183 prunes BM25F with the WHOLE-TERM
+# bound idf(t) alone (saturation < 1 analytically — the loosest bound
+# in the family), so every candidate matching an essential term gets
+# scored.  The per-field blocked layout keeps, per (term, field,
+# fixed 64-doc block), the block-local max tf and the min PER-FIELD
+# length among the block's docs carrying the term in that field:
+#
+#   tfw_ub(t, b) = Σ_f w_f · max_tf(t, f, b) / B_f(min_dlf(t, f, b))
+#
+# with B_f(dl) = (1 − b_f) + b_f·dl/avgdl_f.  For any doc d in block
+# b, each field's weighted-tf summand is ≤ its (t, f, b) bound (w·tf
+# increasing in tf, /B_f decreasing in dl_f; fields where d lacks t
+# contribute 0 and need no row), so tfw(t, d) ≤ tfw_ub(t, b); the
+# saturation x/(k1 + x) is increasing, hence
+#
+#   UB_blk(t, b) = idf(t) · tfw_ub/(k1 + tfw_ub) ≥ fp(t, d) / FP
+#
+# — STRICTLY tighter than q183's idf(t) whenever tfw_ub is finite,
+# which is what the field half was missing.  Exactness composes with
+# the q183/q189 arguments verbatim: an excluded doc either matches no
+# essential term (score ≤ pruned-prefix UB cumsum < θ) or sits in a
+# block with Σ_{t ∈ q present in b} UB_blk(t, b) < θ (its own terms'
+# contributions are each ≤ their block bound, terms absent from the
+# block contribute nothing) — either way below a TRUE achieved
+# TOP_K-th score, so q194 ≡ q177 row-for-row (oracle: q177's SQL
+# verbatim; pytest: fixture + field-skewed corpora, pruned ≡
+# unpruned per plan).
+#
+# Fixed-point care: UB_blk is ceil'd with the q178 +2 ulp margin so
+# UB_blk_fp ≥ every SNAPPED fp(t, d) in the block.
+#
+# Plan gate: the SAME three-way sampled statistic as q189
+# (maxscore_gate_plan — spread picks flat vs pruned, headroom picks
+# term vs block).  The headroom statistic is computed on the plain
+# tf/dl shape; for the field model it is a PROXY (the field split is
+# a deterministic position rule over the same sampled tokens, so the
+# tf/dl concentration it measures is the same phenomenon that gives
+# the field bounds their tightening) — conservative-side-only, as
+# everywhere in this family: routing picks cost, every route is
+# exact.
+#
+# Scale shape (100 TB): the field-blocked frame has one row per
+# (term, field, block) — ≤ |fields| × the q189 layout, ~64× smaller
+# than the field postings; it MAX/MIN-merges across doc-disjoint
+# batches exactly like the plain layout (the streaming store's sixth
+# field partial), and the skip is the same LEFT SEMI of essential
+# postings against a |queries| × |blocks|-bounded survivor frame.
+# ------------------------------------------------------------------------------
+def field_block_stats_from(tff: DataFrame, dlf: DataFrame) -> DataFrame:
+    """(term, field, block_id, max_tf, min_dlf) — the per-field
+    blocked postings layout.  MAX/MIN-mergeable over any doc-disjoint
+    partition of the corpus (max of per-batch maxima IS the block
+    max; same for min — the q189 merge theorem per field)."""
+    from .helpers import exact_tdiv
+    return (tff.join(dlf, ["cand_id", "field"])
+            .groupBy(exact_tdiv(F.col("cand_id"),
+                                F.lit(BLOCK_DOCS)).alias("block_id"),
+                     "term", "field")
+            .agg(F.max("tf").alias("max_tf"),
+                 F.min("dlf").alias("min_dlf")))
+
+
+def bm25f_block_upper_bounds(fblk: DataFrame, dfd: DataFrame,
+                             ndocs: DataFrame, avgf: DataFrame,
+                             qterms: DataFrame) -> DataFrame:
+    """(query_id, term, block_id, ub_blk_fp) — per-(query-term,
+    block) fixed-point BM25F score upper bounds from the per-field
+    blocked layout (see the q194 block comment for the soundness
+    argument).  The per-field contributions sum FIRST (tfw_ub), then
+    saturate — mirroring the model's saturate-after-sum order; the
+    |queries|·|query terms|-bounded idf probe joins INTO the bounded
+    blocked frame, never the postings."""
+    w_f = F.when(F.col("field") == "title", F.lit(W_TITLE)) \
+           .otherwise(F.lit(W_BODY))
+    b_f = F.when(F.col("field") == "title", F.lit(B_TITLE)) \
+           .otherwise(F.lit(B_BODY))
+    bnorm = ((F.lit(1.0) - b_f)
+             + b_f * (F.col("min_dlf") / F.col("avgdl")))
+    tfw_ub = (fblk.join(avgf, "field")
+              .select("term", "block_id",
+                      ((w_f * F.col("max_tf")) / bnorm).alias("c"))
+              .groupBy("term", "block_id")
+              .agg(F.sum("c").alias("tfw_ub")))
+    qidf = (qterms.join(dfd, "term").crossJoin(F.broadcast(ndocs))
+            .select("query_id", "term", _bm25f_idf().alias("_idf")))
+    ub = (F.ceil(F.col("_idf")
+                 * (F.col("tfw_ub") / (F.lit(BM25_K1) + F.col("tfw_ub")))
+                 * F.lit(FP)) + F.lit(2)).cast("long")
+    return (tfw_ub.join(qidf, "term")
+            .select("query_id", "term", "block_id",
+                    ub.alias("ub_blk_fp")))
+
+
+def bm25f_blockmax_candidates(tff: DataFrame, dlf: DataFrame,
+                              dfd: DataFrame, ndocs: DataFrame,
+                              avgf: DataFrame, qterms: DataFrame,
+                              wtf: DataFrame,
+                              fblk: DataFrame | None = None):
+    """(cands, full_scores) — the BM25F block-max pruning entry:
+    q183's seed/θ/essential machinery (θ at TOP_K — the BM25F family
+    pools at TOP_K depth) PLUS the per-(query, block) skip from the
+    field-blocked layout.  ``wtf`` is the caller-materialized
+    weighted-tf frame (multi-consumer, the q183 discipline); ``fblk``
+    lets the serving read pass the PERSISTED field-blocked store,
+    absent it derives fresh from tff ⋈ dlf."""
+    from .helpers import exact_tdiv
+    qub = bm25f_term_upper_bounds(dfd, ndocs, qterms)
+
+    def full_scores(cands: DataFrame) -> DataFrame:
+        return bm25f_full_scores(cands, wtf, dfd, ndocs, qterms)
+
+    cand1, theta = _seed_theta(wtf.select("cand_id", "term"), qub,
+                               full_scores, TOP_K)
+    ess = _essential_terms(qub, theta)
+    if fblk is None:
+        fblk = field_block_stats_from(tff, dlf)
+    bsum = (bm25f_block_upper_bounds(fblk, dfd, ndocs, avgf, qterms)
+            .groupBy("query_id", "block_id")
+            .agg(F.sum("ub_blk_fp").alias("blk_ub")))
+    live = (bsum.join(F.broadcast(theta), "query_id", "left")
+            .where(F.col("theta").isNull()
+                   | ~(F.col("blk_ub") < F.col("theta")))
+            .select("query_id", "block_id"))
+    cand2 = (wtf.select("cand_id", "term").join(ess, "term")
+             .where(F.col("cand_id") != F.col("query_id"))
+             .withColumn("block_id",
+                         exact_tdiv(F.col("cand_id"), F.lit(BLOCK_DOCS)))
+             .join(live, ["query_id", "block_id"], "left_semi")
+             .select("query_id", "cand_id").distinct())
+    return cand1.unionByName(cand2).distinct(), full_scores
+
+
+@query("q194_bm25f_blockmax_topk", f"""WITH {SQL_BM25F_POOL}
+SELECT query_id, cand_id, fp_sum / {FP} AS score, rank
+FROM frank WHERE rank <= {TOP_K}
+""")
+def q194_bm25f_blockmax_topk(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Exact block-max MaxScore BM25F top-k (see block comment):
+    q177's rows from a candidate set pruned at BLOCK granularity via
+    the per-field blocked layout.  Three-way plan gate (the q189
+    statistic): flat -> q177's plan verbatim; term -> q183's
+    whole-term machinery; block -> the field-blocked skip.  Every
+    branch is exact — the oracle is q177's SQL verbatim (the
+    q189 ← q175 precedent applied to the field half)."""
+    d = load_table(spark, sf_dir, "documents")
+    plan = maxscore_gate_plan(d)
+    if plan == "flat":
+        return q177_bm25f_topk(spark, sf_dir)
+    if plan == "term":
+        return q183_bm25f_maxscore_topk(spark, sf_dir)
+    tff, dlf, dfd, ndocs, avgf = corpus_field_frames(d)
+    tff = tff.localCheckpoint(eager=True)
+    wtf = bm25f_weighted_tf(tff, dlf, avgf).localCheckpoint(eager=True)
+    qterms = (tff.where(F.col("cand_id") < N_QUERIES)
+              .select(F.col("cand_id").alias("query_id"), "term")
+              .distinct())
+    cands, full_scores = bm25f_blockmax_candidates(
+        tff, dlf, dfd, ndocs, avgf, qterms, wtf)
     pool = _pool_rank(full_scores(cands),
                       [F.desc("fp_sum"), F.asc("cand_id")], TOP_K)
     return pool.select("query_id", "cand_id",
@@ -1904,11 +2079,58 @@ def quality_metrics_from(pool: DataFrame, truth: DataFrame,
 
 _QUALITY_MEMO: dict = {}   # (appId, sf_dir) -> graded per-query frame
 _GRADE_MEMO: dict = {}     # (appId, sf_dir) -> (pool, px, truth)
+_TERM_MEMO: dict = {}      # (appId, sf_dir) -> (tf, dfq, dl, stats)
+_POOL_MEMO: dict = {}      # (appId, sf_dir) -> BM25 pool (rank ≤ POOL)
 
 
 def _quality_memo_on() -> bool:
     import os
     return os.environ.get("SPARK_GRAFT_QUALITY_MEMO", "1") != "0"
+
+
+def corpus_term_frames_memo(spark: SparkSession, sf_dir: str):
+    """(tf, dfq, dl, stats) with tf eagerly checkpointed — the shared
+    postings pass of the grading/PRF family (r15: the r14 verdict's
+    single-scan ask).  tf is ALWAYS materialized (every caller is
+    multi-consumer — q187's two passes + the mine, the pool + the
+    derived stats); the memo switch only controls whether later
+    callers in the same (applicationId, sf_dir) reuse it.  The
+    one-shot single-consumer plans (q175/q176 via _bm25_pool) stay on
+    the lazy un-checkpointed path so their bench rows remain true
+    pipeline costs."""
+    use_memo = _quality_memo_on()
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if use_memo and key in _TERM_MEMO:
+        return _TERM_MEMO[key]
+    d = load_table(spark, sf_dir, "documents")
+    tf, dfq, dl, stats = corpus_term_frames(d)
+    tf = tf.localCheckpoint(eager=True)
+    out = (tf, dfq, dl, stats)
+    if use_memo:
+        _TERM_MEMO[key] = out
+    return out
+
+
+def bm25_pool_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BM25 candidate pool (query_id, cand_id, fp_sum,
+    rank ≤ POOL) computed ONCE per (applicationId, sf_dir) off the
+    shared postings checkpoint — q185/q186/q191/q192/q193 grade
+    against it and q187's PRF pass 1 IS it (same frames, same
+    bm25_pool_from core), so with the memo warm the whole grading
+    family reads one corpus pass instead of re-scoring per caller
+    (r15 single-scan pipeline).  POOL·|queries| rows — trivial to
+    checkpoint.  Memo off: returns the lazy plan (true-cost bench
+    runs)."""
+    use_memo = _quality_memo_on()
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if use_memo and key in _POOL_MEMO:
+        return _POOL_MEMO[key]
+    tf, dfq, dl, stats = corpus_term_frames_memo(spark, sf_dir)
+    pool = bm25_pool_from(tf, dfq, dl, stats, query_terms_from(tf))
+    if use_memo:
+        pool = pool.localCheckpoint(eager=True)
+        _POOL_MEMO[key] = pool
+    return pool
 
 
 def quality_corpus_frames(spark: SparkSession, sf_dir: str):
@@ -1939,10 +2161,12 @@ def quality_corpus_frames(spark: SparkSession, sf_dir: str):
         px = px.localCheckpoint(eager=True)
     truth = relevance_truth_from(p, q179_phrase_match(spark, sf_dir),
                                  prox=px)
-    pool = _bm25_pool(spark, sf_dir)
+    # the pool comes from the shared postings checkpoint (r15: one
+    # corpus scoring pass for the whole grading family, q187's pass 1
+    # included) — bm25_pool_memo checkpoints it when the memo is on
+    pool = bm25_pool_memo(spark, sf_dir)
     if use_memo:
         truth = truth.localCheckpoint(eager=True)
-        pool = pool.localCheckpoint(eager=True)
         _GRADE_MEMO[key] = (pool, px, truth)
     return pool, px, truth
 
@@ -2271,11 +2495,14 @@ FROM gcand c JOIN winner w ON c.system = w.system"""
 # q191's fusion verdict, this is the read a production gate takes
 # before shipping the expansion change — and here it says "don't".
 #
-# Cost shape: truth/pool read from the memoized quality_corpus_frames
-# trio (free when warm); the PRF side re-runs q187's two-pass
-# machinery (its own postings checkpoint — the pass-2 qterms differ
-# per corpus, nothing to share); metric chains are arithmetic over
-# bounded frames with nrel/idcg computed once.
+# Cost shape (r15 single-scan): truth/pool read from the memoized
+# quality_corpus_frames trio (free when warm), and the PRF side now
+# shares the SAME postings checkpoint and pass-1 pool
+# (corpus_term_frames_memo / bm25_pool_memo feeding q187's pool1) —
+# so with the memo warm q192 pays only the pass-2 scoring + the
+# expansion mine (the genuinely PRF-specific work; pass-2 qterms
+# differ per corpus, nothing more to share); metric chains are
+# arithmetic over bounded frames with nrel/idcg computed once.
 # ------------------------------------------------------------------------------
 def q192_prf_quality_compare(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
@@ -2336,12 +2563,14 @@ UNION ALL
 # to the (already fixed-point) BM25 scoring is exact integer
 # arithmetic, so both engines mirror bit-for-bit.
 #
-# Scale shape: pass 1 is q175's plan; the expansion mine joins the
-# 10·PRF_DOCS-row feedback frame into tf (AQE broadcasts it) and
-# ranks inside per-query windows bounded by the feedback docs'
-# vocabulary; pass 2 is q175's plan with ≤ PRF_TERMS extra terms per
-# query.  The postings frame is multi-consumer (both passes + the
-# mine), hence the q178-precedent localCheckpoint.
+# Scale shape: pass 1 is q175's plan — and with the quality memo warm
+# it is the MEMOIZED grading pool itself (r15 single-scan: pool1),
+# not a re-run; the expansion mine joins the 10·PRF_DOCS-row feedback
+# frame into tf (AQE broadcasts it) and ranks inside per-query
+# windows bounded by the feedback docs' vocabulary; pass 2 is q175's
+# plan with ≤ PRF_TERMS extra terms per query.  The postings frame is
+# multi-consumer (both passes + the mine), hence the q178-precedent
+# localCheckpoint — shared via corpus_term_frames_memo.
 # ------------------------------------------------------------------------------
 PRF_DOCS = 5     # feedback depth (top docs mined for expansion)
 PRF_TERMS = 10   # expansion terms added per query
@@ -2350,7 +2579,8 @@ PRF_TERMS = 10   # expansion terms added per query
 def prf_expanded_pool(tf: DataFrame, dfq: DataFrame, dl: DataFrame,
                       stats: DataFrame, qterms: DataFrame, *,
                       plan: str = "flat",
-                      blk: DataFrame | None = None) -> DataFrame:
+                      blk: DataFrame | None = None,
+                      pool1: DataFrame | None = None) -> DataFrame:
     """The PRF loop from explicit corpus frames — (query_id, cand_id,
     fp_sum, rank ≤ POOL) with the expanded query.  Shared by one-shot
     q187 and the served read (streaming/bm25gate.py), so parity
@@ -2369,7 +2599,16 @@ def prf_expanded_pool(tf: DataFrame, dfq: DataFrame, dl: DataFrame,
     Every route returns identical rows (pytest: served reads forced
     through all three plans equal one-shot q187).  ``blk`` feeds the
     block branch a PERSISTED blocked layout (the served read passes
-    bm25gate.read_block_stats); absent, it derives from tf ⋈ dl."""
+    bm25gate.read_block_stats); absent, it derives from tf ⋈ dl.
+
+    ``pool1`` (r15, the single-scan grading pipeline) supplies an
+    ALREADY-COMPUTED pass-1 pool — it must be the (query_id, cand_id,
+    rank ≤ POOL) ranking of these same corpus frames under the flat
+    scoring (pool_for(qterms) ≡ bm25_pool_from on them), i.e. the
+    memoized grading pool.  Only the feedback-doc slice (rank ≤
+    PRF_DOCS) is read from it, so supplying it removes one full
+    scoring pass; rows are identical by construction (same pure
+    function of the same frames — the served-parity discipline)."""
     def pool_for(qt: DataFrame) -> DataFrame:
         if plan == "flat":
             return bm25_pool_from(tf, dfq, dl, stats, qt)
@@ -2381,7 +2620,7 @@ def prf_expanded_pool(tf: DataFrame, dfq: DataFrame, dl: DataFrame,
         return _pool_rank(fs(cands),
                           [F.desc("fp_sum"), F.asc("cand_id")], POOL)
 
-    fb = (pool_for(qterms)
+    fb = ((pool1 if pool1 is not None else pool_for(qterms))
           .where(F.col("rank") <= PRF_DOCS)
           .select("query_id", "cand_id"))
     ex0 = (fb.join(tf, "cand_id")
@@ -2447,11 +2686,10 @@ def q187_prf_expanded_bm25(spark: SparkSession,
     terms from the top-PRF_DOCS docs → BM25 pass 2 with the expanded
     query (see block comment).  (query_id, cand_id, score,
     rank ≤ TOP_K)."""
-    d = load_table(spark, sf_dir, "documents")
-    tf, dfq, dl, stats = corpus_term_frames(d)
-    tf = tf.localCheckpoint(eager=True)  # multi-consumer postings
+    tf, dfq, dl, stats = corpus_term_frames_memo(spark, sf_dir)
     qterms = query_terms_from(tf)
-    pool2 = prf_expanded_pool(tf, dfq, dl, stats, qterms)
+    pool2 = prf_expanded_pool(tf, dfq, dl, stats, qterms,
+                              pool1=bm25_pool_memo(spark, sf_dir))
     return (pool2.where(F.col("rank") <= TOP_K)
             .select("query_id", "cand_id",
                     (F.col("fp_sum") / F.lit(FP)).alias("score"),

@@ -165,6 +165,22 @@ def read_block_stats(spark: SparkSession, state_dir: str) -> DataFrame:
             .select("block_id", "term", "max_tf", "min_dl"))
 
 
+def maybe_read_block_stats(spark: SparkSession,
+                           state_dir: str) -> DataFrame | None:
+    """read_block_stats when the blk/ layout exists, else None (r14
+    ADVICE): stores written before the blocked partial landed have no
+    blk/ directory, and ``blockmax_candidates`` derives block stats
+    from tf ⋈ dl when handed None — so pre-r14 stores keep serving
+    through the block plan (one extra bounded aggregate) instead of
+    throwing on the missing path.  FS-agnostic: probes via the reader
+    (PATH_NOT_FOUND), not a local-filesystem stat."""
+    from pyspark.errors import AnalysisException
+    try:
+        return read_block_stats(spark, state_dir)
+    except AnalysisException:
+        return None
+
+
 def serve_bm25_pool(spark: SparkSession, state_dir: str) -> DataFrame:
     """(query_id, cand_id, fp_sum, rank ≤ POOL) served ENTIRELY from
     the gate's persisted state — same scoring core, same fixed-point
@@ -178,7 +194,8 @@ def serve_bm25_pool(spark: SparkSession, state_dir: str) -> DataFrame:
 
 
 def serve_bm25_topk(spark: SparkSession, state_dir: str, *,
-                    prune: bool | None = None) -> DataFrame:
+                    prune: bool | None = None,
+                    theta: str = "auto") -> DataFrame:
     """q175's output shape (query_id, cand_id, score, rank ≤ TOP_K)
     from the incremental store, routed through the q178 MaxScore plan
     gate (r12 verdict ask #6): when the STORED corpus is prunable
@@ -190,13 +207,28 @@ def serve_bm25_topk(spark: SparkSession, state_dir: str, *,
     Both branches are exact — the MaxScore soundness argument does not
     depend on where the postings came from — and pytest pins pruned ≡
     unpruned row-for-row on flat and Zipfian stored corpora.
-    ``prune`` forces a branch (tests); None lets the gate decide."""
+    ``prune`` forces a branch (tests); None lets the gate decide.
+
+    r15 (r14 verdict ask #3 — the θ store folded into the default
+    read): the pruned branch prefers the PERSISTED lockstep impact
+    histogram (<state_dir>/impact, write_batch_partials' sixth
+    partial) to derive θ, replacing the read-time seed-scoring pass
+    with bounded arithmetic over the merged sketch; stores without
+    the impact layout (pre-r15) keep the seed pass.  ``theta``
+    routes: 'auto' (default — histogram when present), 'seed'
+    (force the seed pass), 'hist' (require the histogram — raises on
+    stores without one).  Every route is exact: the histogram θ is a
+    certified lower bound (thetagate soundness, lockstep layout) and
+    the essential split only needs a lower bound; pytest pins
+    hist ≡ seed ≡ unpruned per append prefix."""
     from ..operators.retrieval import (
         POOL,
         _pool_rank,
         maxscore_candidates,
         maxscore_gate_from_postings,
     )
+    if theta not in ("auto", "seed", "hist"):
+        raise ValueError(f"theta must be auto|seed|hist, got {theta!r}")
     if prune is None:
         prune = maxscore_gate_from_postings(
             read_tf(spark, state_dir), read_dl(spark, state_dir))
@@ -206,6 +238,15 @@ def serve_bm25_topk(spark: SparkSession, state_dir: str, *,
                 .select("query_id", "cand_id",
                         (F.col("fp_sum") / F.lit(FP)).alias("score"),
                         "rank"))
+    if theta != "seed":
+        from .thetagate import hist_theta_pruned_topk, maybe_read_impact_hist
+        hist = maybe_read_impact_hist(spark, state_dir)
+        if hist is not None:
+            return hist_theta_pruned_topk(spark, state_dir, hist)
+        if theta == "hist":
+            raise ValueError(
+                f"theta='hist' but {state_dir} has no impact/ layout "
+                "(pre-r15 store — re-ingest or use theta='seed')")
     # pruned read — q178's machinery over the stored frames
     tf = read_tf(spark, state_dir).localCheckpoint(eager=True)
     qterms = query_terms_from(tf)
@@ -257,7 +298,7 @@ def serve_bm25_blockmax_topk(spark: SparkSession, state_dir: str, *,
     else:
         cands, full_scores = blockmax_candidates(
             tf, dfq, dl, stats, qterms,
-            blk=read_block_stats(spark, state_dir))
+            blk=maybe_read_block_stats(spark, state_dir))
     pool = _pool_rank(full_scores(cands),
                       [F.desc("fp_sum"), F.asc("cand_id")], POOL)
     return (pool.where(F.col("rank") <= TOP_K)
@@ -268,13 +309,20 @@ def serve_bm25_blockmax_topk(spark: SparkSession, state_dir: str, *,
 
 def write_batch_partials(docs: DataFrame, state_dir: str,
                          batch_id: int) -> None:
-    """Persist all five partials of one doc-disjoint batch under their
+    """Persist all six partials of one doc-disjoint batch under their
     batch_id=<id> partitions (overwrite = idempotent replay).  All
-    five hang off the same (doc, term) aggregate — cache it for the
-    batch so the batch scan and tokenize run once, not five times.
+    six hang off the same (doc, term) aggregate — cache it for the
+    batch so the batch scan and tokenize run once, not six times.
     The fifth (r14) is the batch's blocked-layout slice, serving the
-    block-max read (retrieval.q189's machinery over stored state)."""
+    block-max read (retrieval.q189's machinery over stored state);
+    the sixth (r15, closing the r14 ADVICE soundness gap) is the θ
+    impact histogram (streaming/thetagate.py) — written by THIS
+    writer so the histogram can never describe docs the postings
+    store lacks: the hist-θ soundness argument needs hist-docs ⊆
+    store-docs, and one writer per batch makes that structural
+    instead of an inter-stream invariant."""
     from ..operators.retrieval import block_stats_from
+    from .thetagate import impact_partial_from
     tf, dfq, dl, stats = corpus_term_frames(docs)
     tf = tf.cache()
     try:
@@ -288,6 +336,8 @@ def write_batch_partials(docs: DataFrame, state_dir: str,
             os.path.join(state_dir, "corpus", f"batch_id={batch_id}"))
         block_stats_from(tf, dl).write.mode("overwrite").parquet(
             os.path.join(state_dir, "blk", f"batch_id={batch_id}"))
+        impact_partial_from(tf, dl).write.mode("overwrite").parquet(
+            os.path.join(state_dir, "impact", f"batch_id={batch_id}"))
     finally:
         tf.unpersist()
 
@@ -321,8 +371,14 @@ def start_bm25_stream(stream_docs: DataFrame, state_dir: str,
 def write_batch_field_partials(docs: DataFrame, state_dir: str,
                                batch_id: int) -> None:
     """Persist one doc-disjoint batch's BM25F state under its
-    batch_id=<id> partitions (overwrite = idempotent replay)."""
-    from ..operators.retrieval import corpus_field_frames
+    batch_id=<id> partitions (overwrite = idempotent replay).  The
+    sixth partial (r15) is the batch's PER-FIELD blocked-layout slice
+    (retrieval.field_block_stats_from) — MAX/MIN-merged on read, the
+    q189 scheme per field — serving the BM25F block-max read."""
+    from ..operators.retrieval import (
+        corpus_field_frames,
+        field_block_stats_from,
+    )
     tff, dlf, dfd, ndocs, _ = corpus_field_frames(docs)
     tff = tff.cache()
     try:
@@ -338,8 +394,35 @@ def write_batch_field_partials(docs: DataFrame, state_dir: str,
                                f"batch_id={batch_id}")))
         ndocs.write.mode("overwrite").parquet(
             os.path.join(state_dir, "fnd", f"batch_id={batch_id}"))
+        field_block_stats_from(tff, dlf).write.mode("overwrite").parquet(
+            os.path.join(state_dir, "fblk", f"batch_id={batch_id}"))
     finally:
         tff.unpersist()
+
+
+def read_field_block_stats(spark: SparkSession,
+                           state_dir: str) -> DataFrame:
+    """Merged per-field blocked layout (term, field, block_id, max_tf,
+    min_dlf) — MAX/MIN-merge over the per-batch partials (a block's
+    docs may arrive across batches, the read_block_stats theorem per
+    field)."""
+    return (spark.read.parquet(os.path.join(state_dir, "fblk"))
+            .groupBy("term", "field", "block_id")
+            .agg(F.max("max_tf").alias("max_tf"),
+                 F.min("min_dlf").alias("min_dlf"))
+            .select("block_id", "term", "field", "max_tf", "min_dlf"))
+
+
+def maybe_read_field_block_stats(spark: SparkSession,
+                                 state_dir: str) -> DataFrame | None:
+    """read_field_block_stats when the fblk/ layout exists, else None
+    (the maybe_read_block_stats contract for the field store: pre-r15
+    stores derive block stats from tff ⋈ dlf instead of throwing)."""
+    from pyspark.errors import AnalysisException
+    try:
+        return read_field_block_stats(spark, state_dir)
+    except AnalysisException:
+        return None
 
 
 def serve_bm25f_topk(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -350,6 +433,19 @@ def serve_bm25f_topk(spark: SparkSession, state_dir: str) -> DataFrame:
     corpus ingested so far (pytest-proven per append prefix)."""
     from ..operators.retrieval import N_QUERIES as NQ
     from ..operators.retrieval import bm25f_topk_from
+    tff, dlf, dfd, ndocs, avgf = _field_store_frames(spark, state_dir)
+    qterms = (tff.where(F.col("cand_id") < NQ)
+              .select(F.col("cand_id").alias("query_id"), "term")
+              .distinct())
+    return bm25f_topk_from(tff, dlf, dfd, ndocs, avgf, qterms)
+
+
+def _field_store_frames(spark: SparkSession, state_dir: str):
+    """(tff, dlf, dfd, ndocs, avgf) merged from the persisted field
+    store — the read-side mirror of retrieval.corpus_field_frames
+    (raw stores as plain partitioned scans, mergeable stats
+    SUM-merged), extracted (r15) so the flat and block-max field
+    reads share one spelling."""
     tff = (spark.read.parquet(os.path.join(state_dir, "tff"))
            .select("cand_id", "term", "field", "tf"))
     dlf = (spark.read.parquet(os.path.join(state_dir, "dlf"))
@@ -363,10 +459,65 @@ def serve_bm25f_topk(spark: SparkSession, state_dir: str) -> DataFrame:
             .crossJoin(F.broadcast(ndocs))
             .select("field", (F.col("sum_dlf").cast("double")
                               / F.col("n_docs")).alias("avgdl")))
+    return tff, dlf, dfd, ndocs, avgf
+
+
+def serve_bm25f_blockmax_topk(spark: SparkSession, state_dir: str, *,
+                              plan: str | None = None) -> DataFrame:
+    """q177's output served from the incremental FIELD store through
+    the block-max machinery (r15 — q194's serving half): the
+    three-way plan gate evaluated over the store's field postings
+    ROLLED UP to the plain (cand_id, term, tf)/(cand_id, dl) shape
+    (the field split partitions tokens, so the rollup IS the plain
+    postings frame and the gate statistic is identical); the block
+    branch reads the PERSISTED per-field blocked layout
+    (read_field_block_stats' MAX/MIN merge — pre-r15 stores without
+    fblk/ derive it from tff ⋈ dlf).  Every branch is exact (the q194
+    soundness argument is source-independent); pytest pins all three
+    forced plans row-for-row equal to one-shot q177 per append
+    prefix on field-skewed stored corpora.  ``plan`` forces a branch
+    (tests); None lets the gate decide."""
+    from ..operators.retrieval import (
+        FP as _FP,
+        N_QUERIES as NQ,
+        TOP_K as TK,
+        _maxscore_prune,
+        _pool_rank,
+        bm25f_blockmax_candidates,
+        bm25f_full_scores,
+        bm25f_term_upper_bounds,
+        bm25f_weighted_tf,
+        maxscore_gate_plan_from_postings,
+    )
+    tff, dlf, dfd, ndocs, avgf = _field_store_frames(spark, state_dir)
+    if plan is None:
+        plan = maxscore_gate_plan_from_postings(
+            tff.groupBy("cand_id", "term").agg(F.sum("tf").alias("tf")),
+            dlf.groupBy("cand_id").agg(F.sum("dlf").alias("dl")))
+    if plan == "flat":
+        return serve_bm25f_topk(spark, state_dir)
+    tff = tff.localCheckpoint(eager=True)
+    wtf = bm25f_weighted_tf(tff, dlf, avgf).localCheckpoint(eager=True)
     qterms = (tff.where(F.col("cand_id") < NQ)
               .select(F.col("cand_id").alias("query_id"), "term")
               .distinct())
-    return bm25f_topk_from(tff, dlf, dfd, ndocs, avgf, qterms)
+
+    def full_scores(cands: DataFrame) -> DataFrame:
+        return bm25f_full_scores(cands, wtf, dfd, ndocs, qterms)
+
+    if plan == "term":
+        qub = bm25f_term_upper_bounds(dfd, ndocs, qterms)
+        cands = _maxscore_prune(wtf.select("cand_id", "term"), qterms,
+                                qub, full_scores, theta_rank=TK)
+    else:
+        cands, full_scores = bm25f_blockmax_candidates(
+            tff, dlf, dfd, ndocs, avgf, qterms, wtf,
+            fblk=maybe_read_field_block_stats(spark, state_dir))
+    pool = _pool_rank(full_scores(cands),
+                      [F.desc("fp_sum"), F.asc("cand_id")], TK)
+    return pool.select("query_id", "cand_id",
+                       (F.col("fp_sum") / F.lit(_FP)).alias("score"),
+                       "rank")
 
 
 def start_bm25f_stream(stream_docs: DataFrame, state_dir: str,
@@ -410,7 +561,7 @@ def serve_prf_expanded_bm25(spark: SparkSession, state_dir: str, *,
             read_tf(spark, state_dir), read_dl(spark, state_dir))
     tf = read_tf(spark, state_dir).localCheckpoint(eager=True)
     qterms = query_terms_from(tf)
-    blk = (read_block_stats(spark, state_dir) if plan == "block"
+    blk = (maybe_read_block_stats(spark, state_dir) if plan == "block"
            else None)
     pool2 = prf_expanded_pool(tf, read_term_df(spark, state_dir),
                               read_dl(spark, state_dir),

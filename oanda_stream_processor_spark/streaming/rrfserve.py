@@ -72,7 +72,7 @@ from .phrasegate import serve_phrase_matches
 __all__ = ["ann_cosine_pool", "exact_cosine_pool",
            "serve_fusion_quality_compare", "serve_phrase_filtered_bm25",
            "serve_prf_quality_compare", "serve_proximity_boosted_bm25",
-           "serve_proximity_fused_rrf",
+           "serve_proximity_fused_rrf", "serve_quality_gated_fusion",
            "serve_retrieval_quality", "serve_rrf_fusion"]
 
 
@@ -182,23 +182,13 @@ def serve_rrf_fusion(spark: SparkSession, state_dir: str,
     return rrf_fuse(b, c)
 
 
-def serve_fusion_quality_compare(spark: SparkSession, bm25_state: str,
-                                 prox_state: str, phrase_state: str,
-                                 cosine_pool: DataFrame) -> DataFrame:
-    """q191's three macro rows (bm25 / boosted / fused vs the graded
-    truth) served ENTIRELY from the three persisted stores plus a
-    supplied cosine pool (r14): the BM25 pool from the incremental
-    store, the proximity feature AND the coverage/adjacency truth
-    tiers from the token-positional store, the phrase tier from the
-    trigram store — every half a shared core (serve_bm25_pool,
-    serve_term_proximity, relevance_truth_from, truth_side_frames,
-    proximity_boosted_pool, rrf_fuse, quality_metrics_from,
-    _macro_summary), so parity with one-shot q191 on the corpus
-    ingested so far reduces to the store theorems; pytest pins it per
-    append prefix and verbatim at full corpus.  This closes the
-    serving loop on the fusion DECISION itself: append documents,
-    then read which ranker to ship without recomputing anything
-    corpus-global from raw text."""
+def _served_three_systems(spark: SparkSession, bm25_state: str,
+                          prox_state: str, phrase_state: str,
+                          cosine_pool: DataFrame):
+    """[(system, tk_frame, macro_frame)] for bm25/boosted/fused with
+    every input read from the persisted stores — the served mirror of
+    ``retrieval._three_system_macros``, extracted (r15) so the q193
+    gate twin reuses the same graded frames the q191 twin reads."""
     from ..operators.retrieval import (
         _macro_summary,
         proximity_boosted_pool,
@@ -239,18 +229,73 @@ def serve_fusion_quality_compare(spark: SparkSession, bm25_state: str,
                          c)
                 .select("query_id", "cand_id",
                         F.col("fused_rank").alias("rank")))
+    return [(name, tk,
+             _macro_summary(quality_metrics_from(tk, truth, base=base,
+                                                 nrel=nrel,
+                                                 idcg=idcg)))
+            for name, tk in (("bm25", bm25_tk), ("boosted", boost_tk),
+                             ("fused", fused_tk))]
+
+
+def serve_fusion_quality_compare(spark: SparkSession, bm25_state: str,
+                                 prox_state: str, phrase_state: str,
+                                 cosine_pool: DataFrame) -> DataFrame:
+    """q191's three macro rows (bm25 / boosted / fused vs the graded
+    truth) served ENTIRELY from the three persisted stores plus a
+    supplied cosine pool (r14): the BM25 pool from the incremental
+    store, the proximity feature AND the coverage/adjacency truth
+    tiers from the token-positional store, the phrase tier from the
+    trigram store — every half a shared core (serve_bm25_pool,
+    serve_term_proximity, relevance_truth_from, truth_side_frames,
+    proximity_boosted_pool, rrf_fuse, quality_metrics_from,
+    _macro_summary), so parity with one-shot q191 on the corpus
+    ingested so far reduces to the store theorems; pytest pins it per
+    append prefix and verbatim at full corpus.  This closes the
+    serving loop on the fusion DECISION itself: append documents,
+    then read which ranker to ship without recomputing anything
+    corpus-global from raw text."""
     out = None
-    for name, tk in (("bm25", bm25_tk), ("boosted", boost_tk),
-                     ("fused", fused_tk)):
-        row = (_macro_summary(quality_metrics_from(tk, truth,
-                                                   base=base,
-                                                   nrel=nrel,
-                                                   idcg=idcg))
-               .select(F.lit(name).alias("system"), "n_queries",
-                       "macro_ndcg_ppm", "macro_mrr_ppm",
-                       "macro_recall_ppm"))
+    for name, _, macro in _served_three_systems(
+            spark, bm25_state, prox_state, phrase_state, cosine_pool):
+        row = macro.select(F.lit(name).alias("system"), "n_queries",
+                           "macro_ndcg_ppm", "macro_mrr_ppm",
+                           "macro_recall_ppm")
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def serve_quality_gated_fusion(spark: SparkSession, bm25_state: str,
+                               prox_state: str, phrase_state: str,
+                               cosine_pool: DataFrame) -> DataFrame:
+    """q193's output served ENTIRELY from the three persisted stores
+    plus a supplied cosine pool (r15 — the last registry query to get
+    a served twin, restoring the complete served-twin map): the three
+    systems' graded frames from _served_three_systems (the q191-twin
+    frames), the winner from the SAME ``retrieval.gate_winner`` core
+    (highest macro-nDCG, ties to the incumbent by the champion/
+    challenger priority order), and the emitted rows are the winning
+    system's TOP_K list.  Parity with one-shot q193 on the corpus
+    ingested so far reduces to the store theorems + the same pure
+    gate function; pytest pins it per append prefix and verbatim at
+    full corpus."""
+    from ..operators.retrieval import gate_winner
+
+    macros = None
+    cand = None
+    for pri, (name, tk, macro) in enumerate(
+            _served_three_systems(spark, bm25_state, prox_state,
+                                  phrase_state, cosine_pool),
+            start=1):
+        mrow = macro.select(F.lit(name).alias("system"),
+                            F.lit(pri).alias("priority"),
+                            "macro_ndcg_ppm")
+        crow = tk.select(F.lit(name).alias("system"), "query_id",
+                         "cand_id", "rank")
+        macros = mrow if macros is None else macros.unionByName(mrow)
+        cand = crow if cand is None else cand.unionByName(crow)
+    winner = gate_winner(macros)
+    return (cand.join(F.broadcast(winner), "system")
+            .select("system", "query_id", "cand_id", "rank"))
 
 
 def serve_prf_quality_compare(spark: SparkSession, bm25_state: str,

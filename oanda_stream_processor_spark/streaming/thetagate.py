@@ -33,11 +33,33 @@ PRUNE-SAFETY (why a lower bound is enough): the essential split
 cumsum STRICTLY below the supplied θ.  With θ_lb ≤ θ_true, every
 pruned doc scores < θ_lb ≤ θ_true, so it can never displace a
 POOL-th-or-better row — underestimating θ only prunes LESS, never
-wrongly.  The served read built on it is therefore exact for ANY
-store state (pytest: pruned ≡ unpruned per append prefix), and the
-routing decision is conservative-side-only: when the histogram is
-too coarse to clear any prefix, the read degrades to the full-pool
-plan's candidate set, never to a wrong answer.
+wrongly.  The served read built on it is therefore exact (pytest:
+pruned ≡ unpruned per append prefix), and the routing decision is
+conservative-side-only: when the histogram is too coarse to clear
+any prefix, the read degrades to the full-pool plan's candidate
+set, never to a wrong answer.
+
+SOUNDNESS PRECONDITION (r14 ADVICE — the claim above is NOT
+unconditional): θ_lb ≤ θ_true requires the histogram to count no
+doc absent from the postings store it prices against — counts of
+not-yet-ingested docs could push a cell's cumulative count past
+POOL + 1 and certify a θ the SERVED corpus cannot achieve.  Two
+layouts guarantee it:
+
+* CANONICAL (r15): bm25gate.write_batch_partials persists the
+  impact histogram as its sixth partial (<bm25_state>/impact) from
+  the SAME cached per-batch tf — hist-docs ⊆ store-docs holds by
+  construction, one writer, one checkpoint.  Pass theta_state=None
+  (or the bm25gate read path) to use it.
+* EXTERNAL (start_theta_stream — a separately-checkpointed feed):
+  the read ENFORCES the invariant with a batch-id guard
+  (hist_not_ahead: histogram partitions ⊆ tf-store partitions, a
+  driver-side file-index read) and falls back to the seed-scoring
+  read when the histogram may have run ahead — conservative, still
+  exact.  The guard assumes the two streams batch the same source
+  identically (aligned batch ids — true for the availableNow
+  wiring here); feeds with unaligned batching must use the
+  canonical layout instead.
 
 What this buys at read time: serve_bm25_topk's θ costs a seed
 CANDIDATE SCORING pass (join seed postings, score, rank) per read;
@@ -75,12 +97,12 @@ from ..operators.retrieval import (
 TG_TF_CAP = 32   # tf cap in the histogram key (satur ↑ in tf: safe)
 
 
-def batch_impact_partial(docs: DataFrame) -> DataFrame:
-    """(term, tfc, dlb, n) — one batch's score-free impact histogram:
-    capped term frequency × log2 doc-length bucket, counted.  A pure
-    SUM partial (each (doc, term) posting lives in exactly one
-    batch)."""
-    tf, _, dl, _ = corpus_term_frames(docs)
+def impact_partial_from(tf: DataFrame, dl: DataFrame) -> DataFrame:
+    """(term, tfc, dlb, n) from explicit batch postings frames — the
+    shape bm25gate.write_batch_partials persists as its sixth partial
+    (r15: the canonical lockstep layout, reusing the writer's cached
+    tf so the histogram is BY CONSTRUCTION over exactly the docs the
+    postings store carries — the r14 ADVICE soundness condition)."""
     return (tf.join(dl, "cand_id")
             .select("term",
                     F.least(F.col("tf"), F.lit(TG_TF_CAP)).alias("tfc"),
@@ -88,6 +110,15 @@ def batch_impact_partial(docs: DataFrame) -> DataFrame:
                     .cast("int").alias("dlb"))
             .groupBy("term", "tfc", "dlb")
             .agg(F.count("*").alias("n")))
+
+
+def batch_impact_partial(docs: DataFrame) -> DataFrame:
+    """(term, tfc, dlb, n) — one batch's score-free impact histogram:
+    capped term frequency × log2 doc-length bucket, counted.  A pure
+    SUM partial (each (doc, term) posting lives in exactly one
+    batch)."""
+    tf, _, dl, _ = corpus_term_frames(docs)
+    return impact_partial_from(tf, dl)
 
 
 def read_impact_hist(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -135,23 +166,106 @@ def theta_lower_bound(hist: DataFrame, dfq: DataFrame,
     return reached.groupBy("query_id").agg(F.max("c").alias("theta"))
 
 
+def _store_batch_ids(spark: SparkSession, path: str) -> set:
+    """batch_id partition values present under a store directory —
+    read from the reader's FILE INDEX (``inputFiles()``: a driver-side
+    listing, no Spark job, no row scan), so the guard below costs one
+    directory listing on any filesystem."""
+    import re
+    ids: set = set()
+    for f in spark.read.parquet(path).inputFiles():
+        m = re.search(r"batch_id=(-?\d+)", f)
+        if m:
+            ids.add(int(m.group(1)))
+    return ids
+
+
+def hist_not_ahead(spark: SparkSession, bm25_state: str,
+                   theta_state: str) -> bool:
+    """The soundness precondition for an EXTERNALLY-fed histogram
+    (module docstring): every batch the histogram describes is in the
+    postings store — checked as batch-id set inclusion (the two
+    availableNow streams batch the same source identically, so ids
+    align; a histogram that ran ahead carries extra ids)."""
+    return (_store_batch_ids(spark, theta_state)
+            <= _store_batch_ids(spark, os.path.join(bm25_state, "tf")))
+
+
 def serve_bm25_topk_hist_theta(spark: SparkSession, bm25_state: str,
-                               theta_state: str, *,
+                               theta_state: str | None = None, *,
                                prune: bool | None = None) -> DataFrame:
     """q175's output shape served from the incremental BM25 store with
     the pruning θ derived from the PERSISTED histogram instead of a
     read-time seed-scoring pass.  Routed through the same stored-
     postings spread gate as serve_bm25_topk; the pruned branch runs
     the shared essential split with θ_lb and scores the essential-
-    matched candidate set once — exact for any θ lower bound (module
-    docstring), pytest-pinned pruned ≡ unpruned per append prefix on
-    flat and Zipfian stored corpora.  ``prune`` forces a branch
-    (tests); None lets the gate decide."""
+    matched candidate set once — exact for any θ lower bound that
+    satisfies the soundness precondition (module docstring),
+    pytest-pinned pruned ≡ unpruned per append prefix on flat and
+    Zipfian stored corpora.  ``theta_state=None`` reads the canonical
+    lockstep histogram (<bm25_state>/impact — sound by construction);
+    an explicit external store is admitted through the hist_not_ahead
+    guard, falling back to the seed-scoring read (exact, just slower)
+    when the histogram may describe docs the postings store lacks.
+    ``prune`` forces a branch (tests); None lets the gate decide."""
+    from ..operators.retrieval import maxscore_gate_from_postings
+    from .bm25gate import (
+        read_dl,
+        read_tf,
+        serve_bm25_pool,
+        serve_bm25_topk,
+    )
+
+    if theta_state is None:
+        theta_state = os.path.join(bm25_state, "impact")
+    elif not hist_not_ahead(spark, bm25_state, theta_state):
+        # external histogram may describe docs the store lacks: its
+        # θ is not a certified lower bound — take the seed-pass read
+        # (exact regardless; module docstring, r14 ADVICE)
+        return serve_bm25_topk(spark, bm25_state, prune=prune,
+                               theta="seed")
+
+    if prune is None:
+        prune = maxscore_gate_from_postings(
+            read_tf(spark, bm25_state), read_dl(spark, bm25_state))
+    if not prune:
+        return (serve_bm25_pool(spark, bm25_state)
+                .where(F.col("rank") <= TOP_K)
+                .select("query_id", "cand_id",
+                        (F.col("fp_sum") / F.lit(FP)).alias("score"),
+                        "rank"))
+    return hist_theta_pruned_topk(spark, bm25_state,
+                                  read_impact_hist(spark, theta_state))
+
+
+def maybe_read_impact_hist(spark: SparkSession,
+                           bm25_state: str) -> DataFrame | None:
+    """The merged canonical lockstep histogram (<bm25_state>/impact,
+    the sixth write_batch_partials partial) when the store carries
+    one, else None — pre-r15 stores lack it and fall back to the
+    seed-scoring θ (the maybe_read_block_stats shape: probe via the
+    reader, FS-agnostic)."""
+    from pyspark.errors import AnalysisException
+    try:
+        return read_impact_hist(spark,
+                                os.path.join(bm25_state, "impact"))
+    except AnalysisException:
+        return None
+
+
+def hist_theta_pruned_topk(spark: SparkSession, bm25_state: str,
+                           hist: DataFrame) -> DataFrame:
+    """The PRUNED serving read with θ priced from an in-hand merged
+    histogram — the shared core of serve_bm25_topk_hist_theta and the
+    default gated read (bm25gate.serve_bm25_topk routes here when the
+    store carries the lockstep impact partial; r15, r14 verdict ask
+    #3).  Caller certifies the histogram's soundness precondition
+    (module docstring); the read itself is exact for any certified θ
+    lower bound."""
     from ..operators.retrieval import (
         _essential_terms,
         _pool_rank,
         bm25_full_scores,
-        maxscore_gate_from_postings,
         query_terms_from,
         term_upper_bounds,
     )
@@ -160,25 +274,14 @@ def serve_bm25_topk_hist_theta(spark: SparkSession, bm25_state: str,
         read_dl,
         read_term_df,
         read_tf,
-        serve_bm25_pool,
     )
 
-    tf = read_tf(spark, bm25_state)
+    tf = read_tf(spark, bm25_state).localCheckpoint(eager=True)
     dl = read_dl(spark, bm25_state)
-    if prune is None:
-        prune = maxscore_gate_from_postings(tf, dl)
-    if not prune:
-        return (serve_bm25_pool(spark, bm25_state)
-                .where(F.col("rank") <= TOP_K)
-                .select("query_id", "cand_id",
-                        (F.col("fp_sum") / F.lit(FP)).alias("score"),
-                        "rank"))
-    tf = tf.localCheckpoint(eager=True)
     qterms = query_terms_from(tf)
     dfq = read_term_df(spark, bm25_state)
     stats = read_corpus_stats(spark, bm25_state)
-    theta = theta_lower_bound(read_impact_hist(spark, theta_state),
-                              dfq, stats, qterms)
+    theta = theta_lower_bound(hist, dfq, stats, qterms)
     ess = _essential_terms(term_upper_bounds(dfq, stats, qterms),
                            theta)
     cands = (tf.join(ess, "term")

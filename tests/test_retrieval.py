@@ -693,3 +693,98 @@ def test_quality_gated_fusion_fixture_and_gate_core(spark, duck):
     w2 = R.gate_winner(mk([("bm25", 1, 700_000), ("boosted", 2, 700_000),
                            ("fused", 3, 700_000)])).collect()
     assert [r.system for r in w2] == ["bm25"]
+
+
+def test_prf_single_scan_memo_parity(spark, monkeypatch):
+    """r15 single-scan grading pipeline: q187 built off the shared
+    memoized postings checkpoint + pass-1 pool (corpus_term_frames_
+    memo / bm25_pool_memo) equals the memo-bypassed TRUE two-pass run
+    row-for-row — the pass-1 reuse is a pure sharing of the same
+    frames under the same scoring core, never a semantic change."""
+    warm = sorted(tuple(r) for r in
+                  R.q187_prf_expanded_bm25(spark, SF).collect())
+    monkeypatch.setenv("SPARK_GRAFT_QUALITY_MEMO", "0")
+    cold = sorted(tuple(r) for r in
+                  R.q187_prf_expanded_bm25(spark, SF).collect())
+    assert warm == cold
+
+
+def test_bm25f_blockmax_equals_q177(spark):
+    """q194's exactness contract (the q189 <- q175 precedent applied
+    to the field half): the block-max BM25F plan and the full q177
+    plan are row-for-row identical at both fixture SFs — whichever
+    branch the three-way gate picks."""
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = sorted(tuple(r) for r in
+                     R.q194_bm25f_blockmax_topk(spark, sf).collect())
+        want = sorted(tuple(r) for r in
+                      R.q177_bm25f_topk(spark, sf).collect())
+        assert got == want and len(want) > 0, sf
+
+
+def _field_block_skewed_corpus(spark):
+    """The _block_skewed_corpus construction re-tuned for the BM25F
+    bound geometry: the field model's whole-term UB is idf ALONE
+    (saturation < 1), so four mediums' ascending cumsum stays under θ
+    and term-level pruning already collapses to the rare block —
+    leaving blocks nothing to add.  SIX mediums push the prefix
+    cumsum past θ mid-list, so the tail mediums stay ESSENTIAL
+    term-level (candidates across all 8 blocks) while every block's
+    bound sum Σ idf·satur(tfw_ub) ≈ 0.45·Σ idf stays under θ in
+    blocks 1-7 — exactly the regime where the per-field blocked skip
+    wins and idf-only pruning cannot."""
+    def mk(i):
+        toks = ["c0", "c1"]
+        if i < 10 or (i < 64 and i % 2 == 0):
+            toks += ["rare0a", "rare0b"]
+        for k in range(6):
+            if i < 10 or (i * 13 + k * 7) % 10 < 4:
+                toks.append(f"m{k}")
+        while len(toks) < 10:
+            toks.append(f"f{i}x{len(toks)}")
+        return (i, " ".join(toks[:10]))
+
+    return spark.createDataFrame([mk(i) for i in range(512)],
+                                 "doc_id long, text string")
+
+
+def test_bm25f_blockmax_prunes_blocks_and_stays_exact(spark):
+    """On the field-skewed corpus the per-field blocked skip must cut
+    the candidate set STRICTLY below q183's whole-term pruning (whose
+    UB is idf alone — the loosest bound in the family), while the
+    pooled result stays row-for-row exact against the unpruned field
+    pool — the tightening the field half was missing (r14 verdict
+    ask #5)."""
+    from pyspark.sql import functions as F
+
+    d = _field_block_skewed_corpus(spark)
+    tff, dlf, dfd, ndocs, avgf = R.corpus_field_frames(d)
+    tff = tff.localCheckpoint(eager=True)
+    wtf = R.bm25f_weighted_tf(tff, dlf, avgf).localCheckpoint(eager=True)
+    qterms = (tff.where(F.col("cand_id") < R.N_QUERIES)
+              .select(F.col("cand_id").alias("query_id"), "term")
+              .distinct())
+    qub = R.bm25f_term_upper_bounds(dfd, ndocs, qterms)
+
+    def fs(cands):
+        return R.bm25f_full_scores(cands, wtf, dfd, ndocs, qterms)
+
+    full_set = (wtf.select("cand_id", "term").join(qterms, "term")
+                .where(F.col("cand_id") != F.col("query_id"))
+                .select("query_id", "cand_id").distinct())
+    c_term = R._maxscore_prune(wtf.select("cand_id", "term"), qterms,
+                               qub, fs, theta_rank=R.TOP_K)
+    c_blk, full_scores = R.bm25f_blockmax_candidates(
+        tff, dlf, dfd, ndocs, avgf, qterms, wtf)
+    n_full, n_term, n_blk = (full_set.count(), c_term.count(),
+                             c_blk.count())
+    assert n_blk < n_term < n_full, (n_blk, n_term, n_full)
+    p_blk = sorted(tuple(r) for r in
+                   R._pool_rank(full_scores(c_blk),
+                                [F.desc("fp_sum"), F.asc("cand_id")],
+                                R.TOP_K).collect())
+    p_full = sorted(tuple(r) for r in
+                    R._pool_rank(fs(full_set),
+                                 [F.desc("fp_sum"), F.asc("cand_id")],
+                                 R.TOP_K).collect())
+    assert p_blk == p_full and len(p_full) > 0

@@ -130,3 +130,47 @@ def test_theta_bound_sound_on_random_corpora(spark, seed, n_docs):
                   pool.select("query_id", "cand_id", "fp_sum", "rank")
                   .collect())
     assert got == want, f"θ-driven essential split diverged (seed={seed})"
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.integers(min_value=0, max_value=10_000),
+       st.integers(min_value=40, max_value=90))
+def test_bm25f_blockmax_exact_on_random_corpora(spark, seed, n_docs):
+    """r15 (q194): for ANY corpus draw, the TOP_K pool ranked from
+    the per-field block-max candidate set equals the full unpruned
+    BM25F pool row-for-row — the field-blocked exactness theorem
+    (per-field tfw bounds summed THEN saturated) swept across random
+    df/tf/dl/field mixes.  The random shuffle inside _random_corpus
+    moves terms across the title/body boundary draw to draw, so the
+    per-field min_dlf/max_tf cells vary independently of the plain
+    layout's."""
+    d = _random_corpus(spark, seed, n_docs)
+    tff, dlf, dfd, ndocs, avgf = R.corpus_field_frames(d)
+    tff = tff.localCheckpoint(eager=True)
+    wtf = R.bm25f_weighted_tf(tff, dlf, avgf).localCheckpoint(eager=True)
+    qterms = (tff.where(F.col("cand_id") < R.N_QUERIES)
+              .select(F.col("cand_id").alias("query_id"), "term")
+              .distinct())
+
+    def fs(cands):
+        return R.bm25f_full_scores(cands, wtf, dfd, ndocs, qterms)
+
+    full_set = (wtf.select("cand_id", "term").join(qterms, "term")
+                .where(F.col("cand_id") != F.col("query_id"))
+                .select("query_id", "cand_id").distinct())
+    want = sorted(tuple(r) for r in
+                  R._pool_rank(fs(full_set),
+                               [F.desc("fp_sum"), F.asc("cand_id")],
+                               R.TOP_K)
+                  .select("query_id", "cand_id", "fp_sum", "rank")
+                  .collect())
+    c_blk, full_scores = R.bm25f_blockmax_candidates(
+        tff, dlf, dfd, ndocs, avgf, qterms, wtf)
+    got = sorted(tuple(r) for r in
+                 R._pool_rank(full_scores(c_blk),
+                              [F.desc("fp_sum"), F.asc("cand_id")],
+                              R.TOP_K)
+                 .select("query_id", "cand_id", "fp_sum", "rank")
+                 .collect())
+    assert got == want, f"field block-max diverged (seed={seed})"

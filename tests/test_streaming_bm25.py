@@ -477,3 +477,85 @@ def test_served_prf_block_route_on_skewed_store(spark, tmp_path):
         assert _table(serve_prf_expanded_bm25(spark, state,
                                               plan=plan)) == want, plan
     assert _table(serve_prf_expanded_bm25(spark, state)) == want
+
+
+def test_block_and_prf_reads_survive_store_without_blk(spark, tmp_path):
+    """r14 ADVICE: stores written before the blocked partial landed
+    carry no blk/ directory — the block-plan reads must fall back to
+    deriving block stats from tf ⋈ dl (blockmax_candidates' blk=None
+    path) instead of throwing AnalysisException on the missing
+    path.  Rows are identical either way (the blocked layout is an
+    optimization input, not a semantic one)."""
+    import shutil
+
+    from oanda_stream_processor_spark.streaming.bm25gate import (
+        serve_bm25_blockmax_topk,
+        serve_prf_expanded_bm25,
+    )
+
+    d = load_table(spark, SF_DIR, "documents")
+    state = str(tmp_path / "state")
+    write_batch_partials(d, state, 0)
+    want_blk = _table(serve_bm25_blockmax_topk(spark, state,
+                                               plan="block"))
+    want_prf = _table(serve_prf_expanded_bm25(spark, state,
+                                              plan="block"))
+    shutil.rmtree(f"{state}/blk")
+    assert _table(serve_bm25_blockmax_topk(spark, state,
+                                           plan="block")) == want_blk
+    assert _table(serve_prf_expanded_bm25(spark, state,
+                                          plan="block")) == want_prf
+
+
+def test_served_bm25f_blockmax_tracks_appends(spark, tmp_path):
+    """r15 (q194's serving half): the per-batch PER-FIELD blocked
+    partials MAX/MIN-merge to the one-shot field block stats even
+    when every block's docs span batches, and the BM25F block-max
+    read served from the persisted field store equals the flat served
+    read and the one-shot q177-on-seen per append prefix — through
+    every forced plan.  Pre-r15 stores (no fblk/) derive the layout
+    from tff ⋈ dlf instead of throwing."""
+    import shutil
+
+    from oanda_stream_processor_spark.operators.retrieval import (
+        bm25f_topk_from,
+        corpus_field_frames,
+        field_block_stats_from,
+    )
+    from oanda_stream_processor_spark.streaming.bm25gate import (
+        read_field_block_stats,
+        serve_bm25f_blockmax_topk,
+        serve_bm25f_topk,
+        write_batch_field_partials,
+    )
+
+    def one_shot_on(seen):
+        tff, dlf, dfd, ndocs, avgf = corpus_field_frames(seen)
+        qterms = (tff.where(F.col("cand_id") < N_QUERIES)
+                  .select(F.col("cand_id").alias("query_id"), "term")
+                  .distinct())
+        return bm25f_topk_from(tff, dlf, dfd, ndocs, avgf, qterms)
+
+    from tests.test_retrieval import _field_block_skewed_corpus
+    d = _field_block_skewed_corpus(spark)
+    state = str(tmp_path / "fblkstate")
+    seen = None
+    for i in range(2):
+        part = d.where(F.col("doc_id") % 2 == i)
+        write_batch_field_partials(part, state, i)
+        seen = part if seen is None else seen.unionByName(part)
+        tff, dlf, _, _, _ = corpus_field_frames(seen)
+        assert _table(read_field_block_stats(spark, state)) == \
+            _table(field_block_stats_from(tff, dlf)), \
+            f"fblk merge, batch {i}"
+        want = _table(serve_bm25f_topk(spark, state))
+        for plan in ("flat", "term", "block"):
+            assert _table(serve_bm25f_blockmax_topk(
+                spark, state, plan=plan)) == want, (plan, i)
+        assert want == _table(one_shot_on(seen)), f"one-shot, batch {i}"
+    # default gated read routes and stays exact
+    assert _table(serve_bm25f_blockmax_topk(spark, state)) == want
+    # store without the fblk/ layout: block plan derives from tff ⋈ dlf
+    shutil.rmtree(f"{state}/fblk")
+    assert _table(serve_bm25f_blockmax_topk(spark, state,
+                                            plan="block")) == want

@@ -600,3 +600,111 @@ def test_served_prf_quality_compare_equals_q192(spark, tmp_path):
     assert _table(serve_prf_quality_compare(spark, b_state, p_state,
                                             h_state)) == \
         _table(q192_prf_quality_compare(spark, SF_DIR))
+
+
+def test_served_quality_gated_fusion_equals_q193(spark, tmp_path):
+    """r15 (r14 verdict ask #2 — the LAST registry query to get a
+    served twin): the served champion/challenger gate composed from
+    the three stores + the static cosine pool equals one-shot q193 —
+    per append prefix via the shared cores (the one-shot side here is
+    the same graded-frame construction over the seen corpus, gated by
+    the SAME retrieval.gate_winner), verbatim at full corpus."""
+    from oanda_stream_processor_spark.operators.dedup import (
+        _spark_shingle_hashes,
+    )
+    from oanda_stream_processor_spark.operators.retrieval import (
+        POOL,
+        TOP_K,
+        _macro_summary,
+        gate_winner,
+        proximity_boosted_pool,
+        proximity_from,
+        q193_quality_gated_fusion,
+        quality_metrics_from,
+        relevance_truth_from,
+        token_postings,
+        truth_side_frames,
+    )
+    from oanda_stream_processor_spark.streaming.phrasegate import (
+        write_batch_postings,
+    )
+    from oanda_stream_processor_spark.streaming.proxgate import (
+        write_batch_token_postings,
+    )
+    from oanda_stream_processor_spark.streaming.rrfserve import (
+        serve_quality_gated_fusion,
+    )
+
+    cos = exact_cosine_pool(spark, SF_DIR)
+
+    def one_shot_gate_on(seen):
+        tf, dfq, dl, stats = corpus_term_frames(seen)
+        qterms = (tf.where(F.col("cand_id") < N_QUERIES)
+                  .select(F.col("cand_id").alias("query_id"), "term"))
+        pool = bm25_pool_from(tf, dfq, dl, stats, qterms)
+        p = token_postings(seen)
+        qtermf = (p.where(F.col("doc_id") < N_QUERIES)
+                  .select(F.col("doc_id").alias("query_id"), "term")
+                  .distinct())
+        px = proximity_from(p, qtermf)
+        psh = _spark_shingle_hashes(seen, with_pos=True)
+        qp = (psh.where((F.col("pos") == 1)
+                        & (F.col("doc_id") < N_QUERIES))
+              .select(F.col("doc_id").alias("query_id"),
+                      F.col("sh").alias("qsh")))
+        phr = (psh.join(qp, psh.sh == qp.qsh)
+               .where(F.col("doc_id") != F.col("query_id"))
+               .select("query_id", F.col("doc_id").alias("cand_id"))
+               .distinct())
+        truth = relevance_truth_from(p, phr, prox=px)
+        base = (tf.where(F.col("cand_id") < N_QUERIES)
+                .select(F.col("cand_id").alias("query_id")).distinct())
+        nrel, idcg = truth_side_frames(truth)
+        bm25_tk = (pool.where(F.col("rank") <= TOP_K)
+                   .select("query_id", "cand_id", "rank"))
+        boosted = proximity_boosted_pool(
+            pool.select("query_id", "cand_id", "fp_sum"),
+            px.select("query_id", "cand_id", "min_dist"), POOL)
+        boost_tk = (boosted.where(F.col("rank") <= TOP_K)
+                    .select("query_id", "cand_id", "rank"))
+        fused_tk = (rrf_fuse(
+            boosted.select("query_id", "cand_id",
+                           F.col("rank").alias("rank_b")),
+            _rank_c(cos))
+            .select("query_id", "cand_id",
+                    F.col("fused_rank").alias("rank")))
+        macros = None
+        cand = None
+        for pri, (name, tk) in enumerate(
+                (("bm25", bm25_tk), ("boosted", boost_tk),
+                 ("fused", fused_tk)), start=1):
+            mrow = (_macro_summary(quality_metrics_from(
+                tk, truth, base=base, nrel=nrel, idcg=idcg))
+                .select(F.lit(name).alias("system"),
+                        F.lit(pri).alias("priority"),
+                        "macro_ndcg_ppm"))
+            crow = tk.select(F.lit(name).alias("system"), "query_id",
+                             "cand_id", "rank")
+            macros = mrow if macros is None else macros.unionByName(mrow)
+            cand = crow if cand is None else cand.unionByName(crow)
+        return (cand.join(F.broadcast(gate_winner(macros)), "system")
+                .select("system", "query_id", "cand_id", "rank"))
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    b_state = str(tmp_path / "bm25")
+    p_state = str(tmp_path / "prox")
+    h_state = str(tmp_path / "phrase")
+    seen = None
+    for i in range(2):
+        part = d.where(F.col("doc_id") % 2 == i)
+        write_batch_partials(part, b_state, i)
+        write_batch_token_postings(part, p_state, i)
+        write_batch_postings(part, h_state, i)
+        seen = part if seen is None else seen.unionByName(part)
+        got = serve_quality_gated_fusion(spark, b_state, p_state,
+                                         h_state, cos)
+        assert _table(got) == _table(one_shot_gate_on(seen)), \
+            f"diverged after batch {i}"
+    assert _table(serve_quality_gated_fusion(
+        spark, b_state, p_state, h_state, cos)) == \
+        _table(q193_quality_gated_fusion(spark, SF_DIR))

@@ -153,3 +153,79 @@ def test_theta_stream_e2e_and_replay(spark, tmp_path):
      .write.mode("overwrite").parquet(f"{manual}/batch_id=1"))
     assert _table(read_impact_hist(spark, manual)) == \
         _table(batch_impact_partial(d))
+
+
+def test_lockstep_impact_layout_and_default_fold(spark, tmp_path):
+    """r15 (r14 verdict ask #3 + ADVICE): write_batch_partials now
+    persists the impact histogram as its sixth partial, so (a) the
+    hist-θ read needs no external store (theta_state=None reads
+    <bm25_state>/impact — sound by construction, one writer) and
+    (b) the DEFAULT gated read (bm25gate.serve_bm25_topk) routes its
+    pruned branch through the histogram θ: hist ≡ seed ≡ unpruned
+    per append prefix, 'hist' refuses a store without the layout,
+    and 'auto' degrades to the seed pass on one."""
+    import shutil
+
+    import pytest
+
+    from oanda_stream_processor_spark.streaming.bm25gate import (
+        serve_bm25_topk,
+    )
+
+    d = _zipf(spark)
+    state = str(tmp_path / "bm25")
+    want = None
+    for i in range(2):
+        part = d.where(F.col("doc_id") % 2 == i)
+        write_batch_partials(part, state, i)
+        want = _table(serve_bm25_topk(spark, state, prune=True,
+                                      theta="seed"))
+        assert _table(serve_bm25_topk(spark, state, prune=True,
+                                      theta="hist")) == want
+        assert _table(serve_bm25_topk(spark, state,
+                                      prune=False)) == want
+        assert _table(serve_bm25_topk_hist_theta(spark, state,
+                                                 prune=True)) == want
+    # pre-r15 store shape: no impact/ layout -> 'auto' falls back to
+    # the seed pass; 'hist' refuses loudly
+    shutil.rmtree(f"{state}/impact")
+    assert _table(serve_bm25_topk(spark, state, prune=True)) == want
+    with pytest.raises(ValueError, match="impact"):
+        serve_bm25_topk(spark, state, prune=True, theta="hist")
+
+
+def test_external_hist_ahead_guard_falls_back_exact(spark, tmp_path):
+    """The r14 ADVICE hazard, pinned: a separately-checkpointed
+    histogram stream can run AHEAD of the postings store, and a θ
+    priced from docs the store lacks is not a certified lower bound.
+    Store = batch 0 only, histogram = batches 0+1: hist_not_ahead
+    must refuse, and the read must fall back to the seed pass —
+    still row-for-row equal to the one-shot pool on the batch-0
+    corpus."""
+    from oanda_stream_processor_spark.operators.retrieval import (
+        FP,
+        TOP_K,
+    )
+    from oanda_stream_processor_spark.streaming.thetagate import (
+        hist_not_ahead,
+    )
+
+    d = _zipf(spark)
+    b0 = d.where(F.col("doc_id") % 2 == 0)
+    bm25_state = str(tmp_path / "bm25")
+    theta_state = str(tmp_path / "theta")
+    write_batch_partials(b0, bm25_state, 0)
+    for i in range(2):
+        part = d.where(F.col("doc_id") % 2 == i)
+        (batch_impact_partial(part).write.mode("overwrite")
+         .parquet(f"{theta_state}/batch_id={i}"))
+    assert not hist_not_ahead(spark, bm25_state, theta_state)
+    got = _table(serve_bm25_topk_hist_theta(spark, bm25_state,
+                                            theta_state, prune=True))
+    tf, dfq, dl, stats = corpus_term_frames(b0)
+    pool = bm25_pool_from(tf, dfq, dl, stats, query_terms_from(tf))
+    want = _table(pool.where(F.col("rank") <= TOP_K)
+                  .select("query_id", "cand_id",
+                          (F.col("fp_sum") / F.lit(FP)).alias("score"),
+                          "rank"))
+    assert got == want
