@@ -79,14 +79,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #     BPE merges run their rounds at build time (q55/q90/q146/q151/
 #     q155/q158/q160/q161/q167/q174, q159, q99, q135/q139/q152);
 #   * build-once memos: q185 materializes the shared graded frame AND
-#     the quality_corpus_frames trio — including the shared postings
-#     checkpoint + BM25 pool (corpus_term_frames_memo/bm25_pool_memo,
-#     r15 single-scan) — on FIRST build per (app, sf_dir); q186 AND
-#     q187 are then lazy (q187's pass 1 IS the warm pool); q191/q192
-#     read the warm trio but stay eager via their own nrel/idcg
-#     checkpoints; q127/q159/q168 build eagerly on first touch of
-#     their memoized inputs and keep some eager work of their own
-#     past the memo.
+#     the quality_corpus_frames trio — including the materialized
+#     positional postings, the shared postings checkpoint and the
+#     BM25 pool (one-scan pipeline: token_postings checkpoint ->
+#     corpus_term_frames_memo/bm25_pool_memo, r15) — on FIRST build
+#     per (app, sf_dir); q186 is then lazy; q187 reads the warm pool
+#     as its pass 1 but stays eager via its OWN result memo (the
+#     TOP_K-bounded PRF ranking, checkpointed so q192 grades an
+#     already-computed system frame); q191/q192 read the warm trio
+#     but stay eager via their own nrel/idcg checkpoints;
+#     q127/q159/q168 build eagerly on first touch of their memoized
+#     inputs and keep some eager work of their own past the memo.
 # The set is the FIRST-build profile in registry-sorted order — the
 # production profile of a process that builds the whole registry;
 # tests/test_eager_registry.py sweeps exactly that and pins this set.
@@ -102,7 +105,7 @@ EAGER_BUILD_QUERIES = frozenset({
     "q168_winnow_canonical", "q172_histogram_quantiles",
     "q173_hist_mad_outliers", "q174_unified_components",
     "q178_bm25_maxscore_topk", "q183_bm25f_maxscore_topk",
-    "q185_retrieval_quality",
+    "q185_retrieval_quality", "q187_prf_expanded_bm25",
     "q189_bm25_blockmax_topk", "q191_fusion_quality_compare",
     "q194_bm25f_blockmax_topk",
     "q192_prf_quality_compare", "q193_quality_gated_fusion",

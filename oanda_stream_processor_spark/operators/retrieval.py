@@ -98,16 +98,18 @@ def _pool_rank(scored: DataFrame, order_cols, pool: int) -> DataFrame:
 
 # --- BM25 --------------------------------------------------------------------
 
-def corpus_term_frames(d: DataFrame):
-    """(tf, dfq, dl, stats) for a (doc_id, text) frame. Everything
-    derives from the ONE (doc, term) aggregate: tf has one row per
-    pair, so COUNT(*) per term IS the document frequency and SUM(tf)
-    per doc IS the document length — no second pass over the exploded
-    token stream. dfq/dl/stats are all SUM-decomposable over any
-    doc-disjoint partition of the corpus (the streaming bm25gate's
-    merge theorem)."""
-    toks = F.filter(F.split("text", " "), lambda x: x != "")
-    tok = d.select("doc_id", F.explode(toks).alias("term"))
+def corpus_term_frames_from(tok: DataFrame):
+    """(tf, dfq, dl, stats) from an already-exploded (doc_id, term[,
+    ...]) token stream — the aggregate tail shared by the text path
+    below and the one-scan grading pipeline (r15: the truth build's
+    materialized positional postings feed the SAME aggregates, so the
+    BM25 frames cost one groupBy over in-hand rows instead of a
+    second corpus tokenize).  Everything derives from the ONE (doc,
+    term) aggregate: tf has one row per pair, so COUNT(*) per term IS
+    the document frequency and SUM(tf) per doc IS the document length
+    — no second pass over the token stream.  dfq/dl/stats are all
+    SUM-decomposable over any doc-disjoint partition of the corpus
+    (the streaming bm25gate's merge theorem)."""
     tf = (tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
           .withColumnRenamed("doc_id", "cand_id"))
     dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
@@ -115,6 +117,14 @@ def corpus_term_frames(d: DataFrame):
     stats = dl.agg(F.count("*").alias("n_docs"),
                    F.sum("dl").alias("sum_dl"))
     return tf, dfq, dl, stats
+
+
+def corpus_term_frames(d: DataFrame):
+    """(tf, dfq, dl, stats) for a (doc_id, text) frame — tokenize +
+    the shared aggregate tail (corpus_term_frames_from)."""
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    tok = d.select("doc_id", F.explode(toks).alias("term"))
+    return corpus_term_frames_from(tok)
 
 
 def bm25_pool_from(tf: DataFrame, dfq: DataFrame, dl: DataFrame,
@@ -2081,6 +2091,7 @@ _QUALITY_MEMO: dict = {}   # (appId, sf_dir) -> graded per-query frame
 _GRADE_MEMO: dict = {}     # (appId, sf_dir) -> (pool, px, truth)
 _TERM_MEMO: dict = {}      # (appId, sf_dir) -> (tf, dfq, dl, stats)
 _POOL_MEMO: dict = {}      # (appId, sf_dir) -> BM25 pool (rank ≤ POOL)
+_PRF_MEMO: dict = {}       # (appId, sf_dir) -> q187 top-k (bounded)
 
 
 def _quality_memo_on() -> bool:
@@ -2088,22 +2099,30 @@ def _quality_memo_on() -> bool:
     return os.environ.get("SPARK_GRAFT_QUALITY_MEMO", "1") != "0"
 
 
-def corpus_term_frames_memo(spark: SparkSession, sf_dir: str):
+def corpus_term_frames_memo(spark: SparkSession, sf_dir: str,
+                            p: DataFrame | None = None):
     """(tf, dfq, dl, stats) with tf eagerly checkpointed — the shared
     postings pass of the grading/PRF family (r15: the r14 verdict's
     single-scan ask).  tf is ALWAYS materialized (every caller is
     multi-consumer — q187's two passes + the mine, the pool + the
     derived stats); the memo switch only controls whether later
-    callers in the same (applicationId, sf_dir) reuse it.  The
-    one-shot single-consumer plans (q175/q176 via _bm25_pool) stay on
-    the lazy un-checkpointed path so their bench rows remain true
-    pipeline costs."""
+    callers in the same (applicationId, sf_dir) reuse it.  ``p``
+    supplies an already-MATERIALIZED token-postings frame (the truth
+    build's checkpointed posexplode) — the frames then derive from
+    its in-hand rows instead of a second corpus tokenize (one-scan
+    pipeline); values are identical either way (same tokens, same
+    aggregates).  The one-shot single-consumer plans (q175/q176 via
+    _bm25_pool) stay on the lazy un-checkpointed path so their bench
+    rows remain true pipeline costs."""
     use_memo = _quality_memo_on()
     key = (spark.sparkContext.applicationId, sf_dir)
     if use_memo and key in _TERM_MEMO:
         return _TERM_MEMO[key]
-    d = load_table(spark, sf_dir, "documents")
-    tf, dfq, dl, stats = corpus_term_frames(d)
+    if p is not None:
+        tf, dfq, dl, stats = corpus_term_frames_from(p)
+    else:
+        d = load_table(spark, sf_dir, "documents")
+        tf, dfq, dl, stats = corpus_term_frames(d)
     tf = tf.localCheckpoint(eager=True)
     out = (tf, dfq, dl, stats)
     if use_memo:
@@ -2111,7 +2130,8 @@ def corpus_term_frames_memo(spark: SparkSession, sf_dir: str):
     return out
 
 
-def bm25_pool_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bm25_pool_memo(spark: SparkSession, sf_dir: str,
+                   p: DataFrame | None = None) -> DataFrame:
     """The BM25 candidate pool (query_id, cand_id, fp_sum,
     rank ≤ POOL) computed ONCE per (applicationId, sf_dir) off the
     shared postings checkpoint — q185/q186/q191/q192/q193 grade
@@ -2125,7 +2145,7 @@ def bm25_pool_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if use_memo and key in _POOL_MEMO:
         return _POOL_MEMO[key]
-    tf, dfq, dl, stats = corpus_term_frames_memo(spark, sf_dir)
+    tf, dfq, dl, stats = corpus_term_frames_memo(spark, sf_dir, p=p)
     pool = bm25_pool_from(tf, dfq, dl, stats, query_terms_from(tf))
     if use_memo:
         pool = pool.localCheckpoint(eager=True)
@@ -2152,7 +2172,17 @@ def quality_corpus_frames(spark: SparkSession, sf_dir: str):
     if use_memo and key in _GRADE_MEMO:
         return _GRADE_MEMO[key]
     d = load_table(spark, sf_dir, "documents")
-    p = token_postings(d)
+    # ONE-SCAN pipeline (r15): the positional postings are the hub —
+    # materialized once (an in-call checkpoint, part of the pipeline
+    # cost even with the memo bypassed, the q187-tf precedent), then
+    # the query probe, the proximity feature, the truth tiers AND the
+    # BM25 term frames (via corpus_term_frames_memo's ``p`` route)
+    # all derive from its in-hand rows.  Corpus text is read exactly
+    # twice per cold build: this posexplode and the trigram shingle
+    # kernel (q179 — a numpy codepoint fold over raw text that a
+    # token stream cannot feed), down from the r14 pipeline's four
+    # tokenize/explode passes.
+    p = token_postings(d).localCheckpoint(eager=True)
     qtermf = (p.where(F.col("doc_id") < N_QUERIES)
               .select(F.col("doc_id").alias("query_id"), "term")
               .distinct())
@@ -2161,10 +2191,7 @@ def quality_corpus_frames(spark: SparkSession, sf_dir: str):
         px = px.localCheckpoint(eager=True)
     truth = relevance_truth_from(p, q179_phrase_match(spark, sf_dir),
                                  prox=px)
-    # the pool comes from the shared postings checkpoint (r15: one
-    # corpus scoring pass for the whole grading family, q187's pass 1
-    # included) — bm25_pool_memo checkpoints it when the memo is on
-    pool = bm25_pool_memo(spark, sf_dir)
+    pool = bm25_pool_memo(spark, sf_dir, p=p)
     if use_memo:
         truth = truth.localCheckpoint(eager=True)
         _GRADE_MEMO[key] = (pool, px, truth)
@@ -2686,14 +2713,27 @@ def q187_prf_expanded_bm25(spark: SparkSession,
     terms from the top-PRF_DOCS docs → BM25 pass 2 with the expanded
     query (see block comment).  (query_id, cand_id, score,
     rank ≤ TOP_K)."""
+    use_memo = _quality_memo_on()
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if use_memo and key in _PRF_MEMO:
+        return _PRF_MEMO[key]
     tf, dfq, dl, stats = corpus_term_frames_memo(spark, sf_dir)
     qterms = query_terms_from(tf)
     pool2 = prf_expanded_pool(tf, dfq, dl, stats, qterms,
                               pool1=bm25_pool_memo(spark, sf_dir))
-    return (pool2.where(F.col("rank") <= TOP_K)
-            .select("query_id", "cand_id",
-                    (F.col("fp_sum") / F.lit(FP)).alias("score"),
-                    "rank"))
+    out = (pool2.where(F.col("rank") <= TOP_K)
+           .select("query_id", "cand_id",
+                   (F.col("fp_sum") / F.lit(FP)).alias("score"),
+                   "rank"))
+    if use_memo:
+        # the PRF RANKING is itself memoized (TOP_K·|queries| rows —
+        # trivial): q192 then grades an already-computed system frame,
+        # exactly how a production gate reads a served ranking (the
+        # q186-reads-q185 pattern; bench ledger in BASELINE.md — the
+        # memo-bypassed q187 row remains the TRUE two-pass cost)
+        out = out.localCheckpoint(eager=True)
+        _PRF_MEMO[key] = out
+    return out
 
 
 # --- q188: best-passage extraction (windowed query-term density) ---------------

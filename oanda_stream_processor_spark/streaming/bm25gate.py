@@ -262,7 +262,8 @@ def serve_bm25_topk(spark: SparkSession, state_dir: str, *,
 
 
 def serve_bm25_blockmax_topk(spark: SparkSession, state_dir: str, *,
-                             plan: str | None = None) -> DataFrame:
+                             plan: str | None = None,
+                             theta: str = "auto") -> DataFrame:
     """q175's output shape served from the incremental store through
     the BLOCK-MAX machinery (r14; r13 verdict ask #1's serving half):
     the three-way q189 plan gate evaluated over stored postings picks
@@ -274,7 +275,14 @@ def serve_bm25_blockmax_topk(spark: SparkSession, state_dir: str, *,
     (the q189 soundness argument is source-independent); pytest pins
     all three branches row-for-row equal per append prefix on flat,
     Zipfian, and block-skewed stored corpora.  ``plan`` forces a
-    branch (tests); None lets the gate decide."""
+    branch (tests); None lets the gate decide.
+
+    r15: like serve_bm25_topk, the pruned branches prefer the
+    PERSISTED lockstep impact histogram for θ (no seed-scoring pass —
+    the block branch then combines θ_lb's essential split WITH the
+    blocked skip, both priced from stored state; thetagate.
+    hist_theta_pruned_topk blocks=True for the soundness note);
+    ``theta`` routes as there ('auto' | 'seed' | 'hist')."""
     from ..operators.retrieval import (
         POOL,
         _pool_rank,
@@ -282,11 +290,23 @@ def serve_bm25_blockmax_topk(spark: SparkSession, state_dir: str, *,
         maxscore_candidates,
         maxscore_gate_plan_from_postings,
     )
+    if theta not in ("auto", "seed", "hist"):
+        raise ValueError(f"theta must be auto|seed|hist, got {theta!r}")
     if plan is None:
         plan = maxscore_gate_plan_from_postings(
             read_tf(spark, state_dir), read_dl(spark, state_dir))
     if plan == "flat":
         return serve_bm25_topk(spark, state_dir, prune=False)
+    if theta != "seed":
+        from .thetagate import hist_theta_pruned_topk, maybe_read_impact_hist
+        hist = maybe_read_impact_hist(spark, state_dir)
+        if hist is not None:
+            return hist_theta_pruned_topk(spark, state_dir, hist,
+                                          blocks=(plan == "block"))
+        if theta == "hist":
+            raise ValueError(
+                f"theta='hist' but {state_dir} has no impact/ layout "
+                "(pre-r15 store — re-ingest or use theta='seed')")
     tf = read_tf(spark, state_dir).localCheckpoint(eager=True)
     qterms = query_terms_from(tf)
     dfq = read_term_df(spark, state_dir)

@@ -254,22 +254,39 @@ def maybe_read_impact_hist(spark: SparkSession,
 
 
 def hist_theta_pruned_topk(spark: SparkSession, bm25_state: str,
-                           hist: DataFrame) -> DataFrame:
+                           hist: DataFrame, *,
+                           blocks: bool = False) -> DataFrame:
     """The PRUNED serving read with θ priced from an in-hand merged
     histogram — the shared core of serve_bm25_topk_hist_theta and the
     default gated read (bm25gate.serve_bm25_topk routes here when the
     store carries the lockstep impact partial; r15, r14 verdict ask
     #3).  Caller certifies the histogram's soundness precondition
     (module docstring); the read itself is exact for any certified θ
-    lower bound."""
+    lower bound.
+
+    ``blocks=True`` additionally applies the BLOCKED skip (r15: the
+    fold extended to the served block-max read): essential-matched
+    candidates are filtered by live (query, block) survivors priced
+    from the persisted blocked layout with the SAME θ_lb.  Exactness
+    composes — the q189 argument never uses that θ is the exact kth
+    score, only that POOL true scores are ≥ it, which θ_lb certifies;
+    and no seed candidate set is needed at all, because cand1's only
+    role in the one-shot plan is COMPUTING θ (every true top-POOL doc
+    matches an essential term, the q178 essential theorem, and sits
+    in a live block — its own score ≥ θ_lb keeps its block's UB sum
+    ≥ θ_lb).  Stores without the blocked partial derive it from
+    tf ⋈ dl (maybe_read_block_stats)."""
     from ..operators.retrieval import (
+        BLOCK_DOCS,
         _essential_terms,
         _pool_rank,
+        block_upper_bounds,
         bm25_full_scores,
         query_terms_from,
         term_upper_bounds,
     )
     from .bm25gate import (
+        maybe_read_block_stats,
         read_corpus_stats,
         read_dl,
         read_term_df,
@@ -287,6 +304,24 @@ def hist_theta_pruned_topk(spark: SparkSession, bm25_state: str,
     cands = (tf.join(ess, "term")
              .where(F.col("cand_id") != F.col("query_id"))
              .select("query_id", "cand_id").distinct())
+    if blocks:
+        from ..operators.helpers import exact_tdiv
+        blk = maybe_read_block_stats(spark, bm25_state)
+        if blk is None:
+            from ..operators.retrieval import block_stats_from
+            blk = block_stats_from(tf, dl)
+        bsum = (block_upper_bounds(blk, dfq, stats, qterms)
+                .groupBy("query_id", "block_id")
+                .agg(F.sum("ub_blk_fp").alias("blk_ub")))
+        live = (bsum.join(F.broadcast(theta), "query_id", "left")
+                .where(F.col("theta").isNull()
+                       | ~(F.col("blk_ub") < F.col("theta")))
+                .select("query_id", "block_id"))
+        cands = (cands.withColumn("block_id",
+                                  exact_tdiv(F.col("cand_id"),
+                                             F.lit(BLOCK_DOCS)))
+                 .join(live, ["query_id", "block_id"], "left_semi")
+                 .select("query_id", "cand_id"))
     scores = bm25_full_scores(cands, tf, dfq, dl, stats, qterms)
     pool = _pool_rank(scores, [F.desc("fp_sum"), F.asc("cand_id")],
                       POOL)

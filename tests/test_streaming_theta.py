@@ -169,6 +169,7 @@ def test_lockstep_impact_layout_and_default_fold(spark, tmp_path):
     import pytest
 
     from oanda_stream_processor_spark.streaming.bm25gate import (
+        serve_bm25_blockmax_topk,
         serve_bm25_topk,
     )
 
@@ -186,6 +187,15 @@ def test_lockstep_impact_layout_and_default_fold(spark, tmp_path):
                                       prune=False)) == want
         assert _table(serve_bm25_topk_hist_theta(spark, state,
                                                  prune=True)) == want
+        # the fold extended to the served block-max read (r15):
+        # hist θ ≡ seed θ on both pruned plans, blocked skip included
+        for plan in ("term", "block"):
+            assert _table(serve_bm25_blockmax_topk(
+                spark, state, plan=plan, theta="hist")) == want, \
+                (plan, i)
+            assert _table(serve_bm25_blockmax_topk(
+                spark, state, plan=plan, theta="seed")) == want, \
+                (plan, i)
     # pre-r15 store shape: no impact/ layout -> 'auto' falls back to
     # the seed pass; 'hist' refuses loudly
     shutil.rmtree(f"{state}/impact")
