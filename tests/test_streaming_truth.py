@@ -1,0 +1,124 @@
+"""Incremental truth store (streaming/truthgate.py): per-batch
+candidate-disjoint tier partials must reproduce the one-shot graded
+truth exactly after every contract-respecting append prefix, the
+query-docs-first contract must be ENFORCED (not just documented), and
+grading a served ranking against the stored truth must equal the
+one-shot q185 metric rows at full corpus."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oanda_stream_processor_spark.io import load_table
+from oanda_stream_processor_spark.operators.dedup import (
+    _spark_shingle_hashes,
+)
+from oanda_stream_processor_spark.operators.retrieval import (
+    N_QUERIES,
+    relevance_truth_from,
+    token_postings,
+)
+from oanda_stream_processor_spark.streaming.truthgate import (
+    read_truth,
+    serve_quality_from_truth_store,
+    start_truth_stream,
+    write_batch_truth_partials,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _table(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _one_shot_truth(seen):
+    p = token_postings(seen)
+    psh = _spark_shingle_hashes(seen, with_pos=True)
+    qp = (psh.where((F.col("pos") == 1)
+                    & (F.col("doc_id") < N_QUERIES))
+          .select(F.col("doc_id").alias("query_id"),
+                  F.col("sh").alias("qsh")))
+    phr = (psh.join(qp, psh.sh == qp.qsh)
+           .where(F.col("doc_id") != F.col("query_id"))
+           .select("query_id", F.col("doc_id").alias("cand_id"))
+           .distinct())
+    return relevance_truth_from(p, phr)
+
+
+def test_truth_store_tracks_appends_and_grades(spark, tmp_path):
+    """Per contract-respecting prefix: stored truth == one-shot truth
+    on docs-so-far; at full corpus the quality read from the stored
+    truth equals one-shot q185's metric rows."""
+    from oanda_stream_processor_spark.operators.retrieval import (
+        q185_retrieval_quality,
+    )
+    from oanda_stream_processor_spark.streaming.bm25gate import (
+        write_batch_partials,
+    )
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    t_state = str(tmp_path / "truth")
+    b_state = str(tmp_path / "bm25")
+    # batch 0 carries ALL query docs (the contract) plus half the
+    # candidates; batch 1 the rest
+    batches = [
+        d.where((F.col("doc_id") < N_QUERIES)
+                | (F.col("doc_id") % 2 == 0)),
+        d.where((F.col("doc_id") >= N_QUERIES)
+                & (F.col("doc_id") % 2 == 1)),
+    ]
+    seen = None
+    for i, part in enumerate(batches):
+        write_batch_truth_partials(part, t_state, i)
+        write_batch_partials(part, b_state, i)
+        seen = part if seen is None else seen.unionByName(part)
+        assert _table(read_truth(spark, t_state)) == \
+            _table(_one_shot_truth(seen)), f"diverged after batch {i}"
+    got = _table(serve_quality_from_truth_store(spark, t_state,
+                                                b_state))
+    want = _table(q185_retrieval_quality(spark, SF_DIR))
+    assert got == want and len(want) == N_QUERIES
+
+
+def test_truth_store_contract_enforced_and_replay(spark, tmp_path):
+    """A query doc arriving AFTER candidate partials exist must raise
+    (the store must never silently hold a truth built against a
+    partial query side); replaying an already-written batch is
+    idempotent, including the query batch itself."""
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    state = str(tmp_path / "truth")
+    q_batch = d.where(F.col("doc_id") < N_QUERIES + 50)
+    c_batch = d.where(F.col("doc_id") >= N_QUERIES + 50)
+    write_batch_truth_partials(q_batch, state, 0)
+    write_batch_truth_partials(c_batch, state, 1)
+    want = _table(read_truth(spark, state))
+    with pytest.raises(ValueError, match="contract"):
+        write_batch_truth_partials(q_batch, state, 2)
+    # replay: overwriting either batch's partials is a no-op
+    write_batch_truth_partials(q_batch, state, 0)
+    write_batch_truth_partials(c_batch, state, 1)
+    assert _table(read_truth(spark, state)) == want
+    assert want == _table(_one_shot_truth(d))
+
+
+def test_truth_stream_e2e(spark, tmp_path):
+    """availableNow e2e: queries-first file order through a real
+    stream reproduces the one-shot truth."""
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    src = tmp_path / "docs"
+    src.mkdir()
+    (d.where(F.col("doc_id") < N_QUERIES + 100).coalesce(1)
+     .write.json(str(src / "f1")))
+    (d.where(F.col("doc_id") >= N_QUERIES + 100).coalesce(1)
+     .write.json(str(src / "f2")))
+    stream = (spark.readStream
+              .schema("doc_id bigint, text string")
+              .option("maxFilesPerTrigger", "1")
+              .json(str(src / "*")))
+    state = str(tmp_path / "tstate")
+    q = start_truth_stream(stream, state, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    assert _table(read_truth(spark, state)) == \
+        _table(_one_shot_truth(d))
