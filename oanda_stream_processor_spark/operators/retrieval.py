@@ -2119,11 +2119,15 @@ def corpus_term_frames_memo(spark: SparkSession, sf_dir: str,
     if use_memo and key in _TERM_MEMO:
         return _TERM_MEMO[key]
     if p is not None:
+        # p IS the materialization: tf's consumers re-aggregate its
+        # in-hand rows (bounded, in-memory) — a second checkpoint of
+        # tf would double-pay materialization for no saved scan (the
+        # r15 bench found exactly that +1.5 s on the memo-off path)
         tf, dfq, dl, stats = corpus_term_frames_from(p)
     else:
         d = load_table(spark, sf_dir, "documents")
         tf, dfq, dl, stats = corpus_term_frames(d)
-    tf = tf.localCheckpoint(eager=True)
+        tf = tf.localCheckpoint(eager=True)
     out = (tf, dfq, dl, stats)
     if use_memo:
         _TERM_MEMO[key] = out
@@ -2719,8 +2723,14 @@ def q187_prf_expanded_bm25(spark: SparkSession,
         return _PRF_MEMO[key]
     tf, dfq, dl, stats = corpus_term_frames_memo(spark, sf_dir)
     qterms = query_terms_from(tf)
+    # pass-1 sharing only where there IS a share: with the memo
+    # bypassed, bm25_pool_memo would rebuild the frames a second time
+    # (the r15 bench caught the duplicate checkpoint) — pool1=None
+    # lets prf_expanded_pool score pass 1 off the frames in hand,
+    # which is the r14 true-cost shape exactly
+    pool1 = bm25_pool_memo(spark, sf_dir) if use_memo else None
     pool2 = prf_expanded_pool(tf, dfq, dl, stats, qterms,
-                              pool1=bm25_pool_memo(spark, sf_dir))
+                              pool1=pool1)
     out = (pool2.where(F.col("rank") <= TOP_K)
            .select("query_id", "cand_id",
                    (F.col("fp_sum") / F.lit(FP)).alias("score"),
