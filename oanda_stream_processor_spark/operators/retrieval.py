@@ -1994,6 +1994,30 @@ def relevance_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 q179_phrase_match(spark, sf_dir))
 
 
+def q195_relevance_truth(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """The graded truth set as a first-class registry output (r15):
+    (query_id, cand_id, rel ∈ {1, 2, 3}).  Every quality read in the
+    family grades against exactly this frame, and the incremental
+    truth store (streaming/truthgate.read_truth — per-batch
+    candidate-disjoint tier partials under the query-docs-first
+    contract) serves it without a corpus re-scan; registering it
+    puts the DuckDB oracle directly on the tier arithmetic instead
+    of only on metrics derived from it.  Lazy build (no gate probes,
+    no checkpoints — the one-shot path is two broadcast-probe joins
+    plus bounded per-pair windows)."""
+    return relevance_truth(spark, sf_dir)
+
+
+def _register_q195() -> None:
+    """Deferred registration (the _register_q192 pattern): the oracle
+    composes the truth CTEs, which reuse dedup's token-hash SQL chain
+    built at call time."""
+    QUERIES["q195_relevance_truth"] = q195_relevance_truth
+    ORACLES["q195_relevance_truth"] = f"""{_sql_truth_ctes()}
+SELECT query_id, cand_id, rel FROM truth"""
+
+
 def query_doc_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id) — every non-empty query document (doc_id < N_QUERIES
     with ≥ 1 token): the metric DENOMINATOR base.  Deriving the base
@@ -2839,3 +2863,4 @@ def q188_best_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_q192()
+_register_q195()

@@ -32,6 +32,22 @@ def test_eager_build_marker_matches_reality(spark):
     for t in TABLES:  # warm schema inference / file-index caches
         load_table(spark, SF, t).schema
 
+    # the sweep pins the FIRST-build profile — clear the build-once
+    # memos so earlier tests sharing this session cannot have warmed
+    # them (r15: the sweep is now order-robust; it failed spuriously
+    # whenever a retrieval test ran q185/q187 first)
+    from oanda_stream_processor_spark.operators import (
+        dedup as D,
+        retrieval as R,
+        similarity as S,
+        textops as T,
+    )
+    for memo in (R._QUALITY_MEMO, R._GRADE_MEMO, R._TERM_MEMO,
+                 R._POOL_MEMO, R._PRF_MEMO, T._STAR_EDGE_CACHE,
+                 T._WINNOW_COMPONENT_CACHE, D._COMPONENT_CACHE,
+                 S._COUNT_CACHE):
+        memo.clear()
+
     # sweep under an OWN job group: the default-group tracker reads
     # nothing if any earlier test in the shared session left a group
     # set (the empty-string-group hazard, see test_component_budget)

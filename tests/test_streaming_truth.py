@@ -122,3 +122,22 @@ def test_truth_stream_e2e(spark, tmp_path):
     q.awaitTermination(180)
     assert _table(read_truth(spark, state)) == \
         _table(_one_shot_truth(d))
+
+
+def test_q195_truth_query_served_by_store(spark, tmp_path):
+    """q195 (the truth set as a registry output) equals the truth the
+    incremental store serves at full corpus — the one-shot side is
+    DuckDB-oracled (registry), so this pins the store against the
+    oracled frame transitively."""
+    from oanda_stream_processor_spark.operators.retrieval import (
+        q195_relevance_truth,
+    )
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    state = str(tmp_path / "truth")
+    write_batch_truth_partials(
+        d.where(F.col("doc_id") < N_QUERIES + 200), state, 0)
+    write_batch_truth_partials(
+        d.where(F.col("doc_id") >= N_QUERIES + 200), state, 1)
+    assert _table(read_truth(spark, state)) == \
+        _table(q195_relevance_truth(spark, SF_DIR))
