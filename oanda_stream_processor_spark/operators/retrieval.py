@@ -2018,6 +2018,34 @@ def _register_q195() -> None:
 SELECT query_id, cand_id, rel FROM truth"""
 
 
+def q196_truth_side(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, n_rel, idcg_fp) — the system-independent metric
+    halves (truth-set size and ideal DCG in the W_NDCG fixed point)
+    as a first-class oracled registry output (r16; VERDICT r15
+    Next-round #3's yardstick): the DuckDB oracle sits directly on
+    the ideal-ranking arithmetic, and the incremental truth store's
+    read (streaming/truthgate.read_truth_side — n_rel SUM-merged
+    over candidate-disjoint batches, IDCG re-ranked over the bounded
+    union of per-batch ideal top-K lists) is pytest-pinned equal to
+    it at full corpus.  Lazy build (no gate probes, no
+    checkpoints)."""
+    nrel, idcg = truth_side_frames(relevance_truth(spark, sf_dir))
+    return (nrel.join(idcg, "query_id")
+            .select("query_id",
+                    F.col("n_rel").cast("bigint").alias("n_rel"),
+                    F.col("idcg_fp").cast("bigint").alias("idcg_fp")))
+
+
+def _register_q196() -> None:
+    """Deferred registration (the _register_q195 pattern): the oracle
+    composes the truth CTEs, which reuse dedup's token-hash SQL chain
+    built at call time."""
+    QUERIES["q196_truth_side"] = q196_truth_side
+    ORACLES["q196_truth_side"] = f"""{_sql_truth_ctes()}
+SELECT n.query_id, n.n_rel, i.idcg_fp
+FROM nrel n JOIN idcg i USING (query_id)"""
+
+
 def query_doc_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id) — every non-empty query document (doc_id < N_QUERIES
     with ≥ 1 token): the metric DENOMINATOR base.  Deriving the base
@@ -2864,3 +2892,4 @@ def q188_best_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _register_q192()
 _register_q195()
+_register_q196()

@@ -184,11 +184,17 @@ def serve_rrf_fusion(spark: SparkSession, state_dir: str,
 
 def _served_three_systems(spark: SparkSession, bm25_state: str,
                           prox_state: str, phrase_state: str,
-                          cosine_pool: DataFrame):
+                          cosine_pool: DataFrame,
+                          truth_state: str | None = None):
     """[(system, tk_frame, macro_frame)] for bm25/boosted/fused with
     every input read from the persisted stores — the served mirror of
     ``retrieval._three_system_macros``, extracted (r15) so the q193
-    gate twin reuses the same graded frames the q191 twin reads."""
+    gate twin reuses the same graded frames the q191 twin reads.
+    ``truth_state`` (r16) reads the truth AND its metric-side halves
+    from the incremental truth store instead of re-deriving them from
+    the postings store (the serve_retrieval_quality note); the
+    proximity feature itself still comes from the token-positional
+    store — it feeds the BOOSTED RANKER, not just the truth."""
     from ..operators.retrieval import (
         _macro_summary,
         proximity_boosted_pool,
@@ -202,19 +208,24 @@ def _served_three_systems(spark: SparkSession, bm25_state: str,
     pool = serve_bm25_pool(spark, bm25_state)
     qtermf = query_terms_from(read_tf(spark, bm25_state))
     px = serve_term_proximity(spark, prox_state, qtermf)
-    psh = read_postings(spark, phrase_state)
-    phrases = (psh.where((F.col("pos") == 1)
-                         & (F.col("doc_id") < N_QUERIES))
-               .select(F.col("doc_id").alias("query_id"),
-                       F.col("sh").alias("qsh")))
-    phr = (serve_phrase_matches(spark, phrase_state, phrases)
-           .select("query_id", "cand_id"))
-    truth = relevance_truth_from(
-        read_token_postings(spark, prox_state), phr, prox=px)
     base = (read_dl(spark, bm25_state)
             .where(F.col("cand_id") < N_QUERIES)
             .select(F.col("cand_id").alias("query_id")))
-    nrel, idcg = truth_side_frames(truth)
+    if truth_state is not None:
+        from .truthgate import read_truth, read_truth_side
+        truth = read_truth(spark, truth_state)
+        nrel, idcg = read_truth_side(spark, truth_state)
+    else:
+        psh = read_postings(spark, phrase_state)
+        phrases = (psh.where((F.col("pos") == 1)
+                             & (F.col("doc_id") < N_QUERIES))
+                   .select(F.col("doc_id").alias("query_id"),
+                           F.col("sh").alias("qsh")))
+        phr = (serve_phrase_matches(spark, phrase_state, phrases)
+               .select("query_id", "cand_id"))
+        truth = relevance_truth_from(
+            read_token_postings(spark, prox_state), phr, prox=px)
+        nrel, idcg = truth_side_frames(truth)
     bm25_tk = (pool.where(F.col("rank") <= TOP_K)
                .select("query_id", "cand_id", "rank"))
     boosted = proximity_boosted_pool(
@@ -239,7 +250,9 @@ def _served_three_systems(spark: SparkSession, bm25_state: str,
 
 def serve_fusion_quality_compare(spark: SparkSession, bm25_state: str,
                                  prox_state: str, phrase_state: str,
-                                 cosine_pool: DataFrame) -> DataFrame:
+                                 cosine_pool: DataFrame, *,
+                                 truth_state: str | None = None
+                                 ) -> DataFrame:
     """q191's three macro rows (bm25 / boosted / fused vs the graded
     truth) served ENTIRELY from the three persisted stores plus a
     supplied cosine pool (r14): the BM25 pool from the incremental
@@ -253,10 +266,13 @@ def serve_fusion_quality_compare(spark: SparkSession, bm25_state: str,
     append prefix and verbatim at full corpus.  This closes the
     serving loop on the fusion DECISION itself: append documents,
     then read which ranker to ship without recomputing anything
-    corpus-global from raw text."""
+    corpus-global from raw text.  ``truth_state`` (r16) grades all
+    three systems against the incremental truth store — same rows,
+    bounded truth-side scans (the serve_retrieval_quality note)."""
     out = None
     for name, _, macro in _served_three_systems(
-            spark, bm25_state, prox_state, phrase_state, cosine_pool):
+            spark, bm25_state, prox_state, phrase_state, cosine_pool,
+            truth_state=truth_state):
         row = macro.select(F.lit(name).alias("system"), "n_queries",
                            "macro_ndcg_ppm", "macro_mrr_ppm",
                            "macro_recall_ppm")
@@ -266,7 +282,9 @@ def serve_fusion_quality_compare(spark: SparkSession, bm25_state: str,
 
 def serve_quality_gated_fusion(spark: SparkSession, bm25_state: str,
                                prox_state: str, phrase_state: str,
-                               cosine_pool: DataFrame) -> DataFrame:
+                               cosine_pool: DataFrame, *,
+                               truth_state: str | None = None
+                               ) -> DataFrame:
     """q193's output served ENTIRELY from the three persisted stores
     plus a supplied cosine pool (r15 — the last registry query to get
     a served twin, restoring the complete served-twin map): the three
@@ -277,14 +295,16 @@ def serve_quality_gated_fusion(spark: SparkSession, bm25_state: str,
     system's TOP_K list.  Parity with one-shot q193 on the corpus
     ingested so far reduces to the store theorems + the same pure
     gate function; pytest pins it per append prefix and verbatim at
-    full corpus."""
+    full corpus.  ``truth_state`` (r16) grades the contenders against
+    the incremental truth store (the serve_retrieval_quality note)."""
     from ..operators.retrieval import gate_winner
 
     macros = None
     cand = None
     for pri, (name, tk, macro) in enumerate(
             _served_three_systems(spark, bm25_state, prox_state,
-                                  phrase_state, cosine_pool),
+                                  phrase_state, cosine_pool,
+                                  truth_state=truth_state),
             start=1):
         mrow = macro.select(F.lit(name).alias("system"),
                             F.lit(pri).alias("priority"),
@@ -299,8 +319,9 @@ def serve_quality_gated_fusion(spark: SparkSession, bm25_state: str,
 
 
 def serve_prf_quality_compare(spark: SparkSession, bm25_state: str,
-                              prox_state: str,
-                              phrase_state: str) -> DataFrame:
+                              prox_state: str, phrase_state: str, *,
+                              truth_state: str | None = None
+                              ) -> DataFrame:
     """q192's two macro rows (bm25 / prf vs the graded truth) served
     ENTIRELY from the three persisted stores (r14): the plain system
     from the gated BM25 read, the PRF system from the served
@@ -309,7 +330,9 @@ def serve_prf_quality_compare(spark: SparkSession, bm25_state: str,
     macro-averaged — the PRF DECISION as a store read, completing the
     q191 pattern for the expansion axis.  Parity with one-shot q192
     reduces to the store theorems; pytest pins it per append prefix
-    and verbatim at full corpus."""
+    and verbatim at full corpus.  ``truth_state`` (r16) grades both
+    systems against the incremental truth store (the
+    serve_retrieval_quality note)."""
     from ..operators.retrieval import _macro_summary
     from .bm25gate import serve_prf_expanded_bm25
 
@@ -317,7 +340,8 @@ def serve_prf_quality_compare(spark: SparkSession, bm25_state: str,
     out = None
     for name, pool in (("bm25", None), ("prf", prf_pool)):
         q = serve_retrieval_quality(spark, bm25_state, prox_state,
-                                    phrase_state, pool=pool)
+                                    phrase_state, pool=pool,
+                                    truth_state=truth_state)
         row = (_macro_summary(q)
                .select(F.lit(name).alias("system"), "n_queries",
                        "macro_ndcg_ppm", "macro_mrr_ppm",
@@ -328,7 +352,8 @@ def serve_prf_quality_compare(spark: SparkSession, bm25_state: str,
 
 def serve_retrieval_quality(spark: SparkSession, bm25_state: str,
                             prox_state: str, phrase_state: str, *,
-                            pool: DataFrame | None = None) -> DataFrame:
+                            pool: DataFrame | None = None,
+                            truth_state: str | None = None) -> DataFrame:
     """q185's per-query ranking-quality metrics served ENTIRELY from
     three persisted stores: the system ranking from the incremental
     BM25 store (through the q178-gated serve_bm25_topk), the
@@ -348,7 +373,17 @@ def serve_retrieval_quality(spark: SparkSession, bm25_state: str,
     proximity-boosted rerank, or a fused list: the quality yardstick
     is a pure function of (ranking, truth), so one stored truth
     grades every ranker in the serving stack (pytest: the graded PRF
-    read equals the one-shot metric on one-shot q187)."""
+    read equals the one-shot metric on one-shot q187).
+
+    ``truth_state`` (r16; VERDICT r15 Next-round #1) prefers the
+    incremental truth store (streaming/truthgate.py): the graded
+    truth AND the metric-side halves come from partitioned scans of
+    per-pair partials instead of the corpus-postings-sized probe
+    join relevance_truth_from pays per read — the store and the
+    derivation serve the IDENTICAL frame under the query-docs-first
+    contract (truthgate's parity theorem), so the grade is unchanged
+    and pytest pins it per append prefix.  None keeps the
+    postings-derived fallback (stores without a truth state)."""
     from ..operators.retrieval import (
         N_QUERIES as NQ,
         quality_metrics_from,
@@ -374,6 +409,12 @@ def serve_retrieval_quality(spark: SparkSession, bm25_state: str,
     base = (read_dl(spark, bm25_state)
             .where(F.col("cand_id") < NQ)
             .select(F.col("cand_id").alias("query_id")))
+    if truth_state is not None:
+        from .truthgate import read_truth, read_truth_side
+        nrel, idcg = read_truth_side(spark, truth_state)
+        return quality_metrics_from(pool,
+                                    read_truth(spark, truth_state),
+                                    base=base, nrel=nrel, idcg=idcg)
     psh = read_postings(spark, phrase_state)
     phrases = (psh.where((F.col("pos") == 1) & (F.col("doc_id") < NQ))
                .select(F.col("doc_id").alias("query_id"),

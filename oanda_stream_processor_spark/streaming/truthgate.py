@@ -20,6 +20,26 @@ plus the (small, fixed) query-side term/phrase sets:
 * qsize (distinct query terms per query): from the stored query-doc
   postings, bounded.
 
+METRIC-SIDE PARTIALS (r16; VERDICT r15 Next-round #3): the system-
+independent halves of the quality arithmetic also decompose over the
+same candidate-disjoint batches —
+
+* n_rel: a (query, cand) truth row is FINAL at its batch's write
+  (the candidate's tiers depend only on its own tokens + the fixed
+  query side), so per-batch per-query counts SUM-merge exactly;
+* IDCG: the global ideal ranking is the top-TOP_K of the truth by
+  (rel DESC, cand_id ASC) — and every globally-ideal row is also in
+  its OWN batch's top-TOP_K under the same order (removing rows can
+  only promote the rest), so the union of per-batch top-K candidate
+  lists CONTAINS the global ideal set.  The read re-ranks that
+  ≤ batches·TOP_K-per-query union — bounded, never the full truth.
+
+``read_truth_side`` serves both; ``serve_quality_from_truth_store``
+grades with them, so a served grade pays a partitioned scan of two
+tiny partials instead of a read-time window over the full truth
+(retrieval.truth_side_frames' job).  Pre-r16 stores (no nrel/ or
+itop/ layout) fall back to deriving both from read_truth.
+
 THE CONTRACT that makes write-time evaluation sound: every QUERY doc
 (doc_id < N_QUERIES) must be ingested in the FIRST batch (before any
 candidate batch) — a candidate batch evaluated against a partial
@@ -63,8 +83,38 @@ from ..operators.retrieval import (
     token_postings,
 )
 
-__all__ = ["read_truth", "serve_quality_from_truth_store",
-           "start_truth_stream", "write_batch_truth_partials"]
+__all__ = ["read_truth", "read_truth_side",
+           "serve_quality_from_truth_store", "start_truth_stream",
+           "write_batch_truth_partials"]
+
+
+def _truth_tiers(prox: DataFrame, qn: DataFrame,
+                 phr: DataFrame) -> DataFrame:
+    """The tier arithmetic (query_id, cand_id, rel ∈ {1,2,3}) from
+    explicit feature frames — the SAME pure function as
+    retrieval.relevance_truth_from's tail, shared by the full-store
+    read and the per-batch metric partials (valid per batch because a
+    (query, cand) pair's prox/phr rows are batch-local: candidates
+    are atomic per batch)."""
+    cov = (prox.join(F.broadcast(qn), "query_id")
+           .where(8 * F.col("n_terms") >= 7 * F.col("qsize"))
+           .select("query_id", "cand_id",
+                   F.when((F.col("n_terms") == F.col("qsize"))
+                          & (F.col("min_dist") == 1), F.lit(2))
+                   .otherwise(F.lit(1)).alias("rel")))
+    return (cov.unionByName(phr.select("query_id", "cand_id",
+                                       F.lit(3).alias("rel")))
+            .groupBy("query_id", "cand_id")
+            .agg(F.max("rel").cast("bigint").alias("rel")))
+
+
+def _read_qsize(spark: SparkSession, state_dir: str) -> DataFrame:
+    """(query_id, qsize) from the stored query-doc postings — final
+    from batch 0 on under the query-docs-first contract."""
+    return (spark.read.parquet(os.path.join(state_dir, "qpost"))
+            .select(F.col("doc_id").alias("query_id"), "term")
+            .distinct()
+            .groupBy("query_id").agg(F.count("*").alias("qsize")))
 
 
 def _has_any_partial(spark: SparkSession, state_dir: str) -> bool:
@@ -89,6 +139,12 @@ def write_batch_truth_partials(docs: DataFrame, state_dir: str,
       disjoint: no merge on read).
     * phr —   (query_id, cand_id) leading-trigram phrase pairs for
       the batch's candidates (same disjointness).
+    * nrel —  (query_id, n_rel) count of the batch's truth rows per
+      query (r16 — SUM-mergeable: candidate-disjoint batches).
+    * itop —  the batch's per-query ideal top-TOP_K truth rows
+      (query_id, cand_id, rel) by (rel DESC, cand_id ASC) — the
+      bounded candidate list whose cross-batch union contains the
+      global ideal set (module docstring).
 
     Raises on a contract violation (query doc arriving after
     candidate partials exist — see module docstring)."""
@@ -140,6 +196,30 @@ def write_batch_truth_partials(docs: DataFrame, state_dir: str,
              .distinct())
     phr_b.write.mode("overwrite").parquet(
         os.path.join(state_dir, "phr", f"batch_id={batch_id}"))
+    # metric-side partials (r16): the batch's FINAL truth rows — the
+    # tier arithmetic over the just-written batch partials (read back:
+    # one bounded scan each, exactly what a replay would see) + the
+    # stored query side (final under the contract)
+    from ..operators.retrieval import TOP_K, _pool_rank
+    prox_r = (spark.read
+              .parquet(os.path.join(state_dir, "prox",
+                                    f"batch_id={batch_id}"))
+              .select("query_id", "cand_id", "n_terms", "min_dist"))
+    phr_r = (spark.read
+             .parquet(os.path.join(state_dir, "phr",
+                                   f"batch_id={batch_id}"))
+             .select("query_id", "cand_id"))
+    truth_b = _truth_tiers(prox_r, _read_qsize(spark, state_dir),
+                           phr_r)
+    (truth_b.groupBy("query_id").agg(F.count("*").alias("n_rel"))
+     .write.mode("overwrite")
+     .parquet(os.path.join(state_dir, "nrel",
+                           f"batch_id={batch_id}")))
+    (_pool_rank(truth_b, [F.desc("rel"), F.asc("cand_id")], TOP_K)
+     .select("query_id", "cand_id", "rel")
+     .write.mode("overwrite")
+     .parquet(os.path.join(state_dir, "itop",
+                           f"batch_id={batch_id}")))
 
 
 def read_truth(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -149,22 +229,35 @@ def read_truth(spark: SparkSession, state_dir: str) -> DataFrame:
     rows + the stored query side's qsize.  No corpus re-scan."""
     prox = (spark.read.parquet(os.path.join(state_dir, "prox"))
             .select("query_id", "cand_id", "n_terms", "min_dist"))
-    qn = (spark.read.parquet(os.path.join(state_dir, "qpost"))
-          .select(F.col("doc_id").alias("query_id"), "term")
-          .distinct()
-          .groupBy("query_id").agg(F.count("*").alias("qsize")))
     phr = (spark.read.parquet(os.path.join(state_dir, "phr"))
            .select("query_id", "cand_id"))
-    cov = (prox.join(F.broadcast(qn), "query_id")
-           .where(8 * F.col("n_terms") >= 7 * F.col("qsize"))
-           .select("query_id", "cand_id",
-                   F.when((F.col("n_terms") == F.col("qsize"))
-                          & (F.col("min_dist") == 1), F.lit(2))
-                   .otherwise(F.lit(1)).alias("rel")))
-    return (cov.unionByName(phr.select("query_id", "cand_id",
-                                       F.lit(3).alias("rel")))
-            .groupBy("query_id", "cand_id")
-            .agg(F.max("rel").cast("bigint").alias("rel")))
+    return _truth_tiers(prox, _read_qsize(spark, state_dir), phr)
+
+
+def read_truth_side(spark: SparkSession, state_dir: str):
+    """(nrel, idcg) — the system-independent metric halves from the
+    stored partials alone (r16; VERDICT r15 ask #3): n_rel SUM-merged
+    across batches, ideal DCG re-ranked over the unioned per-batch
+    top-TOP_K candidate lists (≤ batches·TOP_K rows per query — the
+    module docstring's containment argument makes the re-rank exact).
+    Pre-r16 stores without the nrel/itop layout fall back to deriving
+    both from the full stored truth (the maybe_read_block_stats
+    degrade-don't-throw contract)."""
+    from pyspark.errors import AnalysisException
+
+    from ..operators.retrieval import truth_side_frames
+    try:
+        nrel = (spark.read.parquet(os.path.join(state_dir, "nrel"))
+                .groupBy("query_id").agg(F.sum("n_rel").alias("n_rel")))
+        itop = (spark.read.parquet(os.path.join(state_dir, "itop"))
+                .select("query_id", "cand_id", "rel"))
+    except AnalysisException:
+        return truth_side_frames(read_truth(spark, state_dir))
+    # truth_side_frames' idcg half over the bounded union IS the true
+    # ideal DCG (global ideal rows ⊆ union); its nrel half would be
+    # top-K-capped per batch — replaced by the SUM-merged partial
+    _, idcg = truth_side_frames(itop)
+    return nrel, idcg
 
 
 def serve_quality_from_truth_store(spark: SparkSession,
@@ -176,7 +269,11 @@ def serve_quality_from_truth_store(spark: SparkSession,
     incremental truth store (no corpus re-scan at read time — the
     upgrade over rrfserve.serve_retrieval_quality's postings-derived
     truth) and the system ranking from the incremental BM25 store
-    (or any supplied (query_id, cand_id, rank ≤ TOP_K) frame)."""
+    (or any supplied (query_id, cand_id, rank ≤ TOP_K) frame).
+
+    r16: the truth-SIDE halves (n_rel, ideal DCG) also come from the
+    stored metric partials (read_truth_side) — no read-time window
+    over the full truth."""
     from ..operators.retrieval import TOP_K, quality_metrics_from
     from .bm25gate import read_dl, serve_bm25_topk
 
@@ -187,8 +284,9 @@ def serve_quality_from_truth_store(spark: SparkSession,
     base = (read_dl(spark, bm25_state)
             .where(F.col("cand_id") < N_QUERIES)
             .select(F.col("cand_id").alias("query_id")))
+    nrel, idcg = read_truth_side(spark, truth_state)
     return quality_metrics_from(pool, read_truth(spark, truth_state),
-                                base=base)
+                                base=base, nrel=nrel, idcg=idcg)
 
 
 def start_truth_stream(stream_docs: DataFrame, state_dir: str,

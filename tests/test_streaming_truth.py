@@ -124,6 +124,104 @@ def test_truth_stream_e2e(spark, tmp_path):
         _table(_one_shot_truth(d))
 
 
+def test_truth_side_partials_track_appends(spark, tmp_path):
+    """r16 (VERDICT r15 ask #3): the metric-side partials — SUM-merged
+    n_rel and the ideal DCG re-ranked over the bounded union of
+    per-batch top-K lists — equal the full-truth derivation
+    (truth_side_frames over read_truth) after every contract prefix;
+    a pre-r16 store (nrel/itop removed) falls back to the full-truth
+    derivation instead of throwing; and the one-shot q196 registry
+    output (DuckDB-oracled) equals the store's frame at full corpus."""
+    import shutil
+
+    from oanda_stream_processor_spark.operators.retrieval import (
+        q196_truth_side,
+        truth_side_frames,
+    )
+    from oanda_stream_processor_spark.streaming.truthgate import (
+        read_truth_side,
+    )
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    state = str(tmp_path / "truth")
+    batches = [
+        d.where((F.col("doc_id") < N_QUERIES)
+                | (F.col("doc_id") % 2 == 0)),
+        d.where((F.col("doc_id") >= N_QUERIES)
+                & (F.col("doc_id") % 2 == 1)),
+    ]
+    for i, part in enumerate(batches):
+        write_batch_truth_partials(part, state, i)
+        nrel, idcg = read_truth_side(spark, state)
+        wn, wi = truth_side_frames(read_truth(spark, state))
+        assert _table(nrel) == _table(wn), f"n_rel, batch {i}"
+        assert _table(idcg) == _table(wi), f"idcg, batch {i}"
+    got = _table(nrel.join(idcg, "query_id"))
+    assert got == _table(q196_truth_side(spark, SF_DIR))
+    # pre-r16 store shape: no nrel/itop layout -> full-truth fallback
+    shutil.rmtree(f"{state}/nrel")
+    shutil.rmtree(f"{state}/itop")
+    nrel2, idcg2 = read_truth_side(spark, state)
+    assert _table(nrel2.join(idcg2, "query_id")) == got
+
+
+def test_decision_reads_prefer_truth_store(spark, tmp_path):
+    """r16 (VERDICT r15 ask #1): every served decision read grades
+    identically from the incremental truth store (truth_state=...)
+    and from the postings-derived truth — per contract-respecting
+    append prefix for the quality read, and at full corpus for the
+    fusion-compare and gated-fusion reads against their one-shot
+    registry queries."""
+    from oanda_stream_processor_spark.operators.retrieval import (
+        q185_retrieval_quality,
+        q191_fusion_quality_compare,
+        q193_quality_gated_fusion,
+    )
+    from oanda_stream_processor_spark.streaming.bm25gate import (
+        write_batch_partials,
+    )
+    from oanda_stream_processor_spark.streaming.phrasegate import (
+        write_batch_postings,
+    )
+    from oanda_stream_processor_spark.streaming.proxgate import (
+        write_batch_token_postings,
+    )
+    from oanda_stream_processor_spark.streaming.rrfserve import (
+        exact_cosine_pool,
+        serve_fusion_quality_compare,
+        serve_quality_gated_fusion,
+        serve_retrieval_quality,
+    )
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    t = str(tmp_path / "truth")
+    b = str(tmp_path / "bm25")
+    h = str(tmp_path / "phrase")
+    x = str(tmp_path / "prox")
+    batches = [
+        d.where((F.col("doc_id") < N_QUERIES)
+                | (F.col("doc_id") % 2 == 0)),
+        d.where((F.col("doc_id") >= N_QUERIES)
+                & (F.col("doc_id") % 2 == 1)),
+    ]
+    for i, part in enumerate(batches):
+        write_batch_truth_partials(part, t, i)
+        write_batch_partials(part, b, i)
+        write_batch_postings(part, h, i)
+        write_batch_token_postings(part, x, i)
+        got = serve_retrieval_quality(spark, b, x, h, truth_state=t)
+        want = serve_retrieval_quality(spark, b, x, h)
+        assert _table(got) == _table(want), f"quality, prefix {i}"
+    assert _table(got) == _table(q185_retrieval_quality(spark, SF_DIR))
+    cos = exact_cosine_pool(spark, SF_DIR)
+    assert _table(serve_fusion_quality_compare(
+        spark, b, x, h, cos, truth_state=t)) == \
+        _table(q191_fusion_quality_compare(spark, SF_DIR))
+    assert _table(serve_quality_gated_fusion(
+        spark, b, x, h, cos, truth_state=t)) == \
+        _table(q193_quality_gated_fusion(spark, SF_DIR))
+
+
 def test_q195_truth_query_served_by_store(spark, tmp_path):
     """q195 (the truth set as a registry output) equals the truth the
     incremental store serves at full corpus — the one-shot side is
