@@ -394,11 +394,16 @@ def write_batch_field_partials(docs: DataFrame, state_dir: str,
     batch_id=<id> partitions (overwrite = idempotent replay).  The
     sixth partial (r15) is the batch's PER-FIELD blocked-layout slice
     (retrieval.field_block_stats_from) — MAX/MIN-merged on read, the
-    q189 scheme per field — serving the BM25F block-max read."""
+    q189 scheme per field — serving the BM25F block-max read.  The
+    seventh (r16) is the per-field θ impact histogram
+    (thetagate.field_impact_partial_from) — written by THIS writer
+    from the SAME cached tff, so hist-docs ⊆ store-docs is structural
+    (the r15 lockstep-layout soundness discipline, field half)."""
     from ..operators.retrieval import (
         corpus_field_frames,
         field_block_stats_from,
     )
+    from .thetagate import field_impact_partial_from
     tff, dlf, dfd, ndocs, _ = corpus_field_frames(docs)
     tff = tff.cache()
     try:
@@ -416,6 +421,9 @@ def write_batch_field_partials(docs: DataFrame, state_dir: str,
             os.path.join(state_dir, "fnd", f"batch_id={batch_id}"))
         field_block_stats_from(tff, dlf).write.mode("overwrite").parquet(
             os.path.join(state_dir, "fblk", f"batch_id={batch_id}"))
+        field_impact_partial_from(tff, dlf).write.mode("overwrite") \
+            .parquet(os.path.join(state_dir, "fimpact",
+                                  f"batch_id={batch_id}"))
     finally:
         tff.unpersist()
 
@@ -483,7 +491,8 @@ def _field_store_frames(spark: SparkSession, state_dir: str):
 
 
 def serve_bm25f_blockmax_topk(spark: SparkSession, state_dir: str, *,
-                              plan: str | None = None) -> DataFrame:
+                              plan: str | None = None,
+                              theta: str = "auto") -> DataFrame:
     """q177's output served from the incremental FIELD store through
     the block-max machinery (r15 — q194's serving half): the
     three-way plan gate evaluated over the store's field postings
@@ -496,7 +505,18 @@ def serve_bm25f_blockmax_topk(spark: SparkSession, state_dir: str, *,
     soundness argument is source-independent); pytest pins all three
     forced plans row-for-row equal to one-shot q177 per append
     prefix on field-skewed stored corpora.  ``plan`` forces a branch
-    (tests); None lets the gate decide."""
+    (tests); None lets the gate decide.
+
+    r16 (VERDICT r15 ask #2 — the θ fold's field half): the pruned
+    branches prefer the PERSISTED lockstep per-field impact histogram
+    (<state_dir>/fimpact, write_batch_field_partials' seventh
+    partial) to derive θ, replacing the read-time seed-scoring pass
+    with bounded arithmetic priced through the weighted-sum bound
+    (thetagate.bm25f_theta_lower_bound — the soundness composition
+    lives there); stores without the layout (pre-r16) keep the seed
+    pass.  ``theta`` routes as in serve_bm25_topk ('auto' | 'seed' |
+    'hist'); every route is exact and pytest pins hist ≡ seed ≡ flat
+    per append prefix on field-skewed stored corpora."""
     from ..operators.retrieval import (
         FP as _FP,
         N_QUERIES as NQ,
@@ -509,6 +529,8 @@ def serve_bm25f_blockmax_topk(spark: SparkSession, state_dir: str, *,
         bm25f_weighted_tf,
         maxscore_gate_plan_from_postings,
     )
+    if theta not in ("auto", "seed", "hist"):
+        raise ValueError(f"theta must be auto|seed|hist, got {theta!r}")
     tff, dlf, dfd, ndocs, avgf = _field_store_frames(spark, state_dir)
     if plan is None:
         plan = maxscore_gate_plan_from_postings(
@@ -516,6 +538,19 @@ def serve_bm25f_blockmax_topk(spark: SparkSession, state_dir: str, *,
             dlf.groupBy("cand_id").agg(F.sum("dlf").alias("dl")))
     if plan == "flat":
         return serve_bm25f_topk(spark, state_dir)
+    if theta != "seed":
+        from .thetagate import (
+            hist_theta_pruned_bm25f_topk,
+            maybe_read_field_impact_hist,
+        )
+        fhist = maybe_read_field_impact_hist(spark, state_dir)
+        if fhist is not None:
+            return hist_theta_pruned_bm25f_topk(
+                spark, state_dir, fhist, blocks=(plan == "block"))
+        if theta == "hist":
+            raise ValueError(
+                f"theta='hist' but {state_dir} has no fimpact/ layout "
+                "(pre-r16 store — re-ingest or use theta='seed')")
     tff = tff.localCheckpoint(eager=True)
     wtf = bm25f_weighted_tf(tff, dlf, avgf).localCheckpoint(eager=True)
     qterms = (tff.where(F.col("cand_id") < NQ)

@@ -331,6 +331,190 @@ def hist_theta_pruned_topk(spark: SparkSession, bm25_state: str,
                     "rank"))
 
 
+# --- BM25F: the per-field impact histogram (r16; VERDICT r15 ask #2) ----------
+#
+# The plain fold's analogue for the field-weighted model.  BM25F's
+# per-term contribution saturates AFTER the cross-field weighted sum
+# (tfw = Σ_f w_f·tf_f/B_f(dlf_f)), so a whole-doc histogram key would
+# need the joint (tf_title, dlf_title, tf_body, dlf_body) — too wide.
+# The way around: every field part of tfw is NONNEGATIVE, so a SINGLE
+# field's lower bound already lower-bounds tfw, hence (saturation
+# increasing) the term's contribution, hence the doc's score:
+#
+#   tfw_lb(t,f,cell) = w_f·tfc / ((1−b_f) + b_f·2^(dlbf+1)/avgdl_f)
+#                    ≤ w_f·tf_f(t,d)/B_f(d) ≤ tfw(t,d)
+#   c(cell) = floor(idf_now · tfw_lb/(k1+tfw_lb) · FP) − 2
+#           ≤ fp(t,d) ≤ fp_sum(d)
+#
+# (tfc = min(tf, TG_TF_CAP) ≤ tf; 2^(dlbf+1) > dlf for dlbf =
+# floor(log2 dlf); idf is the exact current value; −2 covers the
+# floor-vs-round snap gap — the plain-fold argument per field.)
+#
+# COUNTING DISCIPLINE: a doc appears at most once per (term, FIELD)
+# cell family (tff has one row per (doc, term, field)), so the
+# cumulative count runs WITHIN one (query, term, field) — never
+# across fields, where the same doc's title and body rows would
+# double-count toward the theta_rank+1 requirement.  θ at TOP_K (the
+# BM25F family pools at TOP_K depth).  Sound for the same lockstep
+# reason as the plain fold: write_batch_field_partials persists the
+# histogram as the field store's seventh partial from the SAME
+# cached tff, so hist-docs ⊆ store-docs by construction.
+# ------------------------------------------------------------------------------
+
+def field_impact_partial_from(tff: DataFrame,
+                              dlf: DataFrame) -> DataFrame:
+    """(term, field, tfc, dlbf, n) from explicit batch field frames —
+    the shape bm25gate.write_batch_field_partials persists as its
+    seventh partial (canonical lockstep layout, the impact_partial_
+    from scheme per field)."""
+    return (tff.join(dlf, ["cand_id", "field"])
+            .select("term", "field",
+                    F.least(F.col("tf"), F.lit(TG_TF_CAP)).alias("tfc"),
+                    F.floor(F.log2(F.col("dlf").cast("double")))
+                    .cast("int").alias("dlbf"))
+            .groupBy("term", "field", "tfc", "dlbf")
+            .agg(F.count("*").alias("n")))
+
+
+def read_field_impact_hist(spark: SparkSession,
+                           state_dir: str) -> DataFrame:
+    """Merged (term, field, tfc, dlbf, n) over all persisted batch
+    partials."""
+    return (spark.read.parquet(state_dir)
+            .groupBy("term", "field", "tfc", "dlbf")
+            .agg(F.sum("n").alias("n")))
+
+
+def maybe_read_field_impact_hist(spark: SparkSession,
+                                 field_state: str) -> DataFrame | None:
+    """The merged lockstep per-field histogram (<field_state>/fimpact)
+    when the store carries one, else None — pre-r16 field stores fall
+    back to the seed-scoring θ (the maybe_read_impact_hist shape)."""
+    from pyspark.errors import AnalysisException
+    try:
+        return read_field_impact_hist(
+            spark, os.path.join(field_state, "fimpact"))
+    except AnalysisException:
+        return None
+
+
+def bm25f_theta_lower_bound(fhist: DataFrame, dfd: DataFrame,
+                            ndocs: DataFrame, avgf: DataFrame,
+                            qterms: DataFrame,
+                            theta_rank: int | None = None) -> DataFrame:
+    """(query_id, theta) — the conservative BM25F θ lower bound priced
+    from the merged per-field histogram with CURRENT corpus stats
+    (block comment above for the soundness argument; the counting
+    discipline keeps the cumulative window within (query, term,
+    field)).  Queries where no single (term, field) shows
+    theta_rank + 1 docs above a positive cell price get NO row — the
+    essential split then keeps all their terms.  Bounded: |query
+    terms| × 2 fields × ≤ TG_TF_CAP·~40 cells."""
+    from ..operators.retrieval import (
+        B_BODY,
+        B_TITLE,
+        TOP_K,
+        W_BODY,
+        W_TITLE,
+        _bm25f_idf,
+    )
+    if theta_rank is None:
+        theta_rank = TOP_K
+    w_f = F.when(F.col("field") == "title", F.lit(W_TITLE)) \
+           .otherwise(F.lit(W_BODY))
+    b_f = F.when(F.col("field") == "title", F.lit(B_TITLE)) \
+           .otherwise(F.lit(B_BODY))
+    qstat = (qterms.join(dfd, "term").crossJoin(F.broadcast(ndocs))
+             .select("query_id", "term", _bm25f_idf().alias("_idf")))
+    dl_ub = F.pow(F.lit(2.0), F.col("dlbf") + F.lit(1))
+    tfw_lb = ((w_f * F.col("tfc"))
+              / ((F.lit(1.0) - b_f)
+                 + b_f * (dl_ub / F.col("avgdl"))))
+    c = (F.floor(F.col("_idf")
+                 * (tfw_lb / (F.lit(BM25_K1) + tfw_lb))
+                 * F.lit(FP)) - F.lit(2)).cast("long")
+    priced = (fhist.join(avgf, "field")
+              .join(qstat, "term")
+              .select("query_id", "term", "field", c.alias("c"), "n")
+              .groupBy("query_id", "term", "field", "c")
+              .agg(F.sum("n").alias("n")))
+    w = (W.partitionBy("query_id", "term", "field")
+         .orderBy(F.desc("c"))
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    reached = (priced.withColumn("_cum", F.sum("n").over(w))
+               .where((F.col("_cum") >= theta_rank + 1)
+                      & (F.col("c") > 0)))
+    return reached.groupBy("query_id").agg(F.max("c").alias("theta"))
+
+
+def hist_theta_pruned_bm25f_topk(spark: SparkSession, field_state: str,
+                                 fhist: DataFrame, *,
+                                 blocks: bool = False) -> DataFrame:
+    """The PRUNED BM25F serving read with θ priced from an in-hand
+    merged per-field histogram — hist_theta_pruned_topk's analogue
+    for the field store (bm25gate.serve_bm25f_blockmax_topk routes
+    here when the store carries the lockstep fimpact partial).
+    Caller certifies the histogram's soundness precondition (lockstep
+    layout); the read is exact for any certified θ lower bound — the
+    essential split and the blocked skip only ever needed a true
+    lower bound (retrieval._essential_terms / the q189 argument), and
+    no seed candidate set is needed: every true top-TOP_K doc matches
+    an essential term and (blocks=True) sits in a live block — its
+    own score ≥ θ_lb keeps its block's UB sum ≥ θ_lb (the
+    hist_theta_pruned_topk composition, per field)."""
+    from ..operators.retrieval import (
+        BLOCK_DOCS,
+        N_QUERIES,
+        _essential_terms,
+        _pool_rank,
+        bm25f_block_upper_bounds,
+        bm25f_full_scores,
+        bm25f_term_upper_bounds,
+        bm25f_weighted_tf,
+        field_block_stats_from,
+    )
+    from .bm25gate import (
+        _field_store_frames,
+        maybe_read_field_block_stats,
+    )
+
+    tff, dlf, dfd, ndocs, avgf = _field_store_frames(spark, field_state)
+    tff = tff.localCheckpoint(eager=True)
+    wtf = bm25f_weighted_tf(tff, dlf, avgf).localCheckpoint(eager=True)
+    qterms = (tff.where(F.col("cand_id") < N_QUERIES)
+              .select(F.col("cand_id").alias("query_id"), "term")
+              .distinct())
+    theta = bm25f_theta_lower_bound(fhist, dfd, ndocs, avgf, qterms)
+    ess = _essential_terms(bm25f_term_upper_bounds(dfd, ndocs, qterms),
+                           theta)
+    cands = (wtf.select("cand_id", "term").join(ess, "term")
+             .where(F.col("cand_id") != F.col("query_id"))
+             .select("query_id", "cand_id").distinct())
+    if blocks:
+        from ..operators.helpers import exact_tdiv
+        fblk = maybe_read_field_block_stats(spark, field_state)
+        if fblk is None:
+            fblk = field_block_stats_from(tff, dlf)
+        bsum = (bm25f_block_upper_bounds(fblk, dfd, ndocs, avgf, qterms)
+                .groupBy("query_id", "block_id")
+                .agg(F.sum("ub_blk_fp").alias("blk_ub")))
+        live = (bsum.join(F.broadcast(theta), "query_id", "left")
+                .where(F.col("theta").isNull()
+                       | ~(F.col("blk_ub") < F.col("theta")))
+                .select("query_id", "block_id"))
+        cands = (cands.withColumn("block_id",
+                                  exact_tdiv(F.col("cand_id"),
+                                             F.lit(BLOCK_DOCS)))
+                 .join(live, ["query_id", "block_id"], "left_semi")
+                 .select("query_id", "cand_id"))
+    scores = bm25f_full_scores(cands, wtf, dfd, ndocs, qterms)
+    pool = _pool_rank(scores, [F.desc("fp_sum"), F.asc("cand_id")],
+                      TOP_K)
+    return pool.select("query_id", "cand_id",
+                       (F.col("fp_sum") / F.lit(FP)).alias("score"),
+                       "rank")
+
+
 def start_theta_stream(stream_docs: DataFrame, state_dir: str,
                        checkpoint_dir: str):
     """availableNow/foreachBatch wiring for the impact histogram:

@@ -552,10 +552,29 @@ def test_served_bm25f_blockmax_tracks_appends(spark, tmp_path):
         for plan in ("flat", "term", "block"):
             assert _table(serve_bm25f_blockmax_topk(
                 spark, state, plan=plan)) == want, (plan, i)
+        # r16: the θ fold's field half — the persisted per-field
+        # impact histogram replaces the seed-scoring pass on both
+        # pruned plans, hist ≡ seed per prefix
+        for plan in ("term", "block"):
+            assert _table(serve_bm25f_blockmax_topk(
+                spark, state, plan=plan, theta="hist")) == want, \
+                (plan, i, "hist")
+            assert _table(serve_bm25f_blockmax_topk(
+                spark, state, plan=plan, theta="seed")) == want, \
+                (plan, i, "seed")
         assert want == _table(one_shot_on(seen)), f"one-shot, batch {i}"
     # default gated read routes and stays exact
     assert _table(serve_bm25f_blockmax_topk(spark, state)) == want
-    # store without the fblk/ layout: block plan derives from tff ⋈ dlf
-    shutil.rmtree(f"{state}/fblk")
+    # pre-r16 store shape: no fimpact/ layout -> 'auto' falls back to
+    # the seed pass; 'hist' refuses loudly
+    import pytest
+    shutil.rmtree(f"{state}/fimpact")
     assert _table(serve_bm25f_blockmax_topk(spark, state,
                                             plan="block")) == want
+    with pytest.raises(ValueError, match="fimpact"):
+        serve_bm25f_blockmax_topk(spark, state, plan="block",
+                                  theta="hist")
+    # store without the fblk/ layout: block plan derives from tff ⋈ dlf
+    shutil.rmtree(f"{state}/fblk")
+    assert _table(serve_bm25f_blockmax_topk(spark, state, plan="block",
+                                            theta="seed")) == want

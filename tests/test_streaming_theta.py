@@ -204,6 +204,67 @@ def test_lockstep_impact_layout_and_default_fold(spark, tmp_path):
         serve_bm25_topk(spark, state, prune=True, theta="hist")
 
 
+def test_bm25f_theta_bound_is_conservative_and_engages(spark, tmp_path):
+    """r16 (VERDICT r15 ask #2): the per-field histogram θ is a true
+    lower bound of the achieved TOP_K-th BM25F score for every query
+    that gets a θ row — on the fixture corpus AND the field-skewed
+    corpus — and on the field-skewed corpus the bound engages the
+    essential split (the fold is not vacuous).  The serving-read
+    exactness itself is pinned in test_streaming_bm25 (hist ≡ seed ≡
+    flat per append prefix)."""
+    from oanda_stream_processor_spark.operators.retrieval import (
+        TOP_K,
+        _essential_terms,
+        _pool_rank,
+        bm25f_full_scores,
+        bm25f_term_upper_bounds,
+        bm25f_weighted_tf,
+        corpus_field_frames,
+    )
+    from oanda_stream_processor_spark.streaming.bm25gate import (
+        write_batch_field_partials,
+    )
+    from oanda_stream_processor_spark.streaming.thetagate import (
+        bm25f_theta_lower_bound,
+        read_field_impact_hist,
+    )
+    from tests.test_retrieval import _field_block_skewed_corpus
+
+    for name, d in (("skew", _field_block_skewed_corpus(spark)),
+                    ("fixture",
+                     load_table(spark, SF_DIR, "documents")
+                     .select("doc_id", "text"))):
+        state = str(tmp_path / f"{name}_field")
+        for i in range(2):
+            write_batch_field_partials(
+                d.where(F.col("doc_id") % 2 == i), state, i)
+        tff, dlf, dfd, ndocs, avgf = corpus_field_frames(d)
+        wtf = bm25f_weighted_tf(tff, dlf, avgf)
+        qterms = (tff.where(F.col("cand_id") < N_QUERIES)
+                  .select(F.col("cand_id").alias("query_id"), "term")
+                  .distinct())
+        cands = (wtf.select("cand_id", "term").join(qterms, "term")
+                 .where(F.col("cand_id") != F.col("query_id"))
+                 .select("query_id", "cand_id").distinct())
+        pool = _pool_rank(
+            bm25f_full_scores(cands, wtf, dfd, ndocs, qterms),
+            [F.desc("fp_sum"), F.asc("cand_id")], TOP_K)
+        true_k = {r.query_id: r.fp_sum
+                  for r in pool.where(F.col("rank") == TOP_K).collect()}
+        theta = bm25f_theta_lower_bound(
+            read_field_impact_hist(spark, f"{state}/fimpact"),
+            dfd, ndocs, avgf, qterms)
+        got = {r.query_id: r.theta for r in theta.collect()}
+        assert got, f"{name}: no θ row at all (bound vacuous)"
+        for q, lb in got.items():
+            assert lb <= true_k[q], (name, q, lb, true_k[q])
+        if name == "skew":
+            qub = bm25f_term_upper_bounds(dfd, ndocs, qterms)
+            ess = _essential_terms(qub, theta)
+            n_all, n_ess = qub.count(), ess.count()
+            assert n_ess < n_all, (n_ess, n_all)
+
+
 def test_external_hist_ahead_guard_falls_back_exact(spark, tmp_path):
     """The r14 ADVICE hazard, pinned: a separately-checkpointed
     histogram stream can run AHEAD of the postings store, and a θ
