@@ -122,6 +122,18 @@ def test_truth_stream_e2e(spark, tmp_path):
     q.awaitTermination(180)
     assert _table(read_truth(spark, state)) == \
         _table(_one_shot_truth(d))
+    # r16: the metric-side partials ride the same stream — the served
+    # (n_rel, idcg) equal the full-truth derivation after the e2e run
+    from oanda_stream_processor_spark.operators.retrieval import (
+        truth_side_frames,
+    )
+    from oanda_stream_processor_spark.streaming.truthgate import (
+        read_truth_side,
+    )
+    nrel, idcg = read_truth_side(spark, state)
+    wn, wi = truth_side_frames(read_truth(spark, state))
+    assert _table(nrel) == _table(wn)
+    assert _table(idcg) == _table(wi)
 
 
 def test_truth_side_partials_track_appends(spark, tmp_path):
