@@ -86,6 +86,11 @@ DEFAULT_SET = [
     "q190_proximity_fused_rrf",
     "q191_fusion_quality_compare",
     "q192_prf_quality_compare",
+    # r15/r16: gated fusion, BM25F block-max, truth set + metric halves
+    "q193_quality_gated_fusion",
+    "q194_bm25f_blockmax_topk",
+    "q195_relevance_truth",
+    "q196_truth_side",
 ]
 
 
