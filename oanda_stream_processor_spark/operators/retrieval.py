@@ -593,6 +593,34 @@ MS_COMMON_P = 0.5
 
 MS_SAMPLE_TARGET = 2048  # adaptive MOD keeps the sample ~this many docs
 
+_GATE_MEMO: dict = {}   # (kind, input-file fingerprint) -> bool | str
+
+
+def _gate_memo_key(kind: str, *frames: DataFrame):
+    """Corpus fingerprint for the plan-gate memo (r17; VERDICT r16
+    Next-round #1): the sorted input-file lists of the gate's source
+    frames (the similarity._corpus_rows precedent — ``inputFiles()``
+    is a driver-side file-index listing, no Spark job).  The gate
+    verdict is a property of the CORPUS, not the query, so repeated
+    query constructions over the same parquet files (the serving
+    profile: one long-lived process, many requests) reuse it instead
+    of re-paying the bounded ~2k-doc probe per construction.  Frames
+    without input files (in-memory test fixtures, streaming batches)
+    return None — the probe runs unmemoized, correct either way; any
+    file-set change (a store append, a different fixture dir) changes
+    the key, so staleness is structural, never temporal.  Honors the
+    quality-memo switch (SPARK_GRAFT_QUALITY_MEMO=0 bypasses — the
+    memo-off true-cost bench convention keeps measuring the probe)."""
+    if not _quality_memo_on():
+        return None
+    files = []
+    for f in frames:
+        fl = f.inputFiles()
+        if not fl:
+            return None
+        files.append(tuple(sorted(fl)))
+    return (kind, tuple(files))
+
 
 def maxscore_gate_is_prunable(d: DataFrame) -> bool:
     """True iff some query has both a rare and a common term under the
@@ -606,7 +634,12 @@ def maxscore_gate_is_prunable(d: DataFrame) -> bool:
     local[32], measured) for a statistic over ≤ ~2 k docs; the single
     task reads the same bounded bytes with two waves.  Order-
     independent by construction (set/count arithmetic), so partition
-    layout cannot change the verdict."""
+    layout cannot change the verdict.  Memoized per corpus fingerprint
+    (_gate_memo_key — r17): the verdict is a corpus property, so a
+    rebuilt query over the same files skips the probe entirely."""
+    key = _gate_memo_key("prunable", d)
+    if key is not None and key in _GATE_MEMO:
+        return _GATE_MEMO[key]
     n_docs = d.count()  # parquet row-group metadata, no column read
     if n_docs == 0:
         return False
@@ -629,7 +662,10 @@ def maxscore_gate_is_prunable(d: DataFrame) -> bool:
         yield pd.DataFrame(
             {"sp": [_spread_decision(pdf.doc_id, term_sets, mod)]})
 
-    return bool(pick.mapInPandas(_gate, "sp boolean").first().sp)
+    verdict = bool(pick.mapInPandas(_gate, "sp boolean").first().sp)
+    if key is not None:
+        _GATE_MEMO[key] = verdict
+    return verdict
 
 
 def _spread_decision(doc_ids, term_sets, mod: int) -> bool:
@@ -672,7 +708,13 @@ def maxscore_gate_from_postings(tf: DataFrame, dl: DataFrame) -> bool:
     hence the adaptive MOD / sample membership) may differ from the
     text side — the decision statistic itself already excludes
     empties on both sides (see _spread_decision), and either branch
-    downstream is exact regardless of routing."""
+    downstream is exact regardless of routing.  Memoized per store
+    fingerprint (_gate_memo_key — a store append changes the file set
+    and hence the key, so the probe re-runs exactly when the corpus
+    grew)."""
+    key = _gate_memo_key("prunable_store", tf, dl)
+    if key is not None and key in _GATE_MEMO:
+        return _GATE_MEMO[key]
     n_docs = dl.count()
     if n_docs == 0:
         return False
@@ -693,7 +735,10 @@ def maxscore_gate_from_postings(tf: DataFrame, dl: DataFrame) -> bool:
         sets = g.reset_index(drop=True)
         yield pd.DataFrame({"sp": [_spread_decision(ids, sets, mod)]})
 
-    return bool(pick.mapInPandas(_gate, "sp boolean").first().sp)
+    verdict = bool(pick.mapInPandas(_gate, "sp boolean").first().sp)
+    if key is not None:
+        _GATE_MEMO[key] = verdict
+    return verdict
 
 
 def term_upper_bounds(dfq: DataFrame, stats: DataFrame,
@@ -1042,7 +1087,12 @@ def maxscore_gate_plan(d: DataFrame) -> str:
     one bounded Arrow task over ~MS_SAMPLE_TARGET docs), extended
     with the block-headroom statistic.  The prunable half reads the
     SAME _spread_decision as maxscore_gate_is_prunable, so
-    (plan != 'flat') == the binary gate on any corpus."""
+    (plan != 'flat') == the binary gate on any corpus.  Memoized per
+    corpus fingerprint (_gate_memo_key — r17, the binary gate's
+    convention)."""
+    key = _gate_memo_key("plan", d)
+    if key is not None and key in _GATE_MEMO:
+        return _GATE_MEMO[key]
     n_docs = d.count()
     if n_docs == 0:
         return "flat"
@@ -1064,7 +1114,10 @@ def maxscore_gate_plan(d: DataFrame) -> str:
         yield pd.DataFrame(
             {"plan": [_plan_decision(pdf.doc_id, counts, mod)]})
 
-    return str(pick.mapInPandas(_gate, "plan string").first().plan)
+    verdict = str(pick.mapInPandas(_gate, "plan string").first().plan)
+    if key is not None:
+        _GATE_MEMO[key] = verdict
+    return verdict
 
 
 def maxscore_gate_plan_from_postings(tf: DataFrame,
@@ -1074,7 +1127,13 @@ def maxscore_gate_plan_from_postings(tf: DataFrame,
     rows through one Arrow task) feeding the SAME _plan_decision, so
     served block-max reads route like the one-shot on empty-free
     corpora (the q178 gate-pair contract, including its documented
-    MOD-boundary divergence on corpora with postings-free docs)."""
+    MOD-boundary divergence on corpora with postings-free docs).
+    Memoized per store fingerprint (_gate_memo_key — appends change
+    the file set, re-running the probe exactly when the corpus
+    grew)."""
+    key = _gate_memo_key("plan_store", tf, dl)
+    if key is not None and key in _GATE_MEMO:
+        return _GATE_MEMO[key]
     n_docs = dl.count()
     if n_docs == 0:
         return "flat"
@@ -1105,7 +1164,10 @@ def maxscore_gate_plan_from_postings(tf: DataFrame,
         yield pd.DataFrame(
             {"plan": [_plan_decision(ids, counts, mod)]})
 
-    return str(pick.mapInPandas(_gate, "plan string").first().plan)
+    verdict = str(pick.mapInPandas(_gate, "plan string").first().plan)
+    if key is not None:
+        _GATE_MEMO[key] = verdict
+    return verdict
 
 
 @query("q189_bm25_blockmax_topk", f"""{SQL_BM25_POOL}

@@ -43,7 +43,8 @@ def test_eager_build_marker_matches_reality(spark):
         textops as T,
     )
     for memo in (R._QUALITY_MEMO, R._GRADE_MEMO, R._TERM_MEMO,
-                 R._POOL_MEMO, R._PRF_MEMO, T._STAR_EDGE_CACHE,
+                 R._POOL_MEMO, R._PRF_MEMO, R._GATE_MEMO,
+                 T._STAR_EDGE_CACHE,
                  T._WINNOW_COMPONENT_CACHE, D._COMPONENT_CACHE,
                  S._COUNT_CACHE):
         memo.clear()

@@ -8,6 +8,8 @@ import duckdb
 import math
 import pytest
 
+from pyspark.sql import functions as F
+
 from oanda_stream_processor_spark.operators import retrieval as R
 
 SF = "/root/testdata/sf0.001"
@@ -213,6 +215,83 @@ def test_maxscore_spread_gate_routing(spark):
             for i in range(n)]
     oddmark = spark.createDataFrame(rows, "doc_id long, text string")
     assert R.maxscore_gate_is_prunable(oddmark)
+
+
+def test_gate_memo_skips_repeat_probes(spark, monkeypatch):
+    """r17 (VERDICT r16 Next-round #1): the plan-gate verdict is a
+    corpus property — a repeat gate call over the same parquet files
+    must hit the memo and run ZERO Spark jobs; SPARK_GRAFT_QUALITY_
+    MEMO=0 bypasses (the true-cost bench convention); in-memory
+    fixtures are never memoized (no file fingerprint); and a fresh
+    recompute with the memo cleared returns the identical verdict."""
+    import oanda_stream_processor_spark.operators.retrieval as R
+    from oanda_stream_processor_spark.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    d = load_table(spark, sf, "documents")
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    R._GATE_MEMO.clear()
+    sc.setJobGroup("gate_memo", "gate memo probe sweep")
+    try:
+        first = R.maxscore_gate_is_prunable(d)
+        plan_first = R.maxscore_gate_plan(d)
+        before = len(tracker.getJobIdsForGroup("gate_memo"))
+        assert R.maxscore_gate_is_prunable(d) is first
+        assert R.maxscore_gate_plan(d) == plan_first
+        after = len(tracker.getJobIdsForGroup("gate_memo"))
+        assert after == before, "memoized gate ran Spark jobs"
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
+    # coherence: plan != 'flat' iff the binary gate fired, memo or not
+    assert (plan_first != "flat") == first
+    # memo-off bypass recomputes and agrees
+    monkeypatch.setenv("SPARK_GRAFT_QUALITY_MEMO", "0")
+    assert R._gate_memo_key("prunable", d) is None
+    assert R.maxscore_gate_is_prunable(d) is first
+    monkeypatch.delenv("SPARK_GRAFT_QUALITY_MEMO")
+    # in-memory fixtures carry no input files -> never memoized
+    fx = spark.createDataFrame([(0, "a b"), (1, "a c")],
+                               "doc_id long, text string")
+    n0 = len(R._GATE_MEMO)
+    R.maxscore_gate_is_prunable(fx)
+    assert len(R._GATE_MEMO) == n0
+    # cleared memo recomputes to the identical verdict
+    R._GATE_MEMO.clear()
+    assert R.maxscore_gate_is_prunable(d) is first
+    assert R.maxscore_gate_plan(d) == plan_first
+
+
+def test_gate_memo_store_fingerprint_tracks_appends(spark, tmp_path):
+    """The from_postings gates memoize per store FILE SET: an append
+    (a new batch_id partition) changes the fingerprint, so the probe
+    re-runs over the grown corpus instead of serving a stale verdict."""
+    import oanda_stream_processor_spark.operators.retrieval as R
+    from oanda_stream_processor_spark.streaming.bm25gate import (
+        read_dl,
+        read_tf,
+        write_batch_partials,
+    )
+
+    common = "the of and to in for a is on at"
+    rows = [(i, f"{common} rare{i % 25}a rare{i % 25}b {common}")
+            for i in range(1000)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    state = str(tmp_path / "bm25")
+    R._GATE_MEMO.clear()
+    write_batch_partials(d.where(F.col("doc_id") % 2 == 0), state, 0)
+    v0 = R.maxscore_gate_from_postings(read_tf(spark, state),
+                                       read_dl(spark, state))
+    keys0 = set(R._GATE_MEMO)
+    write_batch_partials(d.where(F.col("doc_id") % 2 == 1), state, 1)
+    v1 = R.maxscore_gate_from_postings(read_tf(spark, state),
+                                       read_dl(spark, state))
+    keys1 = set(R._GATE_MEMO)
+    assert keys0 < keys1, "append did not change the memo fingerprint"
+    # both verdicts match the text gate on the same ingested docs
+    assert v1 == R.maxscore_gate_is_prunable(d)
+    assert isinstance(v0, bool)
 
 
 def test_maxscore_prunes_hard_on_zipfian_vocab(spark):
