@@ -220,7 +220,10 @@ def serve_bm25_topk(spark: SparkSession, state_dir: str, *,
     stores without one).  Every route is exact: the histogram θ is a
     certified lower bound (thetagate soundness, lockstep layout) and
     the essential split only needs a lower bound; pytest pins
-    hist ≡ seed ≡ unpruned per append prefix."""
+    hist ≡ seed ≡ unpruned per append prefix.  A flat-routed read has
+    no θ at all, so an EXPLICIT theta='hist' there raises instead of
+    being silently ignored (r17 ADVICE — the same loud contract as a
+    missing impact/ layout); 'auto' and 'seed' route flat silently."""
     from ..operators.retrieval import (
         POOL,
         _pool_rank,
@@ -233,6 +236,12 @@ def serve_bm25_topk(spark: SparkSession, state_dir: str, *,
         prune = maxscore_gate_from_postings(
             read_tf(spark, state_dir), read_dl(spark, state_dir))
     if not prune:
+        if theta == "hist":
+            raise ValueError(
+                "theta='hist' but the spread gate routed the full-pool "
+                "plan — there is no θ to derive (force prune=True, or "
+                "use theta='auto'/'seed', which route the flat plan "
+                "silently)")
         return (serve_bm25_pool(spark, state_dir)
                 .where(F.col("rank") <= TOP_K)
                 .select("query_id", "cand_id",
@@ -282,7 +291,8 @@ def serve_bm25_blockmax_topk(spark: SparkSession, state_dir: str, *,
     the block branch then combines θ_lb's essential split WITH the
     blocked skip, both priced from stored state; thetagate.
     hist_theta_pruned_topk blocks=True for the soundness note);
-    ``theta`` routes as there ('auto' | 'seed' | 'hist')."""
+    ``theta`` routes as there ('auto' | 'seed' | 'hist'), including
+    the loud hist-on-flat contract (r17 ADVICE)."""
     from ..operators.retrieval import (
         POOL,
         _pool_rank,
@@ -296,6 +306,12 @@ def serve_bm25_blockmax_topk(spark: SparkSession, state_dir: str, *,
         plan = maxscore_gate_plan_from_postings(
             read_tf(spark, state_dir), read_dl(spark, state_dir))
     if plan == "flat":
+        if theta == "hist":
+            raise ValueError(
+                "theta='hist' but the plan gate routed 'flat' — the "
+                "full-pool plan has no θ to derive (force plan='term'/"
+                "'block', or use theta='auto'/'seed', which route "
+                "flat silently)")
         return serve_bm25_topk(spark, state_dir, prune=False)
     if theta != "seed":
         from .thetagate import hist_theta_pruned_topk, maybe_read_impact_hist
@@ -516,7 +532,11 @@ def serve_bm25f_blockmax_topk(spark: SparkSession, state_dir: str, *,
     lives there); stores without the layout (pre-r16) keep the seed
     pass.  ``theta`` routes as in serve_bm25_topk ('auto' | 'seed' |
     'hist'); every route is exact and pytest pins hist ≡ seed ≡ flat
-    per append prefix on field-skewed stored corpora."""
+    per append prefix on field-skewed stored corpora.  An EXPLICIT
+    theta='hist' on a flat-routed read raises (r17 ADVICE — flat has
+    no θ; 'auto'/'seed' route flat silently), and the hist route
+    hands the plan gate's already-built field frames to the pruned
+    read instead of constructing them twice."""
     from ..operators.retrieval import (
         FP as _FP,
         N_QUERIES as NQ,
@@ -537,6 +557,12 @@ def serve_bm25f_blockmax_topk(spark: SparkSession, state_dir: str, *,
             tff.groupBy("cand_id", "term").agg(F.sum("tf").alias("tf")),
             dlf.groupBy("cand_id").agg(F.sum("dlf").alias("dl")))
     if plan == "flat":
+        if theta == "hist":
+            raise ValueError(
+                "theta='hist' but the plan gate routed 'flat' — the "
+                "full-pool plan has no θ to derive (force plan='term'/"
+                "'block', or use theta='auto'/'seed', which route "
+                "flat silently)")
         return serve_bm25f_topk(spark, state_dir)
     if theta != "seed":
         from .thetagate import (
@@ -545,8 +571,12 @@ def serve_bm25f_blockmax_topk(spark: SparkSession, state_dir: str, *,
         )
         fhist = maybe_read_field_impact_hist(spark, state_dir)
         if fhist is not None:
+            # pass the frames the plan gate already built — the hist
+            # read would otherwise construct _field_store_frames a
+            # second time per served read (r17 ADVICE)
             return hist_theta_pruned_bm25f_topk(
-                spark, state_dir, fhist, blocks=(plan == "block"))
+                spark, state_dir, fhist, blocks=(plan == "block"),
+                frames=(tff, dlf, dfd, ndocs, avgf))
         if theta == "hist":
             raise ValueError(
                 f"theta='hist' but {state_dir} has no fimpact/ layout "

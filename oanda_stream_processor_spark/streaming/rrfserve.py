@@ -182,10 +182,24 @@ def serve_rrf_fusion(spark: SparkSession, state_dir: str,
     return rrf_fuse(b, c)
 
 
+def _resolve_truth_state(spark: SparkSession, bm25_state: str,
+                         truth_state: str | None) -> str | None:
+    """'auto' -> the canonical co-located truth store
+    (<bm25_state>/truth) when one exists, else None (r17; VERDICT r16
+    Next-round #3 — the θ fold's 'auto' convention applied to the
+    truth wiring: the faster read is the DETECTED default, the kwarg
+    stays for explicit stores and for forcing the postings fallback
+    with None)."""
+    if truth_state == "auto":
+        from .truthgate import maybe_truth_state
+        return maybe_truth_state(spark, bm25_state)
+    return truth_state
+
+
 def _served_three_systems(spark: SparkSession, bm25_state: str,
                           prox_state: str, phrase_state: str,
                           cosine_pool: DataFrame,
-                          truth_state: str | None = None):
+                          truth_state: str | None = "auto"):
     """[(system, tk_frame, macro_frame)] for bm25/boosted/fused with
     every input read from the persisted stores — the served mirror of
     ``retrieval._three_system_macros``, extracted (r15) so the q193
@@ -194,7 +208,9 @@ def _served_three_systems(spark: SparkSession, bm25_state: str,
     from the incremental truth store instead of re-deriving them from
     the postings store (the serve_retrieval_quality note); the
     proximity feature itself still comes from the token-positional
-    store — it feeds the BOOSTED RANKER, not just the truth."""
+    store — it feeds the BOOSTED RANKER, not just the truth.  The
+    default 'auto' (r17) prefers a truth store co-located at
+    <bm25_state>/truth (_resolve_truth_state)."""
     from ..operators.retrieval import (
         _macro_summary,
         proximity_boosted_pool,
@@ -205,6 +221,7 @@ def _served_three_systems(spark: SparkSession, bm25_state: str,
     from .phrasegate import read_postings, serve_phrase_matches
     from .proxgate import read_token_postings, serve_term_proximity
 
+    truth_state = _resolve_truth_state(spark, bm25_state, truth_state)
     pool = serve_bm25_pool(spark, bm25_state)
     qtermf = query_terms_from(read_tf(spark, bm25_state))
     px = serve_term_proximity(spark, prox_state, qtermf)
@@ -251,7 +268,7 @@ def _served_three_systems(spark: SparkSession, bm25_state: str,
 def serve_fusion_quality_compare(spark: SparkSession, bm25_state: str,
                                  prox_state: str, phrase_state: str,
                                  cosine_pool: DataFrame, *,
-                                 truth_state: str | None = None
+                                 truth_state: str | None = "auto"
                                  ) -> DataFrame:
     """q191's three macro rows (bm25 / boosted / fused vs the graded
     truth) served ENTIRELY from the three persisted stores plus a
@@ -268,7 +285,9 @@ def serve_fusion_quality_compare(spark: SparkSession, bm25_state: str,
     then read which ranker to ship without recomputing anything
     corpus-global from raw text.  ``truth_state`` (r16) grades all
     three systems against the incremental truth store — same rows,
-    bounded truth-side scans (the serve_retrieval_quality note)."""
+    bounded truth-side scans (the serve_retrieval_quality note);
+    default 'auto' (r17) detects a co-located <bm25_state>/truth
+    store, None forces the postings fallback."""
     out = None
     for name, _, macro in _served_three_systems(
             spark, bm25_state, prox_state, phrase_state, cosine_pool,
@@ -283,7 +302,7 @@ def serve_fusion_quality_compare(spark: SparkSession, bm25_state: str,
 def serve_quality_gated_fusion(spark: SparkSession, bm25_state: str,
                                prox_state: str, phrase_state: str,
                                cosine_pool: DataFrame, *,
-                               truth_state: str | None = None
+                               truth_state: str | None = "auto"
                                ) -> DataFrame:
     """q193's output served ENTIRELY from the three persisted stores
     plus a supplied cosine pool (r15 — the last registry query to get
@@ -296,7 +315,9 @@ def serve_quality_gated_fusion(spark: SparkSession, bm25_state: str,
     ingested so far reduces to the store theorems + the same pure
     gate function; pytest pins it per append prefix and verbatim at
     full corpus.  ``truth_state`` (r16) grades the contenders against
-    the incremental truth store (the serve_retrieval_quality note)."""
+    the incremental truth store (the serve_retrieval_quality note);
+    default 'auto' (r17) detects a co-located <bm25_state>/truth
+    store, None forces the postings fallback."""
     from ..operators.retrieval import gate_winner
 
     macros = None
@@ -320,7 +341,7 @@ def serve_quality_gated_fusion(spark: SparkSession, bm25_state: str,
 
 def serve_prf_quality_compare(spark: SparkSession, bm25_state: str,
                               prox_state: str, phrase_state: str, *,
-                              truth_state: str | None = None
+                              truth_state: str | None = "auto"
                               ) -> DataFrame:
     """q192's two macro rows (bm25 / prf vs the graded truth) served
     ENTIRELY from the three persisted stores (r14): the plain system
@@ -332,7 +353,9 @@ def serve_prf_quality_compare(spark: SparkSession, bm25_state: str,
     reduces to the store theorems; pytest pins it per append prefix
     and verbatim at full corpus.  ``truth_state`` (r16) grades both
     systems against the incremental truth store (the
-    serve_retrieval_quality note)."""
+    serve_retrieval_quality note); default 'auto' (r17) detects a
+    co-located <bm25_state>/truth store, None forces the postings
+    fallback."""
     from ..operators.retrieval import _macro_summary
     from .bm25gate import serve_prf_expanded_bm25
 
@@ -353,7 +376,7 @@ def serve_prf_quality_compare(spark: SparkSession, bm25_state: str,
 def serve_retrieval_quality(spark: SparkSession, bm25_state: str,
                             prox_state: str, phrase_state: str, *,
                             pool: DataFrame | None = None,
-                            truth_state: str | None = None) -> DataFrame:
+                            truth_state: str | None = "auto") -> DataFrame:
     """q185's per-query ranking-quality metrics served ENTIRELY from
     three persisted stores: the system ranking from the incremental
     BM25 store (through the q178-gated serve_bm25_topk), the
@@ -382,8 +405,13 @@ def serve_retrieval_quality(spark: SparkSession, bm25_state: str,
     join relevance_truth_from pays per read — the store and the
     derivation serve the IDENTICAL frame under the query-docs-first
     contract (truthgate's parity theorem), so the grade is unchanged
-    and pytest pins it per append prefix.  None keeps the
-    postings-derived fallback (stores without a truth state)."""
+    and pytest pins it per append prefix.  The default 'auto' (r17;
+    VERDICT r16 Next-round #3) DETECTS a truth store co-located at
+    <bm25_state>/truth and prefers it — the θ fold's 'auto'
+    convention: the faster read is the default, no kwarg threading;
+    an explicit path uses that store, and None forces the
+    postings-derived fallback (auto-routing ≡ explicit ≡ fallback is
+    pytest-pinned)."""
     from ..operators.retrieval import (
         N_QUERIES as NQ,
         quality_metrics_from,
@@ -392,6 +420,7 @@ def serve_retrieval_quality(spark: SparkSession, bm25_state: str,
     from .phrasegate import read_postings, serve_phrase_matches
     from .proxgate import read_token_postings
 
+    truth_state = _resolve_truth_state(spark, bm25_state, truth_state)
     if pool is None:
         pool = serve_bm25_topk(spark, bm25_state)
     # the metric arithmetic indexes element_at(W_NDCG, rank): a row

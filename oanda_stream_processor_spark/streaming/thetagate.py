@@ -449,7 +449,8 @@ def bm25f_theta_lower_bound(fhist: DataFrame, dfd: DataFrame,
 
 def hist_theta_pruned_bm25f_topk(spark: SparkSession, field_state: str,
                                  fhist: DataFrame, *,
-                                 blocks: bool = False) -> DataFrame:
+                                 blocks: bool = False,
+                                 frames=None) -> DataFrame:
     """The PRUNED BM25F serving read with θ priced from an in-hand
     merged per-field histogram — hist_theta_pruned_topk's analogue
     for the field store (bm25gate.serve_bm25f_blockmax_topk routes
@@ -461,7 +462,11 @@ def hist_theta_pruned_bm25f_topk(spark: SparkSession, field_state: str,
     no seed candidate set is needed: every true top-TOP_K doc matches
     an essential term and (blocks=True) sits in a live block — its
     own score ≥ θ_lb keeps its block's UB sum ≥ θ_lb (the
-    hist_theta_pruned_topk composition, per field)."""
+    hist_theta_pruned_topk composition, per field).  ``frames`` takes
+    an already-built (tff, dlf, dfd, ndocs, avgf) tuple so a caller
+    that read the field store for its plan gate doesn't pay a second
+    _field_store_frames construction per served read (r17 ADVICE);
+    None reads the store here."""
     from ..operators.retrieval import (
         BLOCK_DOCS,
         N_QUERIES,
@@ -478,7 +483,9 @@ def hist_theta_pruned_bm25f_topk(spark: SparkSession, field_state: str,
         maybe_read_field_block_stats,
     )
 
-    tff, dlf, dfd, ndocs, avgf = _field_store_frames(spark, field_state)
+    if frames is None:
+        frames = _field_store_frames(spark, field_state)
+    tff, dlf, dfd, ndocs, avgf = frames
     tff = tff.localCheckpoint(eager=True)
     wtf = bm25f_weighted_tf(tff, dlf, avgf).localCheckpoint(eager=True)
     qterms = (tff.where(F.col("cand_id") < N_QUERIES)

@@ -83,7 +83,7 @@ from ..operators.retrieval import (
     token_postings,
 )
 
-__all__ = ["read_truth", "read_truth_side",
+__all__ = ["maybe_truth_state", "read_truth", "read_truth_side",
            "serve_quality_from_truth_store", "start_truth_stream",
            "write_batch_truth_partials"]
 
@@ -124,6 +124,22 @@ def _has_any_partial(spark: SparkSession, state_dir: str) -> bool:
                     .inputFiles())
     except AnalysisException:
         return False
+
+
+def maybe_truth_state(spark: SparkSession,
+                      bm25_state: str) -> str | None:
+    """The CANONICAL lockstep truth-store location — <bm25_state>/truth
+    — when it actually holds truth partials (a readable prox/ layout),
+    else None (r17; VERDICT r16 Next-round #3).  The decision reads'
+    default truth_state='auto' routes through this, so a store whose
+    owner co-located the truth partials next to the postings partials
+    (the impact/-histogram convention applied to the truth side) gets
+    the fast bounded-partials grade WITHOUT the caller threading the
+    kwarg; stores without the layout keep the postings-derived
+    fallback.  Probed via the reader's file index (FS-agnostic, no
+    Spark job — the maybe_read_block_stats discipline)."""
+    path = os.path.join(bm25_state, "truth")
+    return path if _has_any_partial(spark, path) else None
 
 
 def write_batch_truth_partials(docs: DataFrame, state_dir: str,
@@ -242,16 +258,34 @@ def read_truth_side(spark: SparkSession, state_dir: str):
     module docstring's containment argument makes the re-rank exact).
     Pre-r16 stores without the nrel/itop layout fall back to deriving
     both from the full stored truth (the maybe_read_block_stats
-    degrade-don't-throw contract)."""
+    degrade-don't-throw contract).
+
+    Coverage guard (r17 ADVICE): absence is not the only unsound
+    layout — a pre-r16 store RESUMED under r16 code carries nrel/itop
+    for only the post-resume batches, and a crash between the phr and
+    nrel/itop writes of one batch leaves that batch uncovered; either
+    way the partials would silently undercount n_rel and misprice the
+    ideal DCG.  The partials are trusted only when their batch_id
+    partition sets cover exactly the batches prox/ covers (the
+    thetagate._store_batch_ids precedent — one driver-side file
+    listing per layout, no Spark job); any mismatch degrades to the
+    full-truth derivation, which is always sound."""
     from pyspark.errors import AnalysisException
 
     from ..operators.retrieval import truth_side_frames
+    from .thetagate import _store_batch_ids
     try:
         nrel = (spark.read.parquet(os.path.join(state_dir, "nrel"))
                 .groupBy("query_id").agg(F.sum("n_rel").alias("n_rel")))
         itop = (spark.read.parquet(os.path.join(state_dir, "itop"))
                 .select("query_id", "cand_id", "rel"))
     except AnalysisException:
+        return truth_side_frames(read_truth(spark, state_dir))
+    prox_ids = _store_batch_ids(spark, os.path.join(state_dir, "prox"))
+    if (_store_batch_ids(spark, os.path.join(state_dir, "nrel"))
+            != prox_ids
+            or _store_batch_ids(spark, os.path.join(state_dir, "itop"))
+            != prox_ids):
         return truth_side_frames(read_truth(spark, state_dir))
     # truth_side_frames' idcg half over the bounded union IS the true
     # ideal DCG (global ideal rows ⊆ union); its nrel half would be

@@ -204,6 +204,47 @@ def test_lockstep_impact_layout_and_default_fold(spark, tmp_path):
         serve_bm25_topk(spark, state, prune=True, theta="hist")
 
 
+def test_theta_hist_on_flat_route_refuses_loudly(spark, tmp_path):
+    """r17 ADVICE: a flat-routed read has no θ, so an EXPLICIT
+    theta='hist' must raise on every served read instead of being
+    silently ignored — the same loud contract as a missing impact/
+    layout — while 'auto' and 'seed' route the flat plan silently
+    and serve the full-pool rows."""
+    import pytest
+
+    from oanda_stream_processor_spark.streaming.bm25gate import (
+        serve_bm25_blockmax_topk,
+        serve_bm25_topk,
+        serve_bm25f_blockmax_topk,
+        serve_bm25f_topk,
+        write_batch_field_partials,
+    )
+
+    d = _zipf(spark)
+    b = str(tmp_path / "bm25")
+    fstate = str(tmp_path / "field")
+    write_batch_partials(d, b, 0)
+    write_batch_field_partials(d, fstate, 0)
+    want = _table(serve_bm25_topk(spark, b, prune=False))
+    for call in (lambda t: serve_bm25_topk(spark, b, prune=False,
+                                           theta=t),
+                 lambda t: serve_bm25_blockmax_topk(spark, b,
+                                                    plan="flat",
+                                                    theta=t)):
+        assert _table(call("auto")) == want
+        assert _table(call("seed")) == want
+        with pytest.raises(ValueError, match="flat"):
+            call("hist")
+    wantf = _table(serve_bm25f_topk(spark, fstate))
+    assert _table(serve_bm25f_blockmax_topk(
+        spark, fstate, plan="flat", theta="auto")) == wantf
+    assert _table(serve_bm25f_blockmax_topk(
+        spark, fstate, plan="flat", theta="seed")) == wantf
+    with pytest.raises(ValueError, match="flat"):
+        serve_bm25f_blockmax_topk(spark, fstate, plan="flat",
+                                  theta="hist")
+
+
 def test_bm25f_theta_bound_is_conservative_and_engages(spark, tmp_path):
     """r16 (VERDICT r15 ask #2): the per-field histogram θ is a true
     lower bound of the achieved TOP_K-th BM25F score for every query

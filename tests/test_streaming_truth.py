@@ -177,6 +177,52 @@ def test_truth_side_partials_track_appends(spark, tmp_path):
     assert _table(nrel2.join(idcg2, "query_id")) == got
 
 
+def test_truth_side_partial_coverage_falls_back(spark, tmp_path):
+    """r17 ADVICE (medium): a store whose nrel/itop partials cover
+    only SOME of prox/'s batches — a pre-r16 store resumed under r16
+    code, or a crash between the phr and nrel/itop writes — must NOT
+    serve undercounted n_rel / wrong IDCG from the surviving
+    partials; the coverage guard (batch-id set comparison against
+    prox/) degrades to the always-sound full-truth derivation."""
+    import shutil
+
+    from oanda_stream_processor_spark.operators.retrieval import (
+        truth_side_frames,
+    )
+    from oanda_stream_processor_spark.streaming.truthgate import (
+        read_truth_side,
+    )
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    state = str(tmp_path / "truth")
+    batches = [
+        d.where((F.col("doc_id") < N_QUERIES)
+                | (F.col("doc_id") % 2 == 0)),
+        d.where((F.col("doc_id") >= N_QUERIES)
+                & (F.col("doc_id") % 2 == 1)),
+    ]
+    for i, part in enumerate(batches):
+        write_batch_truth_partials(part, state, i)
+    want_n, want_i = (_table(f) for f in
+                      truth_side_frames(read_truth(spark, state)))
+    # simulate the resumed-store / crash window: nrel covers only
+    # batch 0 while prox covers both -> the guard must fall back
+    shutil.rmtree(f"{state}/nrel/batch_id=1")
+    nrel, idcg = read_truth_side(spark, state)
+    assert _table(nrel) == want_n, "partial nrel served undercounted"
+    assert _table(idcg) == want_i
+    # same for a torn itop layout (nrel whole again via fresh write)
+    write_batch_truth_partials(batches[1], state, 1)
+    shutil.rmtree(f"{state}/itop/batch_id=0")
+    nrel, idcg = read_truth_side(spark, state)
+    assert _table(nrel) == want_n
+    assert _table(idcg) == want_i, "partial itop mispriced the IDCG"
+    # healed store (replay rewrote batch 1) uses the partials again
+    write_batch_truth_partials(batches[0], state, 0)
+    nrel, idcg = read_truth_side(spark, state)
+    assert _table(nrel) == want_n and _table(idcg) == want_i
+
+
 def test_decision_reads_prefer_truth_store(spark, tmp_path):
     """r16 (VERDICT r15 ask #1): every served decision read grades
     identically from the incremental truth store (truth_state=...)
@@ -232,6 +278,75 @@ def test_decision_reads_prefer_truth_store(spark, tmp_path):
     assert _table(serve_quality_gated_fusion(
         spark, b, x, h, cos, truth_state=t)) == \
         _table(q193_quality_gated_fusion(spark, SF_DIR))
+
+
+def test_truth_state_auto_detected(spark, tmp_path):
+    """r17 (VERDICT r16 Next-round #3): truth_state defaults to
+    'auto' — a truth store co-located at <bm25_state>/truth is
+    DETECTED and preferred by all four decision reads, with
+    auto ≡ explicit kwarg ≡ postings fallback row-for-row; a bm25
+    store without the co-located layout auto-routes to the postings
+    fallback (no kwarg threading either way)."""
+    from oanda_stream_processor_spark.streaming.bm25gate import (
+        write_batch_partials,
+    )
+    from oanda_stream_processor_spark.streaming.phrasegate import (
+        write_batch_postings,
+    )
+    from oanda_stream_processor_spark.streaming.proxgate import (
+        write_batch_token_postings,
+    )
+    from oanda_stream_processor_spark.streaming.rrfserve import (
+        exact_cosine_pool,
+        serve_fusion_quality_compare,
+        serve_prf_quality_compare,
+        serve_quality_gated_fusion,
+        serve_retrieval_quality,
+    )
+    from oanda_stream_processor_spark.streaming.truthgate import (
+        maybe_truth_state,
+    )
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    b = str(tmp_path / "bm25")
+    h = str(tmp_path / "phrase")
+    x = str(tmp_path / "prox")
+    t = f"{b}/truth"  # the canonical co-located layout
+    batches = [
+        d.where((F.col("doc_id") < N_QUERIES)
+                | (F.col("doc_id") % 2 == 0)),
+        d.where((F.col("doc_id") >= N_QUERIES)
+                & (F.col("doc_id") % 2 == 1)),
+    ]
+    for i, part in enumerate(batches):
+        write_batch_partials(part, b, i)
+        write_batch_postings(part, h, i)
+        write_batch_token_postings(part, x, i)
+        write_batch_truth_partials(part, t, i)
+    assert maybe_truth_state(spark, b) == t
+    want = _table(serve_retrieval_quality(spark, b, x, h,
+                                          truth_state=t))
+    assert _table(serve_retrieval_quality(spark, b, x, h)) == want
+    assert _table(serve_retrieval_quality(spark, b, x, h,
+                                          truth_state=None)) == want
+    cos = exact_cosine_pool(spark, SF_DIR)
+    for fn in (serve_fusion_quality_compare,
+               serve_quality_gated_fusion):
+        explicit = _table(fn(spark, b, x, h, cos, truth_state=t))
+        assert _table(fn(spark, b, x, h, cos)) == explicit
+        assert _table(fn(spark, b, x, h, cos,
+                         truth_state=None)) == explicit
+    assert _table(serve_prf_quality_compare(spark, b, x, h)) == \
+        _table(serve_prf_quality_compare(spark, b, x, h,
+                                         truth_state=t))
+    # a bm25 store WITHOUT the co-located layout: auto -> fallback
+    b2 = str(tmp_path / "bm25_bare")
+    for i, part in enumerate(batches):
+        write_batch_partials(part, b2, i)
+    assert maybe_truth_state(spark, b2) is None
+    assert _table(serve_retrieval_quality(spark, b2, x, h)) == \
+        _table(serve_retrieval_quality(spark, b2, x, h,
+                                       truth_state=None))
 
 
 def test_q195_truth_query_served_by_store(spark, tmp_path):
