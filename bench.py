@@ -179,9 +179,19 @@ def run_spark(names: list[str] | None) -> dict[str, float]:
         # its number is the TRUE two-pass PRF cost (postings + pass-1
         # + pass-2, memo bypassed), while q191/q192/q193 read the
         # shared warm frames by design — ledgered in BASELINE.md.
+        # r17: the four plan-gated queries keep their bounded probe
+        # ON the clock (the gate-statistic memo would otherwise hide
+        # it from pass 2 onward — the probe IS part of each query's
+        # true first-request cost, the ROADMAP bench-honesty note);
+        # the memoized repeat-build saving is measured separately in
+        # GATE_MEMO_r17.json (tools/bench_gate_memo.py).
         memo_env = {"q167_winnow_components": "SPARK_GRAFT_EDGE_MEMO",
                     "q185_retrieval_quality": "SPARK_GRAFT_QUALITY_MEMO",
-                    "q187_prf_expanded_bm25": "SPARK_GRAFT_QUALITY_MEMO"
+                    "q187_prf_expanded_bm25": "SPARK_GRAFT_QUALITY_MEMO",
+                    "q178_bm25_maxscore_topk": "SPARK_GRAFT_QUALITY_MEMO",
+                    "q183_bm25f_maxscore_topk": "SPARK_GRAFT_QUALITY_MEMO",
+                    "q189_bm25_blockmax_topk": "SPARK_GRAFT_QUALITY_MEMO",
+                    "q194_bm25f_blockmax_topk": "SPARK_GRAFT_QUALITY_MEMO",
                     }.get(name)
         prev_memo = os.environ.get(memo_env) if memo_env else None
         if memo_env:

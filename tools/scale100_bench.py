@@ -17,6 +17,16 @@ a fixed 32-thread box: factor100 well under ~100 means the operator is
 sublinear-per-core and cluster headroom is real; factor100 >> 100
 means super-linear work (the thing the growth rules exist to prevent).
 
+PINNED PROTOCOL (r17; VERDICT r16 Next-round #5): BOTH legs run
+memo-off (SPARK_GRAFT_QUALITY_MEMO=0 and SPARK_GRAFT_EDGE_MEMO=0 are
+forced for the measurement) and BOTH legs are min-of-N — x1 at
+``runs_x1`` (default 2), x100 at ``SPARK_GRAFT_X100_RUNS`` (default
+2).  r15/r16 measured the build-once families by hand with per-query
+memo-off re-runs and the ratio column churned on x1-side noise (q167
+78.2x -> 98.2x with the x100 absolute flat); with the protocol in the
+tool, every row is the true pipeline build on both sides and the
+factor moves only when the code does.
+
 Usage: python tools/scale100_bench.py [runs_x1] [query ...]
 Prints one JSON line; x100 data cached at /tmp/spark_graft_x100.
 """
@@ -141,22 +151,30 @@ def main() -> None:
     build_x100(spark)
     build_s = round(time.perf_counter() - t0, 1)
 
+    # pinned protocol: memo-off both sides (module docstring)
+    os.environ["SPARK_GRAFT_QUALITY_MEMO"] = "0"
+    os.environ["SPARK_GRAFT_EDGE_MEMO"] = "0"
+    runs_x100 = int(os.environ.get("SPARK_GRAFT_X100_RUNS", "2"))
+
     queries = ent.queries()
     names = sorted(ONLY) if ONLY else DEFAULT_SET
     results = {}
     for name in names:
         fn = queries[name]
         row = {}
-        try:
+
+        def leg(sf: str, runs: int) -> float:
             times = []
-            for _ in range(RUNS):
+            for _ in range(runs):
                 t1 = time.perf_counter()
-                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                fn(spark, sf).write.format("noop") \
+                    .mode("overwrite").save()
                 times.append(time.perf_counter() - t1)
-            row["x1"] = round(min(times), 3)
-            t1 = time.perf_counter()
-            fn(spark, X100_DIR).write.format("noop").mode("overwrite").save()
-            row["x100"] = round(time.perf_counter() - t1, 3)
+            return round(min(times), 3)
+
+        try:
+            row["x1"] = leg(SF_DIR, RUNS)
+            row["x100"] = leg(X100_DIR, runs_x100)
         except Exception as exc:   # keep sweeping; a broken query is a row
             row["error"] = f"{type(exc).__name__}: {exc}"[:200]
             results[name] = row
@@ -171,12 +189,13 @@ def main() -> None:
 
     print(json.dumps({
         "metric": "corpus_family_scaleup_x100",
-        "runs_x1": RUNS, "runs_x100": 1,
+        "runs_x1": RUNS, "runs_x100": runs_x100, "memo": "off",
         "sf_dir": SF_DIR, "build_s": build_s,
         "queries": results,
         "note": ("x100 on a fixed 32-thread box; factor100 ~< 100 = "
                  "at-most-linear work (cluster headroom real), "
-                 ">> 100 = super-linear work"),
+                 ">> 100 = super-linear work; min-of-N memo-off on "
+                 "BOTH legs (pinned r17 protocol)"),
     }))
 
 
