@@ -62,6 +62,14 @@ def get_spark(app_name: str = "oanda_stream_processor_spark",
         # -- scan sizing (100 TB: keep parquet splits ~128 MB) --------
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # -- write codec: zstd for everything we write (stores,
+        # shards, matviews) — measured on the 12-batch sf0.1 BM25
+        # store (tools/bench_store_codec.py, CODEC_r17.json): 20%
+        # smaller on disk (bytes ratio 0.801), build-time parity,
+        # served read no slower; reads of EXISTING snappy fixtures
+        # are codec-transparent.  At 100 TB the 20% is shuffle-free
+        # I/O reduction on every store read.
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # -- quieter local runs ---------------------------------------
         .config("spark.ui.showConsoleProgress", "false")
     )
