@@ -105,6 +105,21 @@ FLOOR_REF_SEC = 0.128            # BENCH_LOCAL_r12 floor, the pin
 SENTINELS = ("q01_pricing_summary", "q13_window_running")
 
 
+# Raw per-pass timings move to a sidecar FILE (r18; VERDICT r17
+# Next-round #2): the driver captures only a bounded output tail, and
+# the ~40 KB `passes` map inflated the one-line record past it —
+# BENCH_r16 survived only as an unparseable tail (`parsed: null`),
+# which cost round 17 its entire round-over-round comparison.  The
+# printed line now carries everything EXCEPT the raw passes (still
+# ~8 KB, and emitted LAST so any tail capture contains it whole); the
+# full record including `passes` lands in this sidecar.  The timing
+# methodology (min across N full passes, contamination detection over
+# the raw passes) is unchanged — only where the raw samples are
+# written moved.
+PASSES_SIDECAR = os.environ.get("SPARK_GRAFT_BENCH_PASSES_PATH",
+                                "bench_passes_last.json")
+
+
 def _emit(extra: dict | None = None) -> None:
     timings = _PARTIAL["queries"]
     floor = _PARTIAL.get("floor")
@@ -126,7 +141,6 @@ def _emit(extra: dict | None = None) -> None:
                         if q in timings}
     passes = _PARTIAL.get("passes", {})
     if passes:
-        out["passes"] = passes
         out["contaminated"] = sorted(
             n for n, ts in passes.items()
             if len(ts) >= 2 and min(ts) > 0
@@ -135,6 +149,16 @@ def _emit(extra: dict | None = None) -> None:
         out["errors"] = _PARTIAL["errors"]
     if extra:
         out.update(extra)
+    if passes:
+        # full record (compact line + raw passes) to the sidecar file;
+        # best-effort — a read-only CWD must not cost the stdout record
+        try:
+            with open(PASSES_SIDECAR + ".part", "w") as fh:
+                json.dump({**out, "passes": passes}, fh)
+            os.replace(PASSES_SIDECAR + ".part", PASSES_SIDECAR)
+            out["passes_sidecar"] = PASSES_SIDECAR
+        except OSError:
+            pass
     print(json.dumps(out), flush=True)
 
 

@@ -21,7 +21,7 @@ N=$(printf '%02d' "$((10#${1:?round number}))")
 
 OUTS=("ORACLE_LOCAL_r${N}.txt" "SCALE_SWEEP_r${N}.json" \
       "SCALE_SWEEP_r${N}.log" "BENCH_LOCAL_r${N}.json" \
-      "PARALLELISM_r${N}.txt")
+      "BENCH_PASSES_r${N}.json" "PARALLELISM_r${N}.txt")
 cleanup_on_fail() {
   echo "record_round.sh FAILED — deleting partial outputs: ${OUTS[*]}" >&2
   rm -f "${OUTS[@]}"
@@ -45,6 +45,9 @@ tail -1 "ORACLE_LOCAL_r${N}.txt"
 
 python tools/scale_bench.py 2 2> "SCALE_SWEEP_r${N}.log" > "SCALE_SWEEP_r${N}.json"
 python bench.py --duckdb > "BENCH_LOCAL_r${N}.json"
+# raw per-pass samples live in the sidecar since r18 (the printed line
+# stays small enough to survive the driver's bounded tail capture)
+mv -f bench_passes_last.json "BENCH_PASSES_r${N}.json" 2>/dev/null || true
 python tools/parallelism_check.py /root/testdata/sf0.01 2>&1 \
   | grep -E '^(ok|MISMATCH|[0-9]+ invariant)' > "PARALLELISM_r${N}.txt"
 python tools/explain_audit.py 2>&1 | tail -1
