@@ -379,14 +379,34 @@ def write_batch_partials(docs: DataFrame, state_dir: str,
 
 
 def start_bm25_stream(stream_docs: DataFrame, state_dir: str,
-                      checkpoint_dir: str):
+                      checkpoint_dir: str, *,
+                      compact_every: int | None = None):
     """Wire a streaming documents source into the gate: each batch
     overwrites its own tf/df/dl/corpus partials under batch_id=<id>.
     Documents are atomic per batch (a doc's text arrives whole in one
     micro-batch) — the decomposition above needs doc-disjoint batches,
-    which micro-batched document feeds are by construction."""
+    which micro-batched document feeds are by construction.
+
+    ``compact_every`` (r18; VERDICT r17 Next-round #3 — default from
+    $SPARK_GRAFT_COMPACT_EVERY, 0/None = off, unchanged behavior)
+    folds the store's batch partials every K batches via
+    ``compact.compact_bm25_store``, INSIDE the foreachBatch body: the
+    body is the store's only writer and batches run serially, so this
+    is exactly the 'between trigger cycles' window the compaction
+    contract requires.  Replay-safe: compaction never folds the
+    newest batch (the only id a foreachBatch replay can target), and
+    a replayed body re-running the compactor is a no-op (fewer than
+    two foldable ids remain).  Keeps a long-lived ingest's file count
+    O(K + layouts) instead of O(batches) — the measured COMPACT_r17
+    1.4x served-read saving, now applied without an operator having
+    to remember to call compact_* by hand."""
+    from .compact import compact_bm25_store, compact_every_default
+    every = compact_every_default(compact_every)
+
     def body(batch_df: DataFrame, batch_id: int) -> None:
         write_batch_partials(batch_df, state_dir, batch_id)
+        if every and (batch_id + 1) % every == 0:
+            compact_bm25_store(batch_df.sparkSession, state_dir)
 
     return (stream_docs.writeStream
             .foreachBatch(body)
@@ -606,10 +626,18 @@ def serve_bm25f_blockmax_topk(spark: SparkSession, state_dir: str, *,
 
 
 def start_bm25f_stream(stream_docs: DataFrame, state_dir: str,
-                       checkpoint_dir: str):
-    """availableNow/foreachBatch wiring for the BM25F field store."""
+                       checkpoint_dir: str, *,
+                       compact_every: int | None = None):
+    """availableNow/foreachBatch wiring for the BM25F field store.
+    ``compact_every``: the start_bm25_stream hook, field-store half
+    (compact.compact_field_store; same replay-safety argument)."""
+    from .compact import compact_every_default, compact_field_store
+    every = compact_every_default(compact_every)
+
     def body(batch_df: DataFrame, batch_id: int) -> None:
         write_batch_field_partials(batch_df, state_dir, batch_id)
+        if every and (batch_id + 1) % every == 0:
+            compact_field_store(batch_df.sparkSession, state_dir)
 
     return (stream_docs.writeStream
             .foreachBatch(body)

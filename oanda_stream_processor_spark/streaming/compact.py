@@ -77,9 +77,22 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["compact_bm25_store", "compact_field_store",
-           "compact_theta_store", "compact_truth_store",
-           "store_file_count"]
+__all__ = ["compact_bm25_store", "compact_every_default",
+           "compact_field_store", "compact_theta_store",
+           "compact_truth_store", "store_file_count"]
+
+
+def compact_every_default(compact_every: int | None) -> int:
+    """Resolve a ``start_*_stream`` compaction cadence (r18; VERDICT
+    r17 Next-round #3): an explicit kwarg wins; otherwise
+    $SPARK_GRAFT_COMPACT_EVERY (production knob — the ingest loop
+    compacts every K micro-batches); otherwise 0 = off, the pre-r18
+    behavior.  Parameterised per the scale-settings rule: test-scale
+    default unchanged, cluster cadence an env decision."""
+    if compact_every is not None:
+        return max(0, int(compact_every))
+    return max(0, int(os.environ.get("SPARK_GRAFT_COMPACT_EVERY",
+                                     "0") or 0))
 
 _TMP = ".compact_tmp"
 _MARKER = ".compact_commit"

@@ -523,13 +523,24 @@ def hist_theta_pruned_bm25f_topk(spark: SparkSession, field_state: str,
 
 
 def start_theta_stream(stream_docs: DataFrame, state_dir: str,
-                       checkpoint_dir: str):
+                       checkpoint_dir: str, *,
+                       compact_every: int | None = None):
     """availableNow/foreachBatch wiring for the impact histogram:
-    each batch overwrites its own partial under batch_id=<id>."""
+    each batch overwrites its own partial under batch_id=<id>.
+    ``compact_every``: the start_bm25_stream hook for this EXTERNAL
+    store (compact.compact_theta_store).  Note its docstring's
+    lockstep caveat: until the paired postings store compacts at the
+    same boundary, hist_not_ahead degrades to the conservative
+    seed-pass fallback — sound either way."""
+    from .compact import compact_every_default, compact_theta_store
+    every = compact_every_default(compact_every)
+
     def body(batch_df: DataFrame, batch_id: int) -> None:
         (batch_impact_partial(batch_df)
          .write.mode("overwrite")
          .parquet(os.path.join(state_dir, f"batch_id={batch_id}")))
+        if every and (batch_id + 1) % every == 0:
+            compact_theta_store(batch_df.sparkSession, state_dir)
 
     return (stream_docs.writeStream
             .foreachBatch(body)

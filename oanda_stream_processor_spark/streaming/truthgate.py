@@ -324,11 +324,20 @@ def serve_quality_from_truth_store(spark: SparkSession,
 
 
 def start_truth_stream(stream_docs: DataFrame, state_dir: str,
-                       checkpoint_dir: str):
+                       checkpoint_dir: str, *,
+                       compact_every: int | None = None):
     """availableNow/foreachBatch wiring for the truth store (the
-    bm25gate scheme; the contract check runs inside the writer)."""
+    bm25gate scheme; the contract check runs inside the writer).
+    ``compact_every``: the start_bm25_stream hook, truth-store half
+    (compact.compact_truth_store folds all six layouts with one fold
+    set, so the r17 nrel/itop/prox coverage guard stays satisfied)."""
+    from .compact import compact_every_default, compact_truth_store
+    every = compact_every_default(compact_every)
+
     def body(batch_df: DataFrame, batch_id: int) -> None:
         write_batch_truth_partials(batch_df, state_dir, batch_id)
+        if every and (batch_id + 1) % every == 0:
+            compact_truth_store(batch_df.sparkSession, state_dir)
 
     return (stream_docs.writeStream
             .foreachBatch(body)

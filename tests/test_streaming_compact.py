@@ -258,3 +258,116 @@ def test_compaction_recovery_heals_interrupted_swap(spark, tmp_path):
     assert not os.path.isfile(os.path.join(df_dir, ".compact_commit"))
     assert sorted(_batch_dirs(df_dir)) == [min(ids)]
     assert _table(serve_bm25_pool(spark, state)) == want
+
+
+def test_compact_every_default_resolution(monkeypatch):
+    """The r18 cadence knob: explicit kwarg wins, then
+    $SPARK_GRAFT_COMPACT_EVERY, then 0 (= off, pre-r18 behavior)."""
+    from oanda_stream_processor_spark.streaming.compact import (
+        compact_every_default,
+    )
+    monkeypatch.delenv("SPARK_GRAFT_COMPACT_EVERY", raising=False)
+    assert compact_every_default(None) == 0
+    assert compact_every_default(3) == 3
+    assert compact_every_default(-1) == 0
+    monkeypatch.setenv("SPARK_GRAFT_COMPACT_EVERY", "5")
+    assert compact_every_default(None) == 5
+    assert compact_every_default(2) == 2
+    monkeypatch.setenv("SPARK_GRAFT_COMPACT_EVERY", "")
+    assert compact_every_default(None) == 0
+
+
+def test_compact_every_hook_e2e_bounds_files_and_preserves_reads(
+        spark, tmp_path):
+    """r18 (VERDICT r17 Next-round #3 + #8): a long-running
+    availableNow ingest with ``compact_every`` folds its own store
+    every K batches — the file count stays bounded without any
+    operator calling compact_* by hand — and all four decision reads
+    over the compacted, auto-detected co-located store equal the
+    reads over an UNCOMPACTED, explicitly-threaded twin.  This is the
+    one test where the compaction trigger and the <bm25>/truth
+    co-location meet end to end."""
+    from oanda_stream_processor_spark.streaming.bm25gate import (
+        start_bm25_stream,
+        write_batch_partials,
+    )
+    from oanda_stream_processor_spark.streaming.phrasegate import (
+        write_batch_postings,
+    )
+    from oanda_stream_processor_spark.streaming.proxgate import (
+        write_batch_token_postings,
+    )
+    from oanda_stream_processor_spark.streaming.rrfserve import (
+        exact_cosine_pool,
+        serve_fusion_quality_compare,
+        serve_prf_quality_compare,
+        serve_retrieval_quality,
+        serve_quality_gated_fusion,
+    )
+    from oanda_stream_processor_spark.streaming.truthgate import (
+        start_truth_stream,
+        write_batch_truth_partials,
+    )
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    batches = [d.where((F.col("doc_id") < N_QUERIES)
+                       | ((F.col("doc_id") % 4 == 0)
+                          & (F.col("doc_id") >= N_QUERIES)))] + [
+        d.where((F.col("doc_id") >= N_QUERIES)
+                & (F.col("doc_id") % 4 == i)) for i in (1, 2, 3)]
+
+    # 4 json files -> 4 micro-batches under maxFilesPerTrigger=1
+    src = tmp_path / "docs"
+    src.mkdir()
+    for i, part in enumerate(batches):
+        part.coalesce(1).write.json(str(src / f"f{i}"))
+
+    def stream():
+        return (spark.readStream
+                .schema("doc_id bigint, text string")
+                .option("maxFilesPerTrigger", "1")
+                .json(str(src / "*")))
+
+    b = str(tmp_path / "bm25")
+    # truth first (sequential streams: compaction must not run
+    # concurrently with another writer of the same co-located store),
+    # then bm25 whose hook folds BOTH stores every 2 batches
+    q = start_truth_stream(stream(), os.path.join(b, "truth"),
+                           str(tmp_path / "ckpt_t"))
+    q.awaitTermination(180)
+    q = start_bm25_stream(stream(), b, str(tmp_path / "ckpt_b"),
+                          compact_every=2)
+    q.awaitTermination(180)
+
+    # the hook fired at batch 3 (ids {0,1,2,3} -> fold {0,1,2}):
+    # batch-dir count is bounded by K+1, not O(batches)
+    assert set(_batch_dirs(os.path.join(b, "tf"))) == {0, 3}
+    assert set(_batch_dirs(os.path.join(b, "truth", "prox"))) == {0, 3}
+
+    # uncompacted, explicitly-threaded twin (the pre-hook spelling)
+    b2 = str(tmp_path / "bm25_plain")
+    t2 = str(tmp_path / "truth_plain")
+    x = str(tmp_path / "prox")
+    h = str(tmp_path / "phrase")
+    for i, part in enumerate(batches):
+        write_batch_partials(part, b2, i)
+        write_batch_truth_partials(part, t2, i)
+        write_batch_token_postings(part, x, i)
+        write_batch_postings(part, h, i)
+    assert store_file_count(b) < store_file_count(b2) + \
+        store_file_count(t2)
+
+    cos = exact_cosine_pool(spark, SF_DIR)
+    for got, want in [
+        (serve_retrieval_quality(spark, b, x, h),
+         serve_retrieval_quality(spark, b2, x, h, truth_state=t2)),
+        (serve_prf_quality_compare(spark, b, x, h),
+         serve_prf_quality_compare(spark, b2, x, h, truth_state=t2)),
+        (serve_fusion_quality_compare(spark, b, x, h, cos),
+         serve_fusion_quality_compare(spark, b2, x, h, cos,
+                                      truth_state=t2)),
+        (serve_quality_gated_fusion(spark, b, x, h, cos),
+         serve_quality_gated_fusion(spark, b2, x, h, cos,
+                                    truth_state=t2)),
+    ]:
+        assert _table(got) == _table(want)
