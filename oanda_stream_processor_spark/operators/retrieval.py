@@ -622,6 +622,113 @@ def _gate_memo_key(kind: str, *frames: DataFrame):
     return (kind, tuple(files))
 
 
+# --- gate-verdict persistence next to the store (r18; VERDICT r17
+# Next-round #5).  The r17 memo dies with the process, so a serving
+# FLEET re-pays the bounded probe once per process per corpus; the
+# verdict is now also written to a tiny dot-file sidecar under the
+# store root (the `impact/` persist-the-statistic convention),
+# invalidated by the same input-file fingerprint the in-memory memo
+# keys on.  STORE-backed gate kinds only ('*_store'): their frames
+# live under a writable state_dir the engine owns; the text gates
+# read the immutable input fixtures, which must never be written to.
+# SPARK_GRAFT_QUALITY_MEMO=0 bypasses load AND store (key is None),
+# so the bench's memo-off timed region is unchanged.
+_GATE_SIDECAR = ".gate_memo.json"
+
+
+def _gate_sidecar_path(key) -> str | None:
+    """Sidecar path for a persistable gate key: the common local
+    directory above every input file (<store>/<layout>/batch_id=*/…
+    for both frames -> the store root).  None when the kind is not
+    store-backed or any file is not a plain local path."""
+    import os
+    from urllib.parse import unquote, urlparse
+    kind, file_sets = key
+    if not kind.endswith("_store"):
+        return None
+    paths = []
+    for tup in file_sets:
+        for p in tup:
+            if p.startswith("file:"):
+                paths.append(unquote(urlparse(p).path))
+            elif p.startswith("/"):
+                paths.append(p)
+            else:        # remote FS — no local sidecar
+                return None
+    common = os.path.commonpath(paths)
+    if not os.path.isdir(common):
+        return None
+    return os.path.join(common, _GATE_SIDECAR)
+
+
+def _gate_fingerprint(key) -> str:
+    import hashlib
+    return hashlib.sha256(repr(key).encode()).hexdigest()
+
+
+def _gate_sidecar_load(key):
+    """Persisted verdict for ``key`` (fingerprint must match exactly —
+    any store append changes inputFiles() and misses), else None."""
+    import json
+    import os
+    path = _gate_sidecar_path(key)
+    if path is None or not os.path.isfile(path):
+        return None
+    try:
+        with open(path) as fh:
+            data = json.load(fh)
+    except (OSError, ValueError):
+        return None
+    row = data.get(key[0])
+    if (not isinstance(row, dict)
+            or row.get("fp") != _gate_fingerprint(key)):
+        return None
+    return row.get("verdict")
+
+
+def _gate_sidecar_store(key, verdict) -> None:
+    """Best-effort atomic write (read-modify-replace; a read-only
+    store dir or a lost race costs nothing but the next probe)."""
+    import json
+    import os
+    path = _gate_sidecar_path(key)
+    if path is None:
+        return
+    try:
+        data = {}
+        if os.path.isfile(path):
+            with open(path) as fh:
+                data = json.load(fh)
+        if not isinstance(data, dict):
+            data = {}
+        data[key[0]] = {"fp": _gate_fingerprint(key),
+                        "verdict": verdict}
+        with open(path + ".part", "w") as fh:
+            json.dump(data, fh)
+        os.replace(path + ".part", path)
+    except (OSError, ValueError):
+        pass
+
+
+def _gate_memo_get(key):
+    """In-memory memo, then the store sidecar (warming the memo)."""
+    if key is None:
+        return None
+    hit = _GATE_MEMO.get(key)
+    if hit is None:
+        hit = _gate_sidecar_load(key)
+        if hit is not None:
+            _GATE_MEMO[key] = hit
+    return hit
+
+
+def _gate_memo_put(key, verdict) -> None:
+    if key is None:
+        return
+    _GATE_MEMO[key] = verdict
+    _gate_sidecar_store(key, verdict)
+
+
 def maxscore_gate_is_prunable(d: DataFrame) -> bool:
     """True iff some query has both a rare and a common term under the
     sampled df-proportion cuts — the q178 plan gate (see block
@@ -638,8 +745,9 @@ def maxscore_gate_is_prunable(d: DataFrame) -> bool:
     (_gate_memo_key — r17): the verdict is a corpus property, so a
     rebuilt query over the same files skips the probe entirely."""
     key = _gate_memo_key("prunable", d)
-    if key is not None and key in _GATE_MEMO:
-        return _GATE_MEMO[key]
+    hit = _gate_memo_get(key)
+    if hit is not None:
+        return hit
     n_docs = d.count()  # parquet row-group metadata, no column read
     if n_docs == 0:
         return False
@@ -663,8 +771,7 @@ def maxscore_gate_is_prunable(d: DataFrame) -> bool:
             {"sp": [_spread_decision(pdf.doc_id, term_sets, mod)]})
 
     verdict = bool(pick.mapInPandas(_gate, "sp boolean").first().sp)
-    if key is not None:
-        _GATE_MEMO[key] = verdict
+    _gate_memo_put(key, verdict)
     return verdict
 
 
@@ -713,8 +820,9 @@ def maxscore_gate_from_postings(tf: DataFrame, dl: DataFrame) -> bool:
     and hence the key, so the probe re-runs exactly when the corpus
     grew)."""
     key = _gate_memo_key("prunable_store", tf, dl)
-    if key is not None and key in _GATE_MEMO:
-        return _GATE_MEMO[key]
+    hit = _gate_memo_get(key)
+    if hit is not None:
+        return hit
     n_docs = dl.count()
     if n_docs == 0:
         return False
@@ -736,8 +844,7 @@ def maxscore_gate_from_postings(tf: DataFrame, dl: DataFrame) -> bool:
         yield pd.DataFrame({"sp": [_spread_decision(ids, sets, mod)]})
 
     verdict = bool(pick.mapInPandas(_gate, "sp boolean").first().sp)
-    if key is not None:
-        _GATE_MEMO[key] = verdict
+    _gate_memo_put(key, verdict)
     return verdict
 
 
@@ -1091,8 +1198,9 @@ def maxscore_gate_plan(d: DataFrame) -> str:
     corpus fingerprint (_gate_memo_key — r17, the binary gate's
     convention)."""
     key = _gate_memo_key("plan", d)
-    if key is not None and key in _GATE_MEMO:
-        return _GATE_MEMO[key]
+    hit = _gate_memo_get(key)
+    if hit is not None:
+        return hit
     n_docs = d.count()
     if n_docs == 0:
         return "flat"
@@ -1115,8 +1223,7 @@ def maxscore_gate_plan(d: DataFrame) -> str:
             {"plan": [_plan_decision(pdf.doc_id, counts, mod)]})
 
     verdict = str(pick.mapInPandas(_gate, "plan string").first().plan)
-    if key is not None:
-        _GATE_MEMO[key] = verdict
+    _gate_memo_put(key, verdict)
     return verdict
 
 
@@ -1132,8 +1239,9 @@ def maxscore_gate_plan_from_postings(tf: DataFrame,
     the file set, re-running the probe exactly when the corpus
     grew)."""
     key = _gate_memo_key("plan_store", tf, dl)
-    if key is not None and key in _GATE_MEMO:
-        return _GATE_MEMO[key]
+    hit = _gate_memo_get(key)
+    if hit is not None:
+        return hit
     n_docs = dl.count()
     if n_docs == 0:
         return "flat"
@@ -1165,8 +1273,7 @@ def maxscore_gate_plan_from_postings(tf: DataFrame,
             {"plan": [_plan_decision(ids, counts, mod)]})
 
     verdict = str(pick.mapInPandas(_gate, "plan string").first().plan)
-    if key is not None:
-        _GATE_MEMO[key] = verdict
+    _gate_memo_put(key, verdict)
     return verdict
 
 

@@ -294,6 +294,86 @@ def test_gate_memo_store_fingerprint_tracks_appends(spark, tmp_path):
     assert isinstance(v0, bool)
 
 
+def test_gate_memo_persists_next_to_store(spark, tmp_path,
+                                           monkeypatch):
+    """r18 (VERDICT r17 Next-round #5): the store-backed gate verdict
+    survives a process restart via the .gate_memo.json sidecar under
+    the store root — a fresh process (simulated: cleared in-memory
+    memo) serves the verdict with ZERO probe work; the sidecar is
+    invalidated by the same input-file fingerprint as the memo (an
+    append re-probes); memo-off never reads nor writes it; and the
+    TEXT gates never write a sidecar into the read-only fixtures."""
+    import os
+
+    from pyspark.sql import DataFrame
+
+    import oanda_stream_processor_spark.operators.retrieval as R
+    from oanda_stream_processor_spark.streaming.bm25gate import (
+        read_dl,
+        read_tf,
+        write_batch_partials,
+    )
+
+    common = "the of and to in for a is on at"
+    rows = [(i, f"{common} rare{i % 25}a rare{i % 25}b {common}")
+            for i in range(1000)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    state = str(tmp_path / "bm25")
+    for i in range(2):
+        write_batch_partials(d.where(F.col("doc_id") % 2 == i),
+                             state, i)
+    R._GATE_MEMO.clear()
+    v_pr = R.maxscore_gate_from_postings(read_tf(spark, state),
+                                         read_dl(spark, state))
+    v_pl = R.maxscore_gate_plan_from_postings(read_tf(spark, state),
+                                              read_dl(spark, state))
+    side = os.path.join(state, ".gate_memo.json")
+    assert os.path.isfile(side)
+
+    # "restarted process": empty memo, and every probe entry point
+    # poisoned — a sidecar hit must return without touching either
+    def _boom(*a, **k):
+        raise AssertionError("probe ran despite persisted verdict")
+
+    R._GATE_MEMO.clear()
+    monkeypatch.setattr(DataFrame, "count", _boom)
+    monkeypatch.setattr(DataFrame, "mapInPandas", _boom)
+    assert R.maxscore_gate_from_postings(
+        read_tf(spark, state), read_dl(spark, state)) == v_pr
+    assert R.maxscore_gate_plan_from_postings(
+        read_tf(spark, state), read_dl(spark, state)) == v_pl
+    monkeypatch.undo()
+
+    # an append changes the fingerprint: the stale sidecar must MISS
+    # and the probe re-run (then refresh the sidecar)
+    extra = spark.createDataFrame(
+        [(i, f"{common} rare0a rare0b") for i in range(1000, 1200)],
+        "doc_id long, text string")
+    write_batch_partials(extra, state, 2)
+    R._GATE_MEMO.clear()
+    v2 = R.maxscore_gate_plan_from_postings(read_tf(spark, state),
+                                            read_dl(spark, state))
+    key2 = R._gate_memo_key("plan_store", read_tf(spark, state),
+                            read_dl(spark, state))
+    assert R._gate_sidecar_load(key2) == v2
+
+    # memo-off: no read, no write
+    os.remove(side)
+    monkeypatch.setenv("SPARK_GRAFT_QUALITY_MEMO", "0")
+    assert R.maxscore_gate_plan_from_postings(
+        read_tf(spark, state), read_dl(spark, state)) == v2
+    assert not os.path.exists(side)
+    monkeypatch.delenv("SPARK_GRAFT_QUALITY_MEMO")
+
+    # text gates (fixture-backed) stay process-local: no sidecar ever
+    # lands in the input data directory
+    from oanda_stream_processor_spark.io import load_table
+    sf = "/root/testdata/sf0.001"
+    R._GATE_MEMO.clear()
+    R.maxscore_gate_is_prunable(load_table(spark, sf, "documents"))
+    assert not os.path.exists(os.path.join(sf, ".gate_memo.json"))
+
+
 def test_maxscore_prunes_hard_on_zipfian_vocab(spark):
     """The fixtures' bounded ~100-word vocabulary makes every term
     common (df ~ N, idf ~ 0 for all), so q178's essential split keeps
