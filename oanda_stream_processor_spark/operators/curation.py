@@ -986,17 +986,33 @@ def q180_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def write_training_shards(d: DataFrame, out_dir: str, *,
                           n_shards: int = N_SHARDS,
-                          seed: int = SHARD_SEED) -> None:
+                          seed: int = SHARD_SEED,
+                          max_records_per_file: int | None = None
+                          ) -> None:
     """Materialize the shards: one seq-ordered parquet file per
     shard_id=<k> directory (each shard lives in exactly one hash
     partition, so partitionBy splits it into exactly one file) plus a
-    manifest row per shard.  Entirely executor-side."""
+    manifest row per shard.  Entirely executor-side.
+
+    ``max_records_per_file`` (r18; VERDICT r17 Next-round #7, guide
+    §6 output sizing): caps rows per parquet file so production
+    shards land in the 128 MB-1 GB band instead of one arbitrarily
+    large file per shard — set it to target_bytes / avg_row_bytes
+    (SCALE.md's sizing row).  Spark splits the seq-sorted partition
+    into CONSECUTIVE files, so within-shard seq order is preserved
+    across the file sequence and the rows written are identical.
+    Default: $SPARK_GRAFT_SHARD_MAX_RECORDS, else 0 = unlimited (the
+    pre-r18 one-file-per-shard test-scale behavior)."""
     import os
+    if max_records_per_file is None:
+        max_records_per_file = int(os.environ.get(
+            "SPARK_GRAFT_SHARD_MAX_RECORDS", "0") or 0)
     a = shard_assignment(d, n_shards=n_shards, seed=seed)
     rows = (a.join(d.select("doc_id", "text"), "doc_id")
             .repartition(n_shards, "shard_id")
             .sortWithinPartitions("shard_id", "seq"))
     rows.write.mode("overwrite").partitionBy("shard_id") \
+        .option("maxRecordsPerFile", max(0, int(max_records_per_file))) \
         .parquet(os.path.join(out_dir, "shards"))
     man = (a.groupBy("shard_id")
            .agg(F.count("*").alias("n_docs"),

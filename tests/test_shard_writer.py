@@ -107,3 +107,56 @@ def test_epoch_reshuffle_keeps_shards_fixed(spark):
                 F.sum("seq").alias("sm")).collect())
     for r in per:
         assert r.mx == r.n and r.sm == r.n * (r.n + 1) // 2, r
+
+
+def test_writer_file_sizing_knob(spark, tmp_path, monkeypatch):
+    """r18 (VERDICT r17 Next-round #7, guide §6): the output-file
+    sizing knob splits each shard's seq-sorted partition into
+    consecutive capped files — rows identical to the uncapped write,
+    within-shard seq order preserved across the file sequence, and
+    the env default ($SPARK_GRAFT_SHARD_MAX_RECORDS) wires the same
+    cap without a code change."""
+    import os
+    from collections import defaultdict
+
+    rows = lambda df: sorted(tuple(r) for r in df.collect())
+    d = _docs(spark)
+    base = str(tmp_path / "base")
+    write_training_shards(d, base)
+    want = rows(spark.read.parquet(f"{base}/shards"))
+
+    def file_profile(out):
+        """{shard dir: [(file, n, min_seq, max_seq)] name-sorted} in
+        ONE aggregation (per-file reads made this test 65 s)."""
+        df = spark.read.parquet(f"{out}/shards")
+        prof = (df.groupBy(F.input_file_name().alias("f"))
+                .agg(F.count("*").alias("n"),
+                     F.min("seq").alias("lo"),
+                     F.max("seq").alias("hi"))).collect()
+        by_dir = defaultdict(list)
+        for r in prof:
+            by_dir[os.path.dirname(r.f)].append((r.f, r.n, r.lo, r.hi))
+        return {k: sorted(v) for k, v in by_dir.items()}
+
+    capped = str(tmp_path / "capped")
+    write_training_shards(d, capped, max_records_per_file=3)
+    assert rows(spark.read.parquet(f"{capped}/shards")) == want
+    prof = file_profile(capped)
+    assert any(len(v) > 1 for v in prof.values()), \
+        "cap never split a shard — test fixture too small"
+    for sdir, files in prof.items():
+        assert max(n for _, n, _, _ in files) <= 3
+        # name-ordered files carry consecutive, non-overlapping seq
+        # ranges starting at 1: concatenation reproduces seq order
+        nxt = 1
+        for _f, n, lo, hi in files:
+            assert lo == nxt and hi == lo + n - 1, (sdir, files)
+            nxt = hi + 1
+
+    env = str(tmp_path / "env")
+    monkeypatch.setenv("SPARK_GRAFT_SHARD_MAX_RECORDS", "3")
+    write_training_shards(d, env)
+    monkeypatch.delenv("SPARK_GRAFT_SHARD_MAX_RECORDS")
+    assert rows(spark.read.parquet(f"{env}/shards")) == want
+    assert all(n <= 3 for files in file_profile(env).values()
+               for _, n, _, _ in files)
