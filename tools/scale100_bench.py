@@ -141,6 +141,44 @@ def build_x100(spark) -> None:
     open(os.path.join(X100_DIR, "_DONE"), "w").close()
 
 
+# r18 (VERDICT r17 Next-round #4): the pinned memo-off protocol
+# bypasses the env-gated memos (EDGE/QUALITY), but the materialize-
+# once component frames (_COMPONENT_CACHE, _WINNOW_COMPONENT_CACHE —
+# production semantics: build once, every consumer reads the frame)
+# have no env gate, so their CONSUMERS' rows record the warm
+# incremental pass (cold spot-check r17: q168 x100 222 s vs warm
+# 4.2 s).  Those consumers now get an extra cold column: the caches
+# are purged before every cold run, so both truths are in the record
+# — x100 (warm consumer read, the production steady state) and
+# x100_cold (full build-from-scratch).  Warm columns are computed
+# exactly as before — no factor churn.
+COLD_SPLIT = {
+    "q97_canonical_by_quality",
+    "q168_winnow_canonical",
+    "q171_leakfree_splits",
+}
+
+
+def purge_build_memos() -> None:
+    """Clear every module-level build memo (the process-restart
+    simulation for the cold column)."""
+    from oanda_stream_processor_spark.operators import (
+        dedup,
+        retrieval,
+        similarity,
+        textops,
+    )
+    from oanda_stream_processor_spark.streaming import incremental
+    for cache in (dedup._COMPONENT_CACHE, similarity._COUNT_CACHE,
+                  textops._STAR_EDGE_CACHE,
+                  textops._WINNOW_COMPONENT_CACHE,
+                  incremental._INDEX_CACHE, retrieval._GATE_MEMO,
+                  retrieval._QUALITY_MEMO, retrieval._GRADE_MEMO,
+                  retrieval._TERM_MEMO, retrieval._POOL_MEMO,
+                  retrieval._PRF_MEMO):
+        cache.clear()
+
+
 def main() -> None:
     from oanda_stream_processor_spark.session import get_spark
 
@@ -163,9 +201,11 @@ def main() -> None:
         fn = queries[name]
         row = {}
 
-        def leg(sf: str, runs: int) -> float:
+        def leg(sf: str, runs: int, cold: bool = False) -> float:
             times = []
             for _ in range(runs):
+                if cold:
+                    purge_build_memos()
                 t1 = time.perf_counter()
                 fn(spark, sf).write.format("noop") \
                     .mode("overwrite").save()
@@ -186,6 +226,35 @@ def main() -> None:
         results[name] = row
         print(f"# {name}: x1={row['x1']}s x100={row['x100']}s "
               f"factor100={row['factor100']}", file=sys.stderr, flush=True)
+
+    # cold columns AFTER the whole warm sweep (purging mid-sweep
+    # would de-warm later queries' warm rows — factor churn, the
+    # thing the pinned protocol exists to prevent)
+    for name in [n for n in names
+                 if n in COLD_SPLIT and "error" not in results.get(n, {})]:
+        fn = queries[name]
+        row = results[name]
+        try:
+            for col, sf, runs in (("x1_cold", SF_DIR, RUNS),
+                                  ("x100_cold", X100_DIR, runs_x100)):
+                times = []
+                for _ in range(runs):
+                    purge_build_memos()
+                    t1 = time.perf_counter()
+                    fn(spark, sf).write.format("noop") \
+                        .mode("overwrite").save()
+                    times.append(time.perf_counter() - t1)
+                row[col] = round(min(times), 3)
+        except Exception as exc:
+            row["cold_error"] = f"{type(exc).__name__}: {exc}"[:200]
+            continue
+        row["factor100_cold"] = (
+            round(row["x100_cold"] / row["x1_cold"], 2)
+            if row["x1_cold"] else None)
+        print(f"# {name}: x1_cold={row['x1_cold']}s "
+              f"x100_cold={row['x100_cold']}s "
+              f"factor100_cold={row['factor100_cold']}",
+              file=sys.stderr, flush=True)
 
     print(json.dumps({
         "metric": "corpus_family_scaleup_x100",
