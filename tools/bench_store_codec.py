@@ -8,7 +8,8 @@ SQL conf; reads are codec-transparent) — and reports, per codec:
 store bytes on disk, data-file count (identical by construction),
 build wall-clock, and the min-of-runs served read
 (bm25gate.serve_bm25_topk, noop sink).  Rows are asserted identical
-across codecs before timing.  Prints one JSON line.
+across codecs after the timed reads (a divergence exits non-zero).
+Prints one JSON line.
 
 The INPUT fixtures under /root/testdata are never rewritten; only
 the /tmp store this tool builds.  Usage:
@@ -60,6 +61,7 @@ def main() -> None:
     )
 
     spark = get_spark(app_name="bench_store_codec")
+    session_codec = spark.conf.get("spark.sql.parquet.compression.codec")
     d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
     out: dict = {"metric": "store_write_codec", "sf_dir": SF_DIR,
                  "n_batches": N_BATCHES, "runs": RUNS}
@@ -101,8 +103,12 @@ def main() -> None:
         out[codec] = {"bytes": _du(store), "files": _files(store),
                       "build_s": build_s, "read_s": round(best, 3)}
 
-    spark.conf.set("spark.sql.parquet.compression.codec", "snappy")
+    spark.conf.set("spark.sql.parquet.compression.codec",
+                   session_codec)
     out["rows_equal"] = rows_by_codec["snappy"] == rows_by_codec["zstd"]
+    # r18 (ADVICE r17): the docstring's identity claim is now enforced,
+    # not merely reported — a divergence exits non-zero
+    assert out["rows_equal"], "served rows diverged across codecs"
     out["bytes_ratio_zstd_vs_snappy"] = round(
         out["zstd"]["bytes"] / out["snappy"]["bytes"], 3)
     print(json.dumps(out))

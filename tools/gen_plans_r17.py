@@ -77,6 +77,10 @@ def main() -> None:
 
     shutil.rmtree(FIELD_STORE, ignore_errors=True)
     d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    # plan-dump-only store: this lazy explain() never EXECUTES the
+    # serve, so the build deliberately skips the queries-first batch-0
+    # contract (bench_store_codec.py documents the contract required
+    # for stores whose reads actually run — r17 ADVICE #3)
     for i in range(2):
         write_batch_field_partials(
             d.where(F.col("doc_id") % 2 == i), FIELD_STORE, i)
